@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+import graft.index.{IndexBuilder, IndexSettings}
+import graft.search.{GraftIndex, Search, SearchRequest}
+
+/** Thin CLI driver (the Spark stand-in for `/root/reference/cli/src/main.rs`):
+  *
+  *   graft.Main index  <docsParquet> <indexDir> <searchableCols,comma>
+  *   graft.Main search <indexDir> <searchableCols> <query> [filter]
+  *
+  * Run via `sbt "runMain graft.Main …"` or spark-submit.
+  */
+object Main {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try run(spark, args.toList)
+    finally spark.stop()
+  }
+
+  private def run(spark: SparkSession, args: List[String]): Unit = args match {
+    case "index" :: docs :: dir :: searchable :: rest =>
+      val settings = IndexSettings(
+        searchableFields = searchable.split(',').toSeq,
+        filterableFields = rest.headOption.map(_.split(',').toSet).getOrElse(Set.empty),
+        sortableFields = rest.headOption.map(_.split(',').toSet).getOrElse(Set.empty))
+      val df0 = spark.read.parquet(docs)
+      val builder = new IndexBuilder(spark, settings)
+      val df =
+        if (df0.columns.contains("docid")) df0
+        else if (df0.columns.contains("doc_id"))
+          df0.withColumn("docid", org.apache.spark.sql.functions.col("doc_id").cast("int"))
+        else builder.assignDocids(df0, df0.columns.head)
+      val manifest = builder.build(df, dir)
+      manifest.tables.foreach { t =>
+        val e = manifest(t).get
+        println(f"[graft] $t%-28s rows=${e.rows}%-10d ${e.seconds}%8.2fs ${e.bytes}%10d bytes")
+      }
+    case "search" :: dir :: searchable :: query :: rest =>
+      val settings = IndexSettings(searchableFields = searchable.split(',').toSeq)
+      val index = GraftIndex(spark, dir, settings)
+      val filter = Option(rest.mkString(" ").trim).filter(_.nonEmpty)
+        .map(_.stripPrefix("'").stripSuffix("'"))
+      val req = SearchRequest(
+        query = Some(query),
+        filter = filter)
+      val t0 = System.nanoTime()
+      val result = new Search(index).execute(req)
+      val ms = (System.nanoTime() - t0) / 1e6
+      println(f"[graft] candidates=${result.candidates} took=$ms%.0f ms")
+      println(s"[graft] top-${result.documentsIds.size}: ${result.documentsIds.mkString(", ")}")
+    case _ =>
+      System.err.println(
+        """usage:
+          |  graft.Main index  <docsParquet> <indexDir> <searchableCols>
+          |  graft.Main search <indexDir> <searchableCols> <query> [filter]""".stripMargin)
+      sys.exit(2)
+  }
+}

@@ -98,8 +98,11 @@ class IndexBuilder(spark: SparkSession, settings: IndexSettings) extends Seriali
       (settings.filterableFields ++ settings.sortableFields).toSeq.sorted
         .filter(docs.columns.contains)
     val numbers = facetFields.map { f =>
+      // try_cast: non-numeric values simply have no number form
+      // (ANSI cast would throw), matching the reference's "store as f64
+      // only when parseable" rule.
       docs.select(lit(f).as("field"), col("docid"),
-          col(f).cast("double").as("value"))
+          expr(s"try_cast(`$f` as double)").as("value"))
         .where(col("value").isNotNull)
     }.reduceOption(_ unionAll _).getOrElse(emptyNumbers)
     val strings = facetFields.map { f =>
@@ -195,6 +198,15 @@ class IndexBuilder(spark: SparkSession, settings: IndexSettings) extends Seriali
         .where($"word_count" <= 10)
         .groupBy($"fid", $"word_count")
         .agg(F.bitmap_or_agg($"docid").as("docids"))
+    }
+
+    stage(T.DocFidWordCounts) {
+      // forward variant of #11, joined per-candidate by the exactness
+      // criterion's ranking job (docid-sorted → pruned point reads)
+      tokens.groupBy($"docid", $"fid")
+        .agg((max($"position".bitwiseAND(lit(0xffff))) + 1).as("word_count"))
+        .where($"word_count" <= 10)
+        .repartitionByRange($"docid").sortWithinPartitions("docid", "fid")
     }
 
     stage(T.WordPairProximityDocids) {

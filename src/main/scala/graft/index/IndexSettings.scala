@@ -43,6 +43,7 @@ object IndexSettings {
     val WordPositionDocids = "word_position_docids"
     val WordPrefixPositionDocids = "word_prefix_position_docids"
     val FidWordCountDocids = "fid_word_count_docids"
+    val DocFidWordCounts = "doc_fid_word_counts"
     val WordPairProximityDocids = "word_pair_proximity_docids"
     val TermDict = "term_dict"
     val PrefixDict = "prefix_dict"

@@ -1,0 +1,137 @@
+package graft.search
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.roaringbitmap.RoaringBitmap
+
+import graft.core.{Bitmaps, Typo}
+import graft.index.IndexSettings
+import graft.index.IndexSettings.T
+
+/** Read-side handle on a built index directory: lazy table access plus the
+  * small driver-side probes the query planner needs (the Spark equivalents
+  * of milli's LMDB point reads under a read txn,
+  * `/root/reference/milli/src/search/mod.rs:136-242`).
+  *
+  * Every probe is a pushdown `filter` on a key-sorted parquet table —
+  * parquet footer min/max pruning gives point-lookup behavior; nothing here
+  * scans more than the posting rows the query touches (except typo
+  * derivation, which is a predicate scan of the term dictionary — the
+  * FST-free candidate expansion of the north rule).
+  */
+class GraftIndex(val spark: SparkSession, val dir: String, val settings: IndexSettings) {
+  import spark.implicits._
+
+  graft.functions.GraftFunctions.registerAll(spark)
+
+  def table(name: String): DataFrame = spark.read.parquet(s"$dir/$name")
+
+  lazy val documents: DataFrame = table(T.Documents)
+  lazy val docWordPositions: DataFrame = table(T.DocWordPositions)
+  lazy val wordDocids: DataFrame = table(T.WordDocids)
+  lazy val termDict: DataFrame = table(T.TermDict).cache()
+  lazy val pairProx: DataFrame = table(T.WordPairProximityDocids)
+  lazy val facetNumbers: DataFrame = table(T.DocFacetNumbers)
+  lazy val facetStrings: DataFrame = table(T.DocFacetStrings)
+  lazy val facetExists: DataFrame = table(T.FacetExistsDocids)
+  lazy val docStats: DataFrame = table(T.DocStats)
+  lazy val docFidWordCounts: DataFrame = table(T.DocFidWordCounts)
+  lazy val postingBlocks: DataFrame = table(T.PostingBlocks)
+
+  lazy val numberOfDocuments: Long = documents.count()
+
+  /** All docids as a bitmap (milli `documents_ids`, index.rs:259-266). */
+  lazy val allDocids: RoaringBitmap = {
+    val ids = documents.select($"docid").as[Int].collect()
+    Bitmaps.fromInts(ids)
+  }
+
+  // -------------------------------------------------------- planner probes
+
+  /** docids bitmap of one word (word_docids point read). */
+  def wordDocidsBitmap(word: String): Option[RoaringBitmap] =
+    wordDocids.where($"word" === word).select($"docids").as[Array[Byte]]
+      .collect().headOption.map(Bitmaps.cboDeserialize)
+
+  def wordDocumentsCount(word: String): Long =
+    wordDocids.where($"word" === word).select($"df").as[Long]
+      .collect().headOption.getOrElse(0L)
+
+  /** Batched pair frequency probe for `split_best_frequency`: one filter
+    * for all splits of all query words instead of per-pair reads. */
+  def pairFrequencies(pairs: Seq[(String, String)]): Map[(String, String), Long] = {
+    if (pairs.isEmpty) return Map.empty
+    val keys = pairs.map { case (l, r) => s"$l\u0000$r" }
+    pairProx.where($"prox" === 1 &&
+        concat_ws("\u0000", $"w1", $"w2").isin(keys: _*))
+      .select($"w1", $"w2", expr("bitmap_cardinality(docids)").as("n"))
+      .as[(String, String, Long)].collect()
+      .map { case (l, r, n) => (l, r) -> n }.toMap
+  }
+
+  /** FST-free typo derivation: one distributed predicate scan of term_dict
+    * answering every (word, prefix, maxTypo) key of the query at once.
+    * A coarse SQL-pushdown prefilter (length band ∪ prefix range) keeps the
+    * scan cheap; the exact DP check (`Typo.derive`) runs on the survivors.
+    * Replaces `word_derivations`' Levenshtein-automaton ∩ FST
+    * (`/root/reference/milli/src/search/mod.rs:362-442`). */
+  def derivations(keys: Set[(String, Boolean, Int)]): Ranker.Derivations = {
+    if (keys.isEmpty) return Ranker.Derivations(Map.empty)
+    val keySeq = keys.toSeq
+    // coarse pushdown: any key may match words within its length band
+    val coarse = keySeq.map { case (w, prefix, t) =>
+      if (prefix) length($"word") >= w.length - t
+      else length($"word").between(w.length - t, w.length + t)
+    }.reduce(_ || _)
+    val words = termDict.where(coarse).select($"word").as[String].collect()
+    val map = keySeq.map { case key @ (w, prefix, t) =>
+      val ds = words.iterator.flatMap { cand =>
+        Typo.derive(w, cand, prefix, t).map(typo => (cand, typo))
+      }.toVector.sortBy(_._1)
+      key -> (ds: Seq[(String, Int)])
+    }.toMap
+    Ranker.Derivations(map)
+  }
+
+  /** Query context for the tree builder. */
+  def queryContext: QueryTree.QueryContext = new QueryTree.QueryContext {
+    private lazy val pairCache = scala.collection.mutable.HashMap.empty[(String, String), Long]
+    override def synonyms(words: Seq[String]): Seq[Seq[String]] =
+      settings.synonyms.get(words.mkString(" ")).toSeq.flatten
+        .map(_.split(' ').toSeq.map(graft.core.Tokenizer.normalize))
+    override def wordPairFrequency(left: String, right: String): Long =
+      pairCache.getOrElseUpdate((left, right),
+        pairFrequencies(Seq((left, right))).getOrElse((left, right), 0L))
+    override def wordDocumentsCount(word: String): Long =
+      GraftIndex.this.wordDocumentsCount(word)
+    override def exactWords: Set[String] = settings.exactWords
+    override def minWordLenOneTypo: Int = settings.minWordLenOneTypo
+    override def minWordLenTwoTypos: Int = settings.minWordLenTwoTypos
+  }
+
+  /** Batch-prime the pair-frequency cache with every split of every word. */
+  def primedQueryContext(queryWords: Seq[String]): QueryTree.QueryContext = {
+    val allSplits = queryWords.flatMap { w =>
+      (1 until w.length).map(i => (w.substring(0, i), w.substring(i)))
+    }.distinct
+    val freqs = pairFrequencies(allSplits)
+    val base = queryContext
+    new QueryTree.QueryContext {
+      override def synonyms(words: Seq[String]): Seq[Seq[String]] = base.synonyms(words)
+      override def wordPairFrequency(left: String, right: String): Long =
+        freqs.getOrElse((left, right), 0L)
+      override def wordDocumentsCount(word: String): Long = base.wordDocumentsCount(word)
+      override def exactWords: Set[String] = settings.exactWords
+      override def minWordLenOneTypo: Int = settings.minWordLenOneTypo
+      override def minWordLenTwoTypos: Int = settings.minWordLenTwoTypos
+    }
+  }
+}
+
+object GraftIndex {
+  /** Load index settings are the caller's responsibility for now (the
+    * manifest stores build metrics; settings round-trip comes with the
+    * settings-update operator). */
+  def apply(spark: SparkSession, dir: String, settings: IndexSettings): GraftIndex =
+    new GraftIndex(spark, dir, settings)
+}

@@ -1,0 +1,278 @@
+package graft.search
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.roaringbitmap.RoaringBitmap
+
+import graft.core.Bitmaps
+import QueryTree._
+
+/** Ranking rule (criterion) list entries — `milli/src/criterion.rs`. */
+sealed trait Criterion
+object Criterion {
+  case object Words extends Criterion
+  case object Typo extends Criterion
+  case object Proximity extends Criterion
+  case object Attribute extends Criterion
+  case object Sort extends Criterion
+  case object Exactness extends Criterion
+  final case class Asc(field: String) extends Criterion
+  final case class Desc(field: String) extends Criterion
+
+  def parse(s: String): Criterion = s.trim.toLowerCase match {
+    case "words"     => Words
+    case "typo"      => Typo
+    case "proximity" => Proximity
+    case "attribute" => Attribute
+    case "sort"      => Sort
+    case "exactness" => Exactness
+    case other if other.startsWith("asc(")  => Asc(other.stripPrefix("asc(").stripSuffix(")"))
+    case other if other.startsWith("desc(") => Desc(other.stripPrefix("desc(").stripSuffix(")"))
+    case other => throw new IllegalArgumentException(s"unknown criterion: $other")
+  }
+}
+
+/** sort-at-query-time entry (`AscDesc` in milli). */
+final case class SortSpec(field: String, ascending: Boolean)
+
+final case class SearchRequest(
+    query: Option[String] = None,
+    filter: Option[String] = None,
+    offset: Int = 0,
+    limit: Int = 20,
+    strategy: MatchingStrategy = MatchingStrategy.Last,
+    authorizeTypos: Boolean = true,
+    sortCriteria: Seq[SortSpec] = Nil,
+    criteriaOverride: Option[Seq[Criterion]] = None,
+    distinctOverride: Option[Option[String]] = None)
+
+final case class SearchResult(
+    documentsIds: Seq[Int],
+    candidates: Long)
+
+/** `Search::execute` re-expressed Spark-first
+  * (`/root/reference/milli/src/search/mod.rs:136-288`):
+  *
+  *   1. driver: tokenize query, build query tree (probing the index),
+  *      resolve typo derivations against term_dict (one distributed scan);
+  *   2. driver: evaluate the filter DSL to a candidate bitmap (pushdown
+  *      reads on the facet tables);
+  *   3. executors: one job over `doc_word_positions` restricted to the
+  *      derived words (parquet IN-pushdown) computes the full per-candidate
+  *      rank vector (words/typo/proximity/attribute/exactness) — the
+  *      bucket cascade becomes a lexicographic sort key;
+  *   4. `orderBy(rankVector, docid).limit(offset+limit)` →
+  *      TakeOrderedAndProject, then distinct + pagination.
+  *
+  * The reference drains criteria lazily and stops at `limit`; ranking here
+  * is computed for every candidate but each candidate is O(matched words)
+  * and the final top-k never materializes more than offset+limit rows per
+  * partition (TakeOrdered). At 10^12 docs the scan is pruned by the word
+  * IN-filter; candidates without any query word never leave the scan.
+  */
+class Search(index: GraftIndex) extends Serializable {
+  import index.spark
+  import spark.implicits._
+
+  private val settings = index.settings
+
+  def execute(req: SearchRequest): SearchResult = {
+    val criteria: Seq[Criterion] =
+      req.criteriaOverride.getOrElse(settings.criteria.map(Criterion.parse))
+    val distinctField = req.distinctOverride.getOrElse(settings.distinctField)
+
+    // ---- filter → candidate bitmap (None = all)
+    val filterBitmap: Option[RoaringBitmap] =
+      req.filter.map(f => FilterEvaluator.evaluate(index, FilterParser.parse(f)))
+
+    req.query.map(_.trim).filter(_.nonEmpty) match {
+      case None =>
+        executeNoQuery(criteria, filterBitmap, distinctField, req)
+      case Some(q) =>
+        executeQuery(q, criteria, filterBitmap, distinctField, req)
+    }
+  }
+
+  // ------------------------------------------------------------- no query
+
+  private def executeNoQuery(
+      criteria: Seq[Criterion],
+      filterBitmap: Option[RoaringBitmap],
+      distinctField: Option[String],
+      req: SearchRequest): SearchResult = {
+    val base = filterBitmap.getOrElse(index.allDocids)
+    val docids = index.documents.select($"docid")
+      .where(bitmapFilter(filterBitmap))
+    val ranked = attachSortColumns(docids, criteria, req.sortCriteria)
+    val sortCols = sortColumns(criteria, req.sortCriteria) :+ $"docid".asc
+    finish(ranked, sortCols, distinctField, req, base.getLongCardinality)
+  }
+
+  // ---------------------------------------------------------------- query
+
+  private def executeQuery(
+      q: String,
+      criteria: Seq[Criterion],
+      filterBitmap: Option[RoaringBitmap],
+      distinctField: Option[String],
+      req: SearchRequest): SearchResult = {
+
+    // 1. primitive query + tree (driver)
+    val parts = QueryTree.primitiveQuery(q, settings.stopWords)
+    if (parts.isEmpty)
+      return executeNoQuery(criteria, filterBitmap, distinctField, req)
+    val queryWords = parts.collect { case PWord(w, _) => w }
+    val ctx = index.primedQueryContext(queryWords)
+    val tree = QueryTree.build(ctx, req.strategy, req.authorizeTypos, parts).get
+    val branches = QueryTree.wordsBranches(tree)
+
+    // 2. derivations for every key of every branch (one term_dict scan)
+    val allKeys = branches.flatMap(Ranker.derivationKeys).toSet
+    val derivations = index.derivations(allKeys)
+    val relevantWords: Seq[String] =
+      (derivations.map.values.flatten.map(_._1) ++
+        allKeys.collect { case (w, false, 0) => w }).toSeq.distinct
+
+    val exactParts = Ranker.exactParts(parts, ctx.synonyms)
+    val searchableFids = settings.searchableFields.indices
+
+    val bBranches = spark.sparkContext.broadcast(branches.toVector)
+    val bDerivations = spark.sparkContext.broadcast(derivations)
+    val bExactParts = spark.sparkContext.broadcast(exactParts.toVector)
+    val bFilter = spark.sparkContext.broadcast(filterBitmap.map(Bitmaps.cboSerialize))
+    val bFids = spark.sparkContext.broadcast(searchableFids.toVector)
+
+    // 3. per-candidate rank vector job
+    val dwp = index.docWordPositions.where($"word".isin(relevantWords: _*))
+    val wc = index.docFidWordCounts
+    val docData = dwp.select($"docid", $"word", $"positions")
+      .as[(Int, String, Array[Int])]
+      .groupByKey(_._1)
+      .mapGroups { (docid, rows) =>
+        val positions = rows.map(r => (r._2, r._3)).toMap
+        (docid, positions)
+      }
+      .toDF("docid", "positions")
+      .join(wc.groupBy($"docid")
+          .agg(map_from_arrays(collect_list($"fid"), collect_list($"word_count")).as("fwc")),
+        Seq("docid"), "left")
+
+    val rankedRows = docData
+      .select($"docid", $"positions", $"fwc")
+      .as[(Int, Map[String, Array[Int]], Map[Int, Int])]
+      .flatMap { case (docid, positions, fwcOrNull) =>
+        val filterOk = bFilter.value.forall(bytes =>
+          Bitmaps.cboDeserialize(bytes).contains(docid))
+        if (!filterOk) Iterator.empty
+        else {
+          val fwc = Option(fwcOrNull).getOrElse(Map.empty[Int, Int])
+          val doc = Ranker.DocData(positions, fwc)
+          val der = bDerivations.value
+          val branches = bBranches.value
+          // words bucket = first matching branch
+          val wordsBucket = branches.indexWhere(b => Ranker.matches(b, doc, der))
+          if (wordsBucket < 0) Iterator.empty
+          else {
+            val branch = branches(wordsBucket)
+            val typo = Ranker.minTypos(branch, doc, der).getOrElse(Int.MaxValue)
+            val prox = Ranker.proximityBucket(branch, doc, der)
+            val attr = Ranker.attributeRank(Ranker.flattenQueryTree(branch), doc, der)
+            val exact = Ranker.exactnessRank(bExactParts.value, doc, bFids.value)
+            Iterator.single((docid, wordsBucket, typo, prox, attr, exact))
+          }
+        }
+      }
+      .toDF("docid", "r_words", "r_typo", "r_proximity", "r_attribute", "r_exactness")
+
+    val withSorts = attachSortColumns(rankedRows, criteria, req.sortCriteria)
+    val sortCols = criteria.flatMap(criterionColumns(_, req.sortCriteria)) :+ $"docid".asc
+    val total = withSorts.count()
+    finish(withSorts, sortCols, distinctField, req, total)
+  }
+
+  // -------------------------------------------------------------- helpers
+
+  private def bitmapFilter(bm: Option[RoaringBitmap]) = bm match {
+    case None => lit(true)
+    case Some(b) =>
+      val ids = Bitmaps.toArray(b)
+      $"docid".isin(ids.map(Integer.valueOf): _*)
+  }
+
+  /** join numeric+string facet values for every sort-ish criterion. */
+  private def attachSortColumns(
+      df: DataFrame,
+      criteria: Seq[Criterion],
+      sorts: Seq[SortSpec]): DataFrame = {
+    val fields: Seq[String] = criteria.flatMap {
+      case Criterion.Asc(f)  => Seq(f)
+      case Criterion.Desc(f) => Seq(f)
+      case Criterion.Sort    => sorts.map(_.field)
+      case _                 => Nil
+    }.distinct
+    fields.foldLeft(df) { (acc, f) =>
+      val nums = index.facetNumbers.where($"field" === f)
+        .select($"docid", $"value".as(s"num__$f"))
+      val strs = index.facetStrings.where($"field" === f)
+        .groupBy($"docid").agg(min($"norm").as(s"str__$f"))
+      acc.join(nums, Seq("docid"), "left").join(strs, Seq("docid"), "left")
+    }
+  }
+
+  /** sort columns for one criterion (missing values last, milli
+    * `asc_desc.rs` semantics: numbers first, then strings, then absent). */
+  private def criterionColumns(c: Criterion, sorts: Seq[SortSpec]) = c match {
+    case Criterion.Words     => Seq($"r_words".asc)
+    case Criterion.Typo      => Seq($"r_typo".asc)
+    case Criterion.Proximity => Seq($"r_proximity".asc)
+    case Criterion.Attribute => Seq($"r_attribute".asc)
+    case Criterion.Exactness => Seq($"r_exactness".asc)
+    case Criterion.Asc(f)    =>
+      Seq(col(s"num__$f").asc_nulls_last, col(s"str__$f").asc_nulls_last)
+    case Criterion.Desc(f)   =>
+      Seq(col(s"num__$f").desc_nulls_last, col(s"str__$f").desc_nulls_last)
+    case Criterion.Sort      =>
+      sorts.flatMap { s =>
+        if (s.ascending)
+          Seq(col(s"num__${s.field}").asc_nulls_last, col(s"str__${s.field}").asc_nulls_last)
+        else
+          Seq(col(s"num__${s.field}").desc_nulls_last, col(s"str__${s.field}").desc_nulls_last)
+      }
+  }
+
+  private def sortColumns(criteria: Seq[Criterion], sorts: Seq[SortSpec]) =
+    criteria.flatMap {
+      case c @ (Criterion.Asc(_) | Criterion.Desc(_) | Criterion.Sort) =>
+        criterionColumns(c, sorts)
+      case _ => Nil
+    }
+
+  /** distinct → top-k → offset/limit drain (`search/mod.rs:244-288`).
+    * Distinct = keep the first doc per facet value in rank order —
+    * `FacetDistinct` (search/distinct/facet_distinct.rs:32-190) as a
+    * window `row_number() == 1`, fully distributed. */
+  private def finish(
+      ranked: DataFrame,
+      sortCols: Seq[org.apache.spark.sql.Column],
+      distinctField: Option[String],
+      req: SearchRequest,
+      candidates: Long): SearchResult = {
+    val take = req.offset + req.limit
+    val deduped = distinctField match {
+      case None => ranked
+      case Some(f) =>
+        val strs = index.facetStrings.where($"field" === f)
+          .groupBy($"docid").agg(min($"norm").as("distinct__v"))
+        val withV = ranked.join(strs, Seq("docid"), "left")
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(coalesce($"distinct__v", concat(lit(" nodist "), $"docid")))
+          .orderBy(sortCols: _*)
+        withV.withColumn("rn__", row_number().over(w)).where($"rn__" === 1)
+    }
+    // TakeOrderedAndProject: orderBy + limit never materializes a full sort
+    val rows = deduped.orderBy(sortCols: _*).select($"docid").limit(take).collect()
+    SearchResult(
+      rows.toSeq.drop(req.offset).map(_.getInt(0)),
+      candidates)
+  }
+}
