@@ -1,0 +1,452 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Driver-gate query battery: every operator family of SURVEY.md §2 plus
+  * the training-data pipeline operators, each as a self-contained
+  * DataFrame pipeline over the driver's parquet tables with an exact
+  * DuckDB-SQL oracle (see [[SparkEntry.oracleSql]]).
+  *
+  * Conventions shared with the oracles:
+  *  - tokenization = `split(lower(text), '[^a-z0-9]+')`, empties dropped,
+  *    token order = row_number over the raw split position (identical to
+  *    DuckDB `regexp_split_to_array` + `generate_subscripts`);
+  *  - floating-point outputs are fixed-point: `floor(x*1e6 + 0.5)` BIGINT;
+  *  - every result is deterministically ordered.
+  */
+object Queries {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+  private def tbl(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** (doc_id, word, pos) — pos = 1-based index in the filtered token
+    * sequence. The forward index (doc_word_positions) in simple-token mode. */
+  def tokens(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val raw = d.select(col("doc_id"),
+      posexplode(split(lower(col("text")), "[^a-z0-9]+")).as(Seq("rawpos", "word")))
+      .where(col("word") =!= "")
+    raw.withColumn("pos",
+      row_number().over(Window.partitionBy("doc_id").orderBy("rawpos")))
+      .select("doc_id", "word", "pos")
+  }
+
+  /** Fixed-point helper shared with the SQL oracles. */
+  private def fp(c: Column): Column = floor(c * lit(1e6) + lit(0.5)).cast("long")
+
+  // ===================================================== inverted index
+
+  /** word → df + docid bounds: the word_docids posting table shape. */
+  def qWordDocids(spark: SparkSession, dir: String): DataFrame =
+    tokens(spark, dir).groupBy("word")
+      .agg(countDistinct("doc_id").as("df"),
+        min("doc_id").as("min_docid"), max("doc_id").as("max_docid"))
+      .orderBy("word")
+
+  /** forward-index doc stats (doclen for BM25). */
+  def qDocStats(spark: SparkSession, dir: String): DataFrame =
+    tokens(spark, dir).groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), countDistinct("word").as("n_distinct"))
+      .orderBy("doc_id")
+
+  /** term dictionary with collection frequencies. */
+  def qTermStats(spark: SparkSession, dir: String): DataFrame =
+    tokens(spark, dir).groupBy("word")
+      .agg(countDistinct("doc_id").as("df"), count(lit(1)).as("cf"))
+      .orderBy(desc("cf"), asc("word"))
+
+  /** AND of two posting lists (bitmap intersection analogue). */
+  def qSearchAnd(spark: SparkSession, dir: String): DataFrame = {
+    val t = tokens(spark, dir)
+    val a = t.where(col("word") === "spark").select("doc_id").distinct()
+    val b = t.where(col("word") === "merge").select("doc_id").distinct()
+    a.join(b, Seq("doc_id"), "left_semi").orderBy("doc_id")
+  }
+
+  /** OR (bitmap union). */
+  def qSearchOr(spark: SparkSession, dir: String): DataFrame = {
+    val t = tokens(spark, dir)
+    t.where(col("word").isin("spark", "stream")).select("doc_id").distinct()
+      .orderBy("doc_id")
+  }
+
+  /** AND NOT (bitmap difference / soft-delete subtraction analogue). */
+  def qSearchNot(spark: SparkSession, dir: String): DataFrame = {
+    val t = tokens(spark, dir)
+    val a = t.where(col("word") === "spark").select("doc_id").distinct()
+    val b = t.where(col("word") === "merge").select("doc_id").distinct()
+    a.join(b, Seq("doc_id"), "left_anti").orderBy("doc_id")
+  }
+
+  /** phrase = adjacent positions (resolve_phrase, prox-1 pair). */
+  def qSearchPhrase(spark: SparkSession, dir: String): DataFrame = {
+    val t = tokens(spark, dir)
+    val a = t.where(col("word") === "data").select(col("doc_id"), col("pos"))
+    val b = t.where(col("word") === "spark")
+      .select(col("doc_id"), (col("pos") - 1).as("pos"))
+    a.join(b, Seq("doc_id", "pos"), "left_semi")
+      .select("doc_id").distinct().orderBy("doc_id")
+  }
+
+  /** prefix search (word_prefix_docids analogue). */
+  def qSearchPrefix(spark: SparkSession, dir: String): DataFrame =
+    tokens(spark, dir).where(col("word").startsWith("st"))
+      .select("doc_id").distinct().orderBy("doc_id")
+
+  /** typo-tolerant search: dictionary words within Damerau-Levenshtein 1 of
+    * the query word, same first letter (milli's 1-typo rule) → their docs. */
+  def qSearchTypo(spark: SparkSession, dir: String): DataFrame = {
+    val t = tokens(spark, dir)
+    val qword = "spakr" // 1 transposition from "spark"
+    val derive = udf((w: String) =>
+      w != null && w.nonEmpty && w.charAt(0) == qword.charAt(0) &&
+        graft.core.Typo.osaDistance(qword, w, 1) <= 1)
+    t.where(derive(col("word"))).select("doc_id").distinct().orderBy("doc_id")
+  }
+
+  /** BM25 top-k (k1=1.2, b=0.75) for query {spark, merge} — the flagship
+    * scoring mode (north rule). Declarative form: tf/df/doclen joins +
+    * one TakeOrdered; the block-max WAND kernel is the scale path, this is
+    * its oracle-checkable equivalent. */
+  def qBm25(spark: SparkSession, dir: String): DataFrame = {
+    val t = tokens(spark, dir)
+    val k1 = 1.2; val b = 0.75
+    val qterms = Seq("spark", "merge")
+    val dl = t.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val n = docs(spark, dir).count()
+    val avgdl = dl.agg(avg("dl")).first().getDouble(0)
+    val tf = t.where(col("word").isin(qterms: _*))
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("word").agg(countDistinct("doc_id").as("df"))
+    val scored = tf.join(broadcast(df), "word").join(dl, "doc_id")
+      .withColumn("idf", log(lit(1.0) + (lit(n.toDouble) - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+      .withColumn("s", col("idf") * (col("tf") * (lit(k1) + 1)) /
+        (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / lit(avgdl))))
+      .groupBy("doc_id").agg(sum("s").as("score"))
+    scored.select(col("doc_id"), fp(col("score")).as("score_fp"))
+      .orderBy(desc("score_fp"), asc("doc_id")).limit(20)
+  }
+
+  /** adjacent word-pair table (word_pair_proximity prox=1 analogue). */
+  def qWordPairs(spark: SparkSession, dir: String): DataFrame = {
+    val t = tokens(spark, dir)
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    t.withColumn("w2", lead("word", 1).over(w))
+      .where(col("w2").isNotNull)
+      .groupBy(col("word").as("w1"), col("w2"))
+      .agg(countDistinct("doc_id").as("df"))
+      .where(col("df") >= 50)
+      .orderBy("w1", "w2")
+  }
+
+  /** 2-char prefix posting counts (word_prefix_docids shape). */
+  def qPrefixDocids(spark: SparkSession, dir: String): DataFrame =
+    tokens(spark, dir)
+      .select(substring(col("word"), 1, 2).as("prefix"), col("doc_id"))
+      .groupBy("prefix").agg(countDistinct("doc_id").as("df"))
+      .orderBy("prefix")
+
+  // ========================================================= facets/filter
+
+  /** facet distribution (FacetDistribution analogue). */
+  def qFacetDistribution(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).groupBy("lang", "source")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("lang", "source")
+
+  /** numeric range + IN filter (Filter::evaluate analogue). */
+  def qFilterRange(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .where(col("n_chars").between(200, 400) && col("lang").isin("en", "fr"))
+      .select("doc_id").orderBy("doc_id")
+
+  /** facet sort (asc_desc criterion analogue). */
+  def qSortFacet(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).select(col("doc_id"), col("n_chars"))
+      .orderBy(desc("n_chars"), asc("doc_id")).limit(100)
+
+  /** distinct-on-facet: first doc per source value in docid order
+    * (FacetDistinct analogue). */
+  def qDistinctSource(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).groupBy("source").agg(min("doc_id").as("doc_id"))
+      .orderBy("source")
+
+  // ========================================================== relational
+
+  /** TPC-H Q1-shape aggregation over lineitem. */
+  def q1Agg(spark: SparkSession, dir: String): DataFrame =
+    tbl(spark, dir, "lineitem")
+      .groupBy("l_returnflag", "l_linestatus")
+      // per-row fixed-point then exact integer sums: double-summation order
+      // differs between engines, integer arithmetic doesn't
+      .agg(sum(round(col("l_quantity") * 1e6).cast("long")).cast("long").as("sum_qty"),
+        sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 1e6).cast("long"))
+          .cast("long").as("sum_revenue"),
+        sum(round(col("l_discount") * 1e6).cast("long")).cast("long").as("sum_disc"),
+        count(lit(1)).as("cnt"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** broadcast join chain: revenue per nation. */
+  def qJoinNationRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val c = tbl(spark, dir, "customer")
+    val o = tbl(spark, dir, "orders")
+    val n = tbl(spark, dir, "nation")
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy("n_name")
+      .agg(sum(round(col("o_totalprice") * 1e6).cast("long")).cast("long").as("revenue"),
+        count(lit(1)).as("n_orders"))
+      .orderBy("n_name")
+  }
+
+  /** window fn: each customer's first order. */
+  def qWindowFirstOrder(spark: SparkSession, dir: String): DataFrame = {
+    val o = tbl(spark, dir, "orders")
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+    o.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .select("o_custkey", "o_orderkey").orderBy("o_custkey")
+  }
+
+  /** top-k (TakeOrderedAndProject). */
+  def qTopkLineitem(spark: SparkSession, dir: String): DataFrame =
+    tbl(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"), fp(col("l_extendedprice")).as("price_fp"))
+      .orderBy(desc("price_fp"), asc("l_orderkey"), asc("l_linenumber")).limit(20)
+
+  // ============================================== dedup / similarity ops
+
+  /** exact dedup: content-hash groups with >1 member. */
+  def qDedupExact(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).select(col("doc_id"), md5(col("text")).as("h"))
+      .groupBy("h").agg(count(lit(1)).as("cnt"),
+        min("doc_id").as("keep_doc"), max("doc_id").as("max_doc"))
+      .where(col("cnt") > 1)
+      .orderBy("h")
+
+  /** stable 60-bit hash both systems compute identically:
+    * first 15 hex chars of md5. */
+  private def md5long(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** 3-token shingles per doc. */
+  private def shingles(spark: SparkSession, dir: String): DataFrame = {
+    val t = tokens(spark, dir)
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    t.withColumn("w2", lead("word", 1).over(w))
+      .withColumn("w3", lead("word", 2).over(w))
+      .where(col("w3").isNotNull)
+      .select(col("doc_id"),
+        concat_ws(" ", col("word"), col("w2"), col("w3")).as("shingle"))
+      .distinct()
+  }
+
+  /** MinHash signatures (4 seeds) over 3-token shingles. */
+  def qDedupMinhash(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(spark, dir)
+    val mh = (0 until 4).map(j =>
+      min(md5long(concat(lit(s"$j:"), col("shingle")))).as(s"mh$j"))
+    sh.groupBy("doc_id").agg(mh.head, mh.tail: _*).orderBy("doc_id")
+  }
+
+  /** LSH banding: candidate pairs sharing any minhash band, verified with
+    * exact shingle-Jaccard ≥ 0.5. The minhash→band→bucket-join→verify
+    * pipeline of a web-scale near-dup stage. */
+  def qLshPairs(spark: SparkSession, dir: String): DataFrame = {
+    val sig = qDedupMinhash(spark, dir).cache()
+    val bands = (0 until 4).map(j =>
+      sig.select(col("doc_id"), lit(j).as("band"), col(s"mh$j").as("h")))
+      .reduce(_ unionAll _)
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.h") === col("b.h") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db")).distinct()
+    val sh = shingles(spark, dir)
+    val inter = cand.join(sh.as("sa"), col("da") === col("sa.doc_id"))
+      .join(sh.as("sb"),
+        col("db") === col("sb.doc_id") && col("sa.shingle") === col("sb.shingle"))
+      .groupBy("da", "db").agg(count(lit(1)).as("ninter"))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    inter.join(sizes.as("za"), col("da") === col("za.doc_id"))
+      .join(sizes.as("zb"), col("db") === col("zb.doc_id"))
+      .withColumn("jac", col("ninter").cast("double") /
+        (col("za.n") + col("zb.n") - col("ninter")))
+      .where(col("jac") >= 0.5)
+      .select(col("da"), col("db"), fp(col("jac")).as("jac_fp"))
+      .orderBy("da", "db")
+  }
+
+  /** 16-bit SimHash over distinct tokens. */
+  def qDedupSimhash(spark: SparkSession, dir: String): DataFrame = {
+    val t = tokens(spark, dir).select("doc_id", "word").distinct()
+      .withColumn("h", md5long(col("word")))
+    val bits = t.select(col("doc_id"),
+      explode(sequence(lit(0), lit(15))).as("bit"), col("h"))
+      .withColumn("v", when(expr("shiftright(h, bit) & 1") === 1, 1).otherwise(-1))
+      .groupBy("doc_id", "bit").agg(sum("v").as("s"))
+    bits.withColumn("bitval",
+        when(col("s") > 0, expr("shiftleft(1L, bit)")).otherwise(lit(0L)))
+      .groupBy("doc_id").agg(sum("bitval").cast("long").as("simhash"))
+      .orderBy("doc_id")
+  }
+
+  /** n-gram Jaccard between consecutive doc ids (cheap exact near-dup
+    * check; the planted `dup` docs at sf0.1 surface here). */
+  def qNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(spark, dir)
+    val a = sh.as("sa")
+    val b = sh.withColumn("doc_id", col("doc_id") - 1).as("sb")
+    val inter = a.join(b,
+        col("sa.doc_id") === col("sb.doc_id") && col("sa.shingle") === col("sb.shingle"))
+      .groupBy(col("sa.doc_id").as("doc_id")).agg(count(lit(1)).as("ninter"))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val sz2 = sizes.withColumn("doc_id", col("doc_id") - 1)
+      .withColumnRenamed("n", "n2")
+    sizes.join(sz2, "doc_id").join(inter, Seq("doc_id"), "left")
+      .withColumn("ninter", coalesce(col("ninter"), lit(0L)))
+      .withColumn("jac", col("ninter").cast("double") /
+        (col("n") + col("n2") - col("ninter")))
+      .where(col("jac") >= 0.3)
+      .select(col("doc_id").as("da"), (col("doc_id") + 1).as("db"),
+        fp(col("jac")).as("jac_fp"))
+      .orderBy("da")
+  }
+
+  // ------------------------------------------------------- similarity/ANN
+
+  /** brute-force cosine top-k against the vec_id=0 embedding. */
+  def qAnnCosine(spark: SparkSession, dir: String): DataFrame = {
+    val e = tbl(spark, dir, "embeddings")
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+    val q = e.where(col("vec_id") === 0).select("v").first().getSeq[Double](0).toArray
+    val bq = spark.sparkContext.broadcast(q)
+    val dot = udf((v: Seq[Double]) => {
+      val qq = bq.value
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < qq.length) { d += v(i) * qq(i); na += v(i) * v(i); nb += qq(i) * qq(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    })
+    e.where(col("vec_id") =!= 0)
+      .select(col("vec_id"), fp(dot(col("v"))).as("cos_fp"))
+      .orderBy(desc("cos_fp"), asc("vec_id")).limit(20)
+  }
+
+  /** LSH bucket per vector: 8 sign bits against md5-derived hyperplanes —
+    * the bucketed scale path for ANN (brute force within bucket). */
+  def qAnnLsh(spark: SparkSession, dir: String): DataFrame = {
+    // plane j component d = +1 if md5long("j_d") odd else -1 — deterministic
+    // in both engines.
+    val planes: Array[Array[Double]] = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      Array.tabulate(8, 64) { (j, d) =>
+        val hex = md.digest(s"${j}_$d".getBytes("UTF-8"))
+          .take(8).map("%02x".format(_)).mkString
+        val v = java.lang.Long.parseLong(hex.take(15), 16)
+        if ((v & 1L) == 1L) 1.0 else -1.0
+      }
+    }
+    val bp = spark.sparkContext.broadcast(planes)
+    val bucketOf = udf((v: Seq[Double]) => {
+      val ps = bp.value
+      var bucket = 0L
+      var j = 0
+      while (j < ps.length) {
+        var s = 0.0; var d = 0; while (d < v.length) { s += v(d) * ps(j)(d); d += 1 }
+        if (s > 0) bucket |= (1L << j)
+        j += 1
+      }
+      bucket
+    })
+    tbl(spark, dir, "embeddings")
+      .select(col("vec_id"),
+        bucketOf(transform(col("embedding"), x => x.cast("double"))).as("bucket"))
+      .orderBy("vec_id")
+  }
+
+  // --------------------------------------------------------- text analysis
+
+  private val StopEn = Seq("the", "a", "and", "of", "to", "in", "is")
+
+  /** naive language id: stop-token evidence vs the labeled lang column. */
+  def qLangId(spark: SparkSession, dir: String): DataFrame = {
+    val t = tokens(spark, dir)
+    val en = t.where(col("word").isin(StopEn: _*))
+      .groupBy("doc_id").agg(count(lit(1)).as("en_hits"))
+    docs(spark, dir).select("doc_id", "lang").join(en, Seq("doc_id"), "left")
+      .withColumn("en_hits", coalesce(col("en_hits"), lit(0L)))
+      .withColumn("pred", when(col("en_hits") >= 3, lit("en")).otherwise(lit("other")))
+      .orderBy("doc_id")
+  }
+
+  /** quality scoring: length / stopword ratio / mean token length. */
+  def qQuality(spark: SparkSession, dir: String): DataFrame = {
+    val t = tokens(spark, dir)
+    val agg = t.groupBy("doc_id").agg(
+      count(lit(1)).as("n_tokens"),
+      fp(avg(length(col("word")))).as("avg_len_fp"),
+      fp(sum(when(col("word").isin(StopEn: _*), 1.0).otherwise(0.0)) / count(lit(1)))
+        .as("stop_ratio_fp"))
+    agg.orderBy("doc_id")
+  }
+
+  /** token counting: whitespace split vs alnum-run tokens. */
+  def qTokenCount(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).select(col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("ws_tokens"),
+        size(filter(split(lower(col("text")), "[^a-z0-9]+"), w => w =!= ""))
+          .cast("long").as("re_tokens"))
+      .orderBy("doc_id")
+
+  /** order-sensitive document fingerprint: xor of position-salted token
+    * hashes (rolling-hash analogue, exactly reproducible in SQL). */
+  def qFingerprint(spark: SparkSession, dir: String): DataFrame =
+    tokens(spark, dir)
+      .select(col("doc_id"),
+        md5long(concat(col("word"), lit("@"), col("pos"))).as("h"))
+      .groupBy("doc_id")
+      .agg(expr("bit_xor(h)").as("fp"))
+      .orderBy("doc_id")
+
+  /** multimodal plumbing: opaque binary column + typed metadata. The
+    * "decode" is a deterministic stub (hex head) — the schema/partition/
+    * batch shape is the real part (no media libs in this container). */
+  def qMultimodalMeta(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("blob"))
+      .select(col("doc_id"),
+        octet_length(col("blob")).cast("long").as("nbytes"),
+        lower(hex(substring(col("blob"), 1, 8))).as("head_hex"))
+      .orderBy("doc_id")
+
+  // ------------------------------------------------------------ streaming
+
+  /** sessionization (30-min gap) as a batch job — the
+    * mapGroupsWithState logic in oracle-checkable form. */
+  def qSessionize(spark: SparkSession, dir: String): DataFrame = {
+    val e = tbl(spark, dir, "events")
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    e.withColumn("prev", lag("ts", 1).over(w))
+      .withColumn("newsess",
+        when(col("prev").isNull ||
+          unix_timestamp(col("ts").cast("timestamp")) -
+            unix_timestamp(col("prev").cast("timestamp")) > 1800, 1).otherwise(0))
+      .groupBy("user_id")
+      .agg(sum("newsess").cast("long").as("n_sessions"), count(lit(1)).as("n_events"))
+      .orderBy("user_id")
+  }
+
+  /** incremental merge: two half-corpus indexes unioned and re-merged must
+    * equal the full index (TypedChunk merge semantics). */
+  def qIncrementalMerge(spark: SparkSession, dir: String): DataFrame = {
+    val t = tokens(spark, dir)
+    val h1 = t.where(col("doc_id") % 2 === 0).groupBy("word")
+      .agg(countDistinct("doc_id").as("df"))
+    val h2 = t.where(col("doc_id") % 2 === 1).groupBy("word")
+      .agg(countDistinct("doc_id").as("df"))
+    h1.unionAll(h2).groupBy("word").agg(sum("df").cast("long").as("df"))
+      .orderBy("word")
+  }
+}

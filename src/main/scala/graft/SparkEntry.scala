@@ -1,13 +1,339 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` covers SURVEY.md §2 operator families (inverted index, set
+  * algebra, phrase/prefix/typo search, BM25 top-k, facets, filters, sort,
+  * distinct, relational joins/windows/top-k) plus the training-data
+  * pipeline operators (dedup family, ANN, text analysis, multimodal
+  * plumbing, sessionization). Each has an exact DuckDB oracle in
+  * [[SparkEntry.oracleSql]]; conventions documented on [[Queries]].
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on sf=0.001: BM25 top-k over the documents corpus. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Queries.qBm25(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_word_docids" -> (Queries.qWordDocids _),
+    "q_doc_stats" -> (Queries.qDocStats _),
+    "q_term_stats" -> (Queries.qTermStats _),
+    "q_search_and" -> (Queries.qSearchAnd _),
+    "q_search_or" -> (Queries.qSearchOr _),
+    "q_search_not" -> (Queries.qSearchNot _),
+    "q_search_phrase" -> (Queries.qSearchPhrase _),
+    "q_search_prefix" -> (Queries.qSearchPrefix _),
+    "q_search_typo" -> (Queries.qSearchTypo _),
+    "q_bm25" -> (Queries.qBm25 _),
+    "q_word_pairs" -> (Queries.qWordPairs _),
+    "q_prefix_docids" -> (Queries.qPrefixDocids _),
+    "q_facet_distribution" -> (Queries.qFacetDistribution _),
+    "q_filter_range" -> (Queries.qFilterRange _),
+    "q_sort_facet" -> (Queries.qSortFacet _),
+    "q_distinct_source" -> (Queries.qDistinctSource _),
+    "q1_agg" -> (Queries.q1Agg _),
+    "q_join_nation_revenue" -> (Queries.qJoinNationRevenue _),
+    "q_window_first_order" -> (Queries.qWindowFirstOrder _),
+    "q_topk_lineitem" -> (Queries.qTopkLineitem _),
+    "q_dedup_exact" -> (Queries.qDedupExact _),
+    "q_dedup_minhash" -> (Queries.qDedupMinhash _),
+    "q_lsh_pairs" -> (Queries.qLshPairs _),
+    "q_dedup_simhash" -> (Queries.qDedupSimhash _),
+    "q_ngram_jaccard" -> (Queries.qNgramJaccard _),
+    "q_ann_cosine" -> (Queries.qAnnCosine _),
+    "q_ann_lsh" -> (Queries.qAnnLsh _),
+    "q_lang_id" -> (Queries.qLangId _),
+    "q_quality" -> (Queries.qQuality _),
+    "q_token_count" -> (Queries.qTokenCount _),
+    "q_fingerprint" -> (Queries.qFingerprint _),
+    "q_multimodal_meta" -> (Queries.qMultimodalMeta _),
+    "q_sessionize" -> (Queries.qSessionize _),
+    "q_incremental_merge" -> (Queries.qIncrementalMerge _)
+  )
+
+  /** Shared tokenizer CTE (identical semantics to [[Queries.tokens]]). */
+  private val TOK =
+    """WITH raw AS (
+      |  SELECT doc_id,
+      |         unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS w,
+      |         generate_subscripts(regexp_split_to_array(lower(text), '[^a-z0-9]+'), 1) AS rawpos
+      |  FROM documents),
+      |tok AS (
+      |  SELECT doc_id, w AS word,
+      |         row_number() OVER (PARTITION BY doc_id ORDER BY rawpos) AS pos
+      |  FROM raw WHERE w <> '')""".stripMargin
+
+  private val SHINGLES =
+    TOK + """,
+      |sh0 AS (
+      |  SELECT doc_id, word,
+      |         lead(word, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS w2,
+      |         lead(word, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS w3
+      |  FROM tok),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, word || ' ' || w2 || ' ' || w3 AS shingle
+      |  FROM sh0 WHERE w3 IS NOT NULL)""".stripMargin
+
+  private def fp(x: String) = s"CAST(FLOOR(($x) * 1e6 + 0.5) AS BIGINT)"
+  private def md5long(x: String) = s"CAST(('0x' || substr(md5($x), 1, 15)) AS BIGINT)"
+
+  def oracleSql: Map[String, String] = Map(
+    "q_word_docids" ->
+      s"""$TOK SELECT word, count(DISTINCT doc_id) AS df, min(doc_id) AS min_docid,
+         | max(doc_id) AS max_docid FROM tok GROUP BY word ORDER BY word""".stripMargin,
+
+    "q_doc_stats" ->
+      s"""$TOK SELECT doc_id, count(*) AS n_tokens, count(DISTINCT word) AS n_distinct
+         | FROM tok GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_term_stats" ->
+      s"""$TOK SELECT word, count(DISTINCT doc_id) AS df, count(*) AS cf
+         | FROM tok GROUP BY word ORDER BY cf DESC, word""".stripMargin,
+
+    "q_search_and" ->
+      s"""$TOK SELECT DISTINCT doc_id FROM tok WHERE word = 'spark'
+         | AND doc_id IN (SELECT doc_id FROM tok WHERE word = 'merge')
+         | ORDER BY doc_id""".stripMargin,
+
+    "q_search_or" ->
+      s"""$TOK SELECT DISTINCT doc_id FROM tok WHERE word IN ('spark', 'stream')
+         | ORDER BY doc_id""".stripMargin,
+
+    "q_search_not" ->
+      s"""$TOK SELECT DISTINCT doc_id FROM tok WHERE word = 'spark'
+         | AND doc_id NOT IN (SELECT doc_id FROM tok WHERE word = 'merge')
+         | ORDER BY doc_id""".stripMargin,
+
+    "q_search_phrase" ->
+      s"""$TOK SELECT DISTINCT a.doc_id FROM tok a JOIN tok b
+         | ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+         | WHERE a.word = 'data' AND b.word = 'spark' ORDER BY a.doc_id""".stripMargin,
+
+    "q_search_prefix" ->
+      s"""$TOK SELECT DISTINCT doc_id FROM tok WHERE word LIKE 'st%'
+         | ORDER BY doc_id""".stripMargin,
+
+    "q_search_typo" ->
+      s"""$TOK SELECT DISTINCT doc_id FROM tok
+         | WHERE substr(word, 1, 1) = 's' AND damerau_levenshtein('spakr', word) <= 1
+         | ORDER BY doc_id""".stripMargin,
+
+    "q_bm25" ->
+      s"""$TOK,
+         |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+         |stats AS (SELECT (SELECT count(*) FROM documents) AS n,
+         |                 (SELECT avg(dl) FROM dl) AS avgdl),
+         |tf AS (SELECT doc_id, word, count(*) AS tf FROM tok
+         |       WHERE word IN ('spark', 'merge') GROUP BY doc_id, word),
+         |dft AS (SELECT word, count(DISTINCT doc_id) AS df FROM tf GROUP BY word),
+         |scored AS (
+         |  SELECT tf.doc_id,
+         |         sum(ln(1.0 + (n - df + 0.5) / (df + 0.5)) *
+         |             (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))) AS score
+         |  FROM tf JOIN dft USING (word) JOIN dl USING (doc_id), stats
+         |  GROUP BY tf.doc_id)
+         |SELECT doc_id, ${fp("score")} AS score_fp FROM scored
+         |ORDER BY score_fp DESC, doc_id LIMIT 20""".stripMargin,
+
+    "q_word_pairs" ->
+      s"""$TOK, pairs AS (
+         |  SELECT doc_id, word AS w1,
+         |         lead(word, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+         |  FROM tok)
+         |SELECT w1, w2, count(DISTINCT doc_id) AS df FROM pairs
+         |WHERE w2 IS NOT NULL GROUP BY w1, w2 HAVING count(DISTINCT doc_id) >= 50
+         |ORDER BY w1, w2""".stripMargin,
+
+    "q_prefix_docids" ->
+      s"""$TOK SELECT substr(word, 1, 2) AS prefix, count(DISTINCT doc_id) AS df
+         | FROM tok GROUP BY 1 ORDER BY prefix""".stripMargin,
+
+    "q_facet_distribution" ->
+      """SELECT lang, source, count(*) AS cnt FROM documents
+        | GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+
+    "q_filter_range" ->
+      """SELECT doc_id FROM documents
+        | WHERE n_chars BETWEEN 200 AND 400 AND lang IN ('en', 'fr')
+        | ORDER BY doc_id""".stripMargin,
+
+    "q_sort_facet" ->
+      """SELECT doc_id, n_chars FROM documents
+        | ORDER BY n_chars DESC, doc_id LIMIT 100""".stripMargin,
+
+    "q_distinct_source" ->
+      """SELECT source, min(doc_id) AS doc_id FROM documents
+        | GROUP BY source ORDER BY source""".stripMargin,
+
+    "q1_agg" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         | CAST(SUM(CAST(ROUND(l_quantity * 1e6) AS BIGINT)) AS BIGINT) AS sum_qty,
+         | CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 1e6) AS BIGINT)) AS BIGINT) AS sum_revenue,
+         | CAST(SUM(CAST(ROUND(l_discount * 1e6) AS BIGINT)) AS BIGINT) AS sum_disc,
+         | count(*) AS cnt
+         | FROM lineitem GROUP BY l_returnflag, l_linestatus
+         | ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_join_nation_revenue" ->
+      s"""SELECT n_name,
+         | CAST(SUM(CAST(ROUND(o_totalprice * 1e6) AS BIGINT)) AS BIGINT) AS revenue,
+         | count(*) AS n_orders
+         | FROM orders JOIN customer ON o_custkey = c_custkey
+         | JOIN nation ON c_nationkey = n_nationkey
+         | GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "q_window_first_order" ->
+      """SELECT o_custkey, o_orderkey FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |         row_number() OVER (PARTITION BY o_custkey
+        |                            ORDER BY o_orderdate, o_orderkey) AS rn
+        |  FROM orders) WHERE rn = 1 ORDER BY o_custkey""".stripMargin,
+
+    "q_topk_lineitem" ->
+      s"""SELECT l_orderkey, l_linenumber, ${fp("l_extendedprice")} AS price_fp
+         | FROM lineitem ORDER BY price_fp DESC, l_orderkey, l_linenumber
+         | LIMIT 20""".stripMargin,
+
+    "q_dedup_exact" ->
+      """SELECT md5(text) AS h, count(*) AS cnt, min(doc_id) AS keep_doc,
+        | max(doc_id) AS max_doc FROM documents
+        | GROUP BY md5(text) HAVING count(*) > 1 ORDER BY h""".stripMargin,
+
+    "q_dedup_minhash" ->
+      s"""$SHINGLES
+         |SELECT doc_id,
+         | min(${md5long("'0:' || shingle")}) AS mh0,
+         | min(${md5long("'1:' || shingle")}) AS mh1,
+         | min(${md5long("'2:' || shingle")}) AS mh2,
+         | min(${md5long("'3:' || shingle")}) AS mh3
+         |FROM sh GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_lsh_pairs" ->
+      s"""$SHINGLES,
+         |sig AS (SELECT doc_id,
+         |  min(${md5long("'0:' || shingle")}) AS mh0,
+         |  min(${md5long("'1:' || shingle")}) AS mh1,
+         |  min(${md5long("'2:' || shingle")}) AS mh2,
+         |  min(${md5long("'3:' || shingle")}) AS mh3
+         |  FROM sh GROUP BY doc_id),
+         |bands AS (
+         |  SELECT doc_id, 0 AS band, mh0 AS h FROM sig UNION ALL
+         |  SELECT doc_id, 1, mh1 FROM sig UNION ALL
+         |  SELECT doc_id, 2, mh2 FROM sig UNION ALL
+         |  SELECT doc_id, 3, mh3 FROM sig),
+         |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+         |  FROM bands a JOIN bands b
+         |  ON a.band = b.band AND a.h = b.h AND a.doc_id < b.doc_id),
+         |inter AS (SELECT da, db, count(*) AS ninter
+         |  FROM cand JOIN sh sa ON sa.doc_id = da
+         |  JOIN sh sb ON sb.doc_id = db AND sb.shingle = sa.shingle
+         |  GROUP BY da, db),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)
+         |SELECT da, db, ${fp("ninter * 1.0 / (za.n + zb.n - ninter)")} AS jac_fp
+         |FROM inter JOIN sizes za ON za.doc_id = da JOIN sizes zb ON zb.doc_id = db
+         |WHERE ninter * 1.0 / (za.n + zb.n - ninter) >= 0.5
+         |ORDER BY da, db""".stripMargin,
+
+    "q_dedup_simhash" ->
+      s"""$TOK,
+         |tw AS (SELECT DISTINCT doc_id, word FROM tok),
+         |th AS (SELECT doc_id, ${md5long("word")} AS h FROM tw),
+         |bits AS (
+         |  SELECT doc_id, bit,
+         |         sum(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS s
+         |  FROM th, (SELECT unnest(range(16)) AS bit)
+         |  GROUP BY doc_id, bit)
+         |SELECT doc_id,
+         |       CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT) AS simhash
+         |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_ngram_jaccard" ->
+      s"""$SHINGLES,
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |inter AS (SELECT sa.doc_id, count(*) AS ninter
+         |  FROM sh sa JOIN sh sb
+         |  ON sb.doc_id = sa.doc_id + 1 AND sb.shingle = sa.shingle
+         |  GROUP BY sa.doc_id)
+         |SELECT za.doc_id AS da, za.doc_id + 1 AS db,
+         |       ${fp("coalesce(ninter, 0) * 1.0 / (za.n + zb.n - coalesce(ninter, 0))")} AS jac_fp
+         |FROM sizes za JOIN sizes zb ON zb.doc_id = za.doc_id + 1
+         |LEFT JOIN inter ON inter.doc_id = za.doc_id
+         |WHERE coalesce(ninter, 0) * 1.0 / (za.n + zb.n - coalesce(ninter, 0)) >= 0.3
+         |ORDER BY da""".stripMargin,
+
+    "q_ann_cosine" ->
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)
+        |SELECT vec_id,
+        |       CAST(FLOOR(list_cosine_similarity(CAST(embedding AS DOUBLE[]), qv) * 1e6 + 0.5) AS BIGINT) AS cos_fp
+        |FROM embeddings, q WHERE vec_id <> 0
+        |ORDER BY cos_fp DESC, vec_id LIMIT 20""".stripMargin,
+
+    "q_ann_lsh" ->
+      s"""WITH planes AS (
+         |  SELECT j, d,
+         |         CASE WHEN ${md5long("CAST(j AS VARCHAR) || '_' || CAST(d AS VARCHAR)")} & 1 = 1
+         |              THEN 1.0 ELSE -1.0 END AS c
+         |  FROM (SELECT unnest(range(8)) AS j), (SELECT unnest(range(64)) AS d)),
+         |comps AS (
+         |  SELECT e.vec_id, p.j,
+         |         sum(CAST(e.embedding[p.d + 1] AS DOUBLE) * p.c) AS dot
+         |  FROM embeddings e, planes p GROUP BY e.vec_id, p.j)
+         |SELECT vec_id,
+         |       CAST(sum(CASE WHEN dot > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS bucket
+         |FROM comps GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+
+    "q_lang_id" ->
+      s"""$TOK,
+         |en AS (SELECT doc_id, count(*) AS en_hits FROM tok
+         |  WHERE word IN ('the', 'a', 'and', 'of', 'to', 'in', 'is')
+         |  GROUP BY doc_id)
+         |SELECT d.doc_id, d.lang, coalesce(en.en_hits, 0) AS en_hits,
+         |       CASE WHEN coalesce(en.en_hits, 0) >= 3 THEN 'en' ELSE 'other' END AS pred
+         |FROM documents d LEFT JOIN en ON en.doc_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
+
+    "q_quality" ->
+      s"""$TOK
+         |SELECT doc_id, count(*) AS n_tokens,
+         | ${fp("avg(length(word))")} AS avg_len_fp,
+         | ${fp("sum(CASE WHEN word IN ('the','a','and','of','to','in','is') THEN 1.0 ELSE 0.0 END) / count(*)")} AS stop_ratio_fp
+         |FROM tok GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_token_count" ->
+      """SELECT doc_id,
+        | CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS ws_tokens,
+        | CAST(len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), w -> w <> '')) AS BIGINT) AS re_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_fingerprint" ->
+      s"""$TOK
+         |SELECT doc_id, bit_xor(${md5long("word || '@' || CAST(pos AS VARCHAR)")}) AS fp
+         |FROM tok GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_multimodal_meta" ->
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS nbytes,
+        | lower(hex(encode(substr(text, 1, 8)))) AS head_hex
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_sessionize" ->
+      """WITH w AS (
+        |  SELECT user_id, ts, event_id,
+        |         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events)
+        |SELECT user_id,
+        |       CAST(sum(CASE WHEN prev IS NULL
+        |                     OR epoch(ts) - epoch(prev) > 1800 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+        |       count(*) AS n_events
+        |FROM w GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_incremental_merge" ->
+      s"""$TOK,
+         |h1 AS (SELECT word, count(DISTINCT doc_id) AS df FROM tok WHERE doc_id % 2 = 0 GROUP BY word),
+         |h2 AS (SELECT word, count(DISTINCT doc_id) AS df FROM tok WHERE doc_id % 2 = 1 GROUP BY word),
+         |u AS (SELECT * FROM h1 UNION ALL SELECT * FROM h2)
+         |SELECT word, CAST(sum(df) AS BIGINT) AS df FROM u GROUP BY word ORDER BY word""".stripMargin
+  )
 }
