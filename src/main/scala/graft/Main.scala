@@ -58,11 +58,26 @@ object Main {
       val ms = (System.nanoTime() - t0) / 1e6
       println(f"[graft] candidates=${result.candidates} took=$ms%.0f ms")
       println(s"[graft] top-${result.documentsIds.size}: ${result.documentsIds.mkString(", ")}")
+    case "gen" :: dir :: n :: Nil =>
+      graft.webgen.WebPages.generate(spark, n.toLong)
+        .write.mode("overwrite").parquet(dir)
+      println(s"[graft] generated $n web pages at $dir")
+    case "bm25" :: dir :: searchable :: terms :: k :: Nil =>
+      val settings = IndexSettings(searchableFields = searchable.split(',').toSeq)
+      val index = GraftIndex(spark, dir, settings)
+      val bm25 = new graft.search.Bm25(index)
+      val t0 = System.nanoTime()
+      val top = bm25.topK(terms.split(',').toSeq, k.toInt)
+      val ms = (System.nanoTime() - t0) / 1e6
+      println(f"[graft] bm25 took=$ms%.0f ms")
+      top.foreach { case (d, s) => println(f"[graft]   doc=$d%-8d score=$s%.6f") }
     case _ =>
       System.err.println(
         """usage:
-          |  graft.Main index  <docsParquet> <indexDir> <searchableCols>
-          |  graft.Main search <indexDir> <searchableCols> <query> [filter]""".stripMargin)
+          |  graft.Main index  <docsParquet> <indexDir> <searchableCols> [filterableCols]
+          |  graft.Main search <indexDir> <searchableCols> <query> [filter]
+          |  graft.Main bm25   <indexDir> <searchableCols> <terms,comma> <k>
+          |  graft.Main gen    <outParquetDir> <nDocs>""".stripMargin)
       sys.exit(2)
   }
 }

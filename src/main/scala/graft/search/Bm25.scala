@@ -1,0 +1,170 @@
+package graft.search
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.core.PostingBlocks
+
+/** BM25 top-k over the FOR-compressed posting-block table with block-max
+  * pruning — the distributed adaptation of block-max WAND (north rule).
+  *
+  * Standard BM25 (Robertson/Sparck-Jones idf):
+  *   idf(t)   = ln(1 + (N − df + 0.5)/(df + 0.5))
+  *   score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b + b·dl/avgdl))
+  *
+  * Single-node WAND walks aligned posting cursors; a cluster can't. Instead:
+  *
+  *  1. **metadata pass** (driver): read the query terms' block metadata only
+  *     (max_tf, count — `bytes` never touched, parquet column pruning);
+  *     per-block score upper bound ub(b) = idf·tfUb(max_tf).
+  *  2. **θ̂ pass**: exactly score the few highest-ub blocks until they cover
+  *     ≥4k postings; the k-th partial score is a valid *lower bound* θ̂ of
+  *     the true k-th best (partial scores underestimate).
+  *  3. **phase A**: decode only blocks with ub(b) + Σ_{other terms}
+  *     globalUb(t) ≥ θ̂ — every true top-k doc has ≥1 posting in a
+  *     surviving block (a doc confined to pruned blocks scores < θ̂).
+  *     Partial-aggregate per doc → optimistic(d) = partial(d) +
+  *     Σ_{terms not seen for d} globalUb(t); candidates = {optimistic ≥ θ̂}.
+  *  4. **phase B**: exact rescoring of candidates only — decode just the
+  *     blocks whose docid range (block-max skip metadata) intersects a
+  *     candidate, TakeOrdered k.
+  *
+  * Result is identical to full scoring (asserted by Bm25Spec); pruning only
+  * skips blocks provably unable to host a top-k doc.
+  */
+class Bm25(index: GraftIndex, k1: Double = 1.2, b: Double = 0.75) extends Serializable {
+  import index.spark
+  import spark.implicits._
+
+  lazy val stats: (Long, Double) = {
+    val row = index.docStats.agg(count(lit(1)), avg($"doclen")).first()
+    (index.numberOfDocuments, row.getDouble(1))
+  }
+
+  def idf(df: Long): Double = {
+    val n = stats._1
+    math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+  }
+
+  @inline private def tfUpperBound(maxTf: Int): Double =
+    maxTf * (k1 + 1) / (maxTf + k1 * (1 - b))
+
+  /** (word, blockId, minDocidExclusive, maxDocid, ub, count) */
+  private final case class BlockMeta(word: String, blockId: Int, minEx: Int,
+      maxDocid: Int, ub: Double, count: Int)
+
+  /** Exact top-k. `prune = false` forces full scoring (the oracle path). */
+  def topK(terms: Seq[String], k: Int, prune: Boolean = true): Array[(Int, Double)] = {
+    val (_, avgdl) = stats
+    val qterms = terms.distinct
+    if (qterms.isEmpty) return Array.empty
+
+    val dfs: Map[String, Long] = index.termDict
+      .where($"word".isin(qterms: _*)).select($"word", $"df")
+      .as[(String, Long)].collect().toMap
+    val present = qterms.filter(dfs.contains)
+    if (present.isEmpty) return Array.empty
+    val idfs: Map[String, Double] = present.map(w => w -> idf(dfs(w))).toMap
+
+    // block metadata only (bytes column pruned away)
+    val rawMetas = index.postingBlocks
+      .where($"word".isin(present: _*))
+      .select($"word", $"block_id", $"max_docid", $"max_tf", $"count")
+      .as[(String, Int, Int, Int, Int)].collect()
+    val metas: Array[BlockMeta] = rawMetas.groupBy(_._1).toArray.flatMap {
+      case (w, ms) =>
+        val sorted = ms.sortBy(_._2)
+        var prevMax = -1
+        sorted.map { case (_, bid, maxD, maxTf, cnt) =>
+          val m = BlockMeta(w, bid, prevMax, maxD, idfs(w) * tfUpperBound(maxTf), cnt)
+          prevMax = maxD
+          m
+        }
+    }
+
+    if (!prune) return score(metas.map(m => (m.word, m.blockId)).toSet, present, idfs, avgdl)
+      .orderBy(desc("score"), asc("docid")).limit(k).as[(Int, Double)].collect()
+
+    val globalUb: Map[String, Double] =
+      metas.groupBy(_.word).map { case (w, ms) => w -> ms.map(_.ub).max }
+    val totalUb = present.map(globalUb).sum
+
+    // θ̂ pass
+    val byUb = metas.sortBy(m => -m.ub)
+    val firstPass = scala.collection.mutable.ArrayBuffer.empty[BlockMeta]
+    var covered = 0L
+    val it = byUb.iterator
+    while (it.hasNext && covered < 4L * k) { val m = it.next(); firstPass += m; covered += m.count }
+    val fpScores = score(firstPass.map(m => (m.word, m.blockId)).toSet, present, idfs, avgdl)
+      .orderBy(desc("score"), asc("docid")).limit(k).as[(Int, Double)].collect()
+    val theta = if (fpScores.length >= k) fpScores.last._2 else 0.0
+
+    // phase A: partial scores over surviving blocks
+    val surviving = metas.filter { m =>
+      m.ub + present.filter(_ != m.word).map(globalUb).sum >= theta
+    }
+    val partial = score(surviving.map(m => (m.word, m.blockId)).toSet, present, idfs, avgdl,
+        contribUbs = Some(globalUb))
+      .withColumn("optimistic", $"score" + lit(totalUb) - $"contrib_ub")
+      .where($"optimistic" >= theta)
+    val candidates: Array[Int] = partial.select($"docid").as[Int].collect().sorted
+    if (candidates.isEmpty)
+      return fpScores // θ̂ pass already had the best k
+
+    // phase B: exact rescoring of candidates; decode only intersecting blocks
+    val candSet = candidates
+    def intersects(m: BlockMeta): Boolean = {
+      val i = java.util.Arrays.binarySearch(candSet, m.minEx + 1)
+      val idx = if (i >= 0) i else -i - 1
+      idx < candSet.length && candSet(idx) <= m.maxDocid
+    }
+    val phaseB = metas.filter(intersects).map(m => (m.word, m.blockId)).toSet
+    val bCands = spark.sparkContext.broadcast(candSet)
+    val exact = score(phaseB, present, idfs, avgdl, docFilter = Some(bCands))
+    exact.orderBy(desc("score"), asc("docid")).limit(k).as[(Int, Double)].collect()
+  }
+
+  /** Decode + score the given blocks: flatMap decode → join doclen →
+    * partial-aggregated per-doc sums (map-side combine → TakeOrdered). */
+  private def score(
+      blocks: Set[(String, Int)],
+      terms: Seq[String],
+      idfs: Map[String, Double],
+      avgdl: Double,
+      contribUbs: Option[Map[String, Double]] = None,
+      docFilter: Option[org.apache.spark.broadcast.Broadcast[Array[Int]]] = None): DataFrame = {
+    val bBlocks = spark.sparkContext.broadcast(blocks)
+    val bIdfs = spark.sparkContext.broadcast(idfs)
+    val kk1 = k1; val bb = b
+    val contrib = index.postingBlocks
+      .where($"word".isin(terms: _*))
+      .select($"word", $"block_id", $"bytes")
+      .as[(String, Int, Array[Byte])]
+      .filter(r => bBlocks.value.contains((r._1, r._2)))
+      .flatMap { case (word, _, bytes) =>
+        val idfw = bIdfs.value(word)
+        val filt = docFilter.map(_.value)
+        PostingBlocks.decode(bytes).iterator
+          .filter { case (docid, _) =>
+            filt.forall(a => java.util.Arrays.binarySearch(a, docid) >= 0) }
+          .map { case (docid, tf) => (docid, word, idfw, tf) }
+      }
+      .toDF("docid", "word", "idf", "tf")
+    val withS = contrib.join(index.docStats, Seq("docid"))
+      .withColumn("s", $"idf" * ($"tf" * lit(kk1 + 1)) /
+        ($"tf" + lit(kk1) * (lit(1 - bb) + lit(bb) * $"doclen" / lit(avgdl))))
+    contribUbs match {
+      case Some(gub) =>
+        // contrib_ub = Σ globalUb(word) over the doc's contributing terms
+        // (same ub definition as the pruning bound — optimistic(d) stays a
+        // true upper bound of the doc's full score)
+        val bGub = spark.sparkContext.broadcast(gub)
+        val ubCol = udf((w: String) => bGub.value(w))
+        withS.withColumn("wub", ubCol($"word"))
+          .groupBy($"docid")
+          .agg(sum($"s").as("score"), sum($"wub").as("contrib_ub"))
+      case None =>
+        withS.groupBy($"docid").agg(sum($"s").as("score"))
+    }
+  }
+}

@@ -1,0 +1,44 @@
+package graft.search
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.TestSpark
+import graft.index.{IndexBuilder, IndexSettings}
+import graft.webgen.WebPages
+
+/** Block-max pruned BM25 must be rank- AND score-identical to full scoring,
+  * and stable across parallelism (north rule). */
+class Bm25Spec extends AnyFunSuite with Matchers {
+
+  private lazy val index: GraftIndex = {
+    val spark = TestSpark.spark
+    val dir = java.nio.file.Files.createTempDirectory("graft-bm25").toString
+    val settings = IndexSettings(searchableFields = Seq("text"))
+    val docs = WebPages.generate(spark, 3000)
+    new IndexBuilder(spark, settings).build(docs, dir, resume = false)
+    GraftIndex(spark, dir, settings)
+  }
+
+  test("web corpus generation is deterministic and round-trips html→text") {
+    val p1 = WebPages.gen(123L, Array.fill(50000)(1.0).scanLeft(0.0)(_ + _).tail.map(_ / 50000))
+    val p2 = WebPages.gen(123L, Array.fill(50000)(1.0).scanLeft(0.0)(_ + _).tail.map(_ / 50000))
+    p1.text shouldBe p2.text
+    p1.url shouldBe p2.url
+    WebPages.extractText(new String(p1.html, "UTF-8")) shouldBe p1.text
+  }
+
+  test("pruned top-k identical to full scoring (rank + score)") {
+    val bm25 = new Bm25(index)
+    for (terms <- Seq(Seq("w0"), Seq("w3", "w17"), Seq("the", "w100"), Seq("w5", "w50", "w500"))) {
+      val full = bm25.topK(terms, 10, prune = false)
+      val pruned = bm25.topK(terms, 10, prune = true)
+      pruned.map(_._1).toSeq shouldBe full.map(_._1).toSeq
+      pruned.zip(full).foreach { case ((_, a), (_, b)) => a shouldBe b +- 1e-12 }
+    }
+  }
+
+  test("unknown terms yield empty results") {
+    new Bm25(index).topK(Seq("zzzznotaword"), 5) shouldBe empty
+  }
+}
