@@ -30,6 +30,11 @@ object Bitmaps extends Serializable {
       buf.array()
     } else {
       bm.runOptimize()
+      // Disambiguation invariant: the raw-u32 form is ≤ 7*4 = 28 bytes, so
+      // the roaring form must always be LONGER. The Rust roaring crate
+      // guarantees that; Java run containers can serialize >7 consecutive
+      // ids into < 28 bytes — strip run compression in that (tiny) case.
+      if (bm.serializedSizeInBytes() <= CboThreshold * 4) bm.removeRunCompression()
       val buf = ByteBuffer.allocate(bm.serializedSizeInBytes())
       bm.serialize(buf)
       buf.array()

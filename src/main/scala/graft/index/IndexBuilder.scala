@@ -169,7 +169,12 @@ class IndexBuilder(spark: SparkSession, settings: IndexSettings) extends Seriali
     }
 
     stage(T.WordDocids) {
-      tokens.groupBy($"word")
+      // words occurring in exact_attributes fields live ONLY in
+      // exact_word_docids (extract_word_docids.rs:25-88) — typo-tolerant
+      // derivations never match them
+      val ef = exactFids
+      tokens.filter(t => !ef.contains(t.fid))
+        .groupBy($"word")
         .agg(F.bitmap_or_agg($"docid").as("docids"))
         .withColumn("df", F.bitmap_cardinality($"docids"))
         .repartitionByRange(col("word"))
@@ -226,7 +231,15 @@ class IndexBuilder(spark: SparkSession, settings: IndexSettings) extends Seriali
     }
 
     stage(T.TermDict) {
-      spark.read.parquet(s"$dir/${T.WordDocids}").select($"word", $"df")
+      // full vocabulary; exact_only marks words occurring solely in
+      // exact_attributes fields (not typo-derivable)
+      val ef = exactFids
+      val isExact = if (ef.isEmpty) lit(false)
+        else col("fid").isin(ef.toSeq.map(Integer.valueOf): _*)
+      tokens.toDF().select($"word", $"docid", (!isExact).as("tolerant_occ"))
+        .groupBy($"word")
+        .agg(countDistinct($"docid").as("df"),
+          (sum(when(col("tolerant_occ"), 1).otherwise(0)) === 0).as("exact_only"))
         .repartitionByRange(col("word")).sortWithinPartitions("word")
     }
 

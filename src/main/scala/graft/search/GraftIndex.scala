@@ -83,14 +83,25 @@ class GraftIndex(val spark: SparkSession, val dir: String, val settings: IndexSe
       if (prefix) length($"word") >= w.length - t
       else length($"word").between(w.length - t, w.length + t)
     }.reduce(_ || _)
-    val words = termDict.where(coarse).select($"word").as[String].collect()
+    val hasExactOnly = termDict.columns.contains("exact_only")
+    val words: Array[(String, Boolean)] =
+      if (hasExactOnly)
+        termDict.where(coarse).select($"word", $"exact_only")
+          .as[(String, Boolean)].collect()
+      else termDict.where(coarse).select($"word").as[String].collect().map((_, false))
     val map = keySeq.map { case key @ (w, prefix, t) =>
-      val ds = words.iterator.flatMap { cand =>
-        Typo.derive(w, cand, prefix, t).map(typo => (cand, typo))
+      val ds = words.iterator.flatMap { case (cand, exactOnly) =>
+        Typo.derive(w, cand, prefix, t).collect {
+          // exact-only words (occurring solely in exact_attributes fields)
+          // are never typo-derivable (extract_word_docids exact split)
+          case typo if typo == 0 || !exactOnly => (cand, typo)
+        }
       }.toVector.sortBy(_._1)
       key -> (ds: Seq[(String, Int)])
     }.toMap
-    Ranker.Derivations(map)
+    val exactFids = settings.exactAttributes
+      .flatMap(f => settings.searchableFields.zipWithIndex.toMap.get(f))
+    Ranker.Derivations(map, exactFids)
   }
 
   /** Query context for the tree builder. */

@@ -37,10 +37,20 @@ object Ranker extends Serializable {
 
   /** Dictionary-side derivation oracle, precomputed on the driver for every
     * (word, isPrefix, maxTypo) key appearing in the query tree and
-    * broadcast. `derive(key)` = dict words matching with their typo count. */
-  final case class Derivations(map: Map[(String, Boolean, Int), Seq[(String, Int)]]) {
+    * broadcast. `derive(key)` = dict words matching with their typo count.
+    * `exactFids` = attribute ids with typos disabled: a derivation with
+    * typo > 0 only matches occurrences OUTSIDE those fields (query_docids,
+    * criteria/mod.rs:590-637 — typo'd lookups skip exact_word_docids). */
+  final case class Derivations(
+      map: Map[(String, Boolean, Int), Seq[(String, Int)]],
+      exactFids: Set[Int] = Set.empty) {
     def apply(word: String, prefix: Boolean, maxTypo: Int): Seq[(String, Int)] =
       map.getOrElse((word, prefix, maxTypo), Nil)
+
+    /** do the doc's positions of `w` satisfy the typo/exact-field rule? */
+    def positionsOk(positions: Array[Int], typo: Int): Boolean =
+      typo == 0 || exactFids.isEmpty ||
+        positions.exists(p => !exactFids.contains(p >>> 16))
   }
 
   /** Collect every derivation key a tree can ask for. */
@@ -63,7 +73,9 @@ object Ranker extends Serializable {
     case Or(_, cs) => cs.exists(matches(_, doc, derivations))
     case Phrase(ws) => phraseMatches(ws, doc)
     case Query(prefix, kind) =>
-      derivations(kind.word, prefix, kind.typo).exists(d => doc.positions.contains(d._1))
+      derivations(kind.word, prefix, kind.typo).exists { case (w, typo) =>
+        doc.positions.get(w).exists(derivations.positionsOk(_, typo))
+      }
   }
 
   /** Per-doc phrase check: every non-hole word present with an occurrence
@@ -91,7 +103,9 @@ object Ranker extends Serializable {
     case Phrase(ws) => if (phraseMatches(ws, doc)) Some(0) else None
     case Query(prefix, kind) =>
       val matched = derivations(kind.word, prefix, kind.typo)
-        .filter(d => doc.positions.contains(d._1))
+        .filter { case (w, typo) =>
+          doc.positions.get(w).exists(derivations.positionsOk(_, typo))
+        }
       if (matched.isEmpty) None
       else kind match {
         case Exact(_, ot) => Some(ot)

@@ -81,6 +81,12 @@ class Search(index: GraftIndex) extends Serializable {
       req.criteriaOverride.getOrElse(settings.criteria.map(Criterion.parse))
     val distinctField = req.distinctOverride.getOrElse(settings.distinctField)
 
+    // `SortRankingRuleMissing` (search/mod.rs:177-204): sorting at query
+    // time requires the `sort` ranking rule in the criteria list.
+    if (req.sortCriteria.nonEmpty && !criteria.contains(Criterion.Sort))
+      throw new IllegalArgumentException(
+        "sort ranking rule missing: query-time sort requires the `sort` criterion")
+
     // ---- filter → candidate bitmap (None = all)
     val filterBitmap: Option[RoaringBitmap] =
       req.filter.map(f => FilterEvaluator.evaluate(index, FilterParser.parse(f)))
@@ -258,21 +264,24 @@ class Search(index: GraftIndex) extends Serializable {
       req: SearchRequest,
       candidates: Long): SearchResult = {
     val take = req.offset + req.limit
-    val deduped = distinctField match {
-      case None => ranked
+    val (deduped, candidatesN) = distinctField match {
+      case None => (ranked, candidates)
       case Some(f) =>
         val strs = index.facetStrings.where($"field" === f)
           .groupBy($"docid").agg(min($"norm").as("distinct__v"))
         val withV = ranked.join(strs, Seq("docid"), "left")
         val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(coalesce($"distinct__v", concat(lit(" nodist "), $"docid")))
+          .partitionBy(coalesce($"distinct__v", concat(lit("\u0000nodist\u0000"), $"docid")))
           .orderBy(sortCols: _*)
-        withV.withColumn("rn__", row_number().over(w)).where($"rn__" === 1)
+        val d = withV.withColumn("rn__", row_number().over(w)).where($"rn__" === 1)
+        // candidate count after distinct-dedup (facet_distinct.rs semantics:
+        // excluded duplicates leave the candidate set)
+        (d, d.count())
     }
     // TakeOrderedAndProject: orderBy + limit never materializes a full sort
     val rows = deduped.orderBy(sortCols: _*).select($"docid").limit(take).collect()
     SearchResult(
       rows.toSeq.drop(req.offset).map(_.getInt(0)),
-      candidates)
+      candidatesN)
   }
 }

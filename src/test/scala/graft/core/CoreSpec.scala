@@ -134,6 +134,17 @@ class BitmapsSpec extends AnyFunSuite with Matchers {
     bytes.length should be > 28
     Bitmaps.cboDeserialize(bytes).toArray shouldBe ids.toArray
   }
+  test("consecutive ids (run-compressible) round-trip — length disambiguation") {
+    // regression: >7 consecutive ids run-optimize to a roaring form smaller
+    // than 28 bytes, which the length test would misread as raw u32s
+    for (n <- 8 to 40) {
+      val ids = (0 until n)
+      val bytes = Bitmaps.cboSerialize(Bitmaps.fromInts(ids))
+      bytes.length should be > 28
+      Bitmaps.cboDeserialize(bytes).toArray shouldBe ids.toArray
+    }
+  }
+
   test("empty bitmap round-trips") {
     Bitmaps.cboDeserialize(Bitmaps.cboSerialize(new org.roaringbitmap.RoaringBitmap()))
       .getLongCardinality shouldBe 0

@@ -83,11 +83,27 @@ object Fixture {
 
   /** Build the index once into a temp dir; facet rows constructed with full
     * JSON awareness (the "opt1": null — key present — EXISTS edge case that
-    * a flat DataFrame cannot represent). */
-  def buildIndex(spark: SparkSession): GraftIndex = synchronized {
-    cached.getOrElse {
+    * a flat DataFrame cannot represent). Variants (stop words) are cached
+    * separately. */
+  def buildIndex(
+      spark: SparkSession,
+      stopWords: Set[String] = Set.empty,
+      exactAttributes: Set[String] = Set.empty): GraftIndex =
+    synchronized {
+      cache.getOrElseUpdate((stopWords, exactAttributes),
+        buildIndexUncached(spark, stopWords, exactAttributes))
+    }
+  private val cache =
+    scala.collection.mutable.HashMap.empty[(Set[String], Set[String]), GraftIndex]
+
+  private def buildIndexUncached(
+      spark: SparkSession,
+      stopWords: Set[String],
+      exactAttributes: Set[String]): GraftIndex = {
+    locally {
       val dir = java.nio.file.Files.createTempDirectory("graft-fixture").toString
       val st = settings(Seq("words", "typo", "proximity", "attribute", "sort", "exactness"))
+        .copy(stopWords = stopWords, exactAttributes = exactAttributes)
       val docsDf = {
         val rows = docs.map(d => Row(d.docid, d.id, d.title, d.description))
         spark.createDataFrame(rows.asJava, StructType(Seq(
@@ -154,12 +170,58 @@ object Fixture {
 
       new IndexBuilder(spark, st).build(docsDf, dir, resume = false,
         facetOverride = Some((fNum, fStr, fEx)))
-      val idx = GraftIndex(spark, dir, st)
-      cached = Some(idx)
-      idx
+      GraftIndex(spark, dir, st)
     }
   }
-  private var cached: Option[GraftIndex] = None
+
+  // ------------------------------------------------------ filter oracle
+
+  /** Port of `execute_filter` (mod.rs:170-243): per-filter expected ids. */
+  def executeFilter(filter: String, d: TestDoc): Option[String] = {
+    def some = Some(d.id)
+    if (filter.contains("!=")) {
+      val Array(field, v) = filter.split("!=", 2)
+      if (field == "tag" && d.tag != v) some
+      else if (field == "asc_desc_rank" && v.toIntOption.exists(_ != d.ascDescRank)) some
+      else if (field == "asc_desc_rank" && v.toIntOption.isEmpty) some
+      else None
+    } else if (filter.contains("=") && !filter.startsWith("_geo") && !filter.startsWith("NOT")) {
+      val Array(field, v) = filter.split("=", 2)
+      if (field == "tag" && d.tag == v) some
+      else if (field == "asc_desc_rank" && v.toIntOption.contains(d.ascDescRank)) some
+      else None
+    } else if (filter.startsWith("asc_desc_rank<")) {
+      if (d.ascDescRank < filter.stripPrefix("asc_desc_rank<").toInt) some else None
+    } else if (filter.startsWith("asc_desc_rank>")) {
+      if (d.ascDescRank > filter.stripPrefix("asc_desc_rank>").toInt) some else None
+    } else if (filter.startsWith("NOT _geoRadius")) {
+      if (d.geoRank > 1000000) some else None
+    } else if (filter.startsWith("_geoRadius")) {
+      if (d.geoRank < 100000) some else None
+    } else if (filter == "opt1 EXISTS" || filter == "NOT opt1 NOT EXISTS") {
+      if (d.opt1.isDefined) some else None
+    } else if (filter == "NOT opt1 EXISTS" || filter == "opt1 NOT EXISTS") {
+      if (d.opt1.isEmpty) some else None
+    } else if (filter == "opt1.opt2 EXISTS") {
+      if (d.opt1.exists(containsKeyRec(_, "opt2"))) some else None
+    } else if (filter == "tag_in IN[1, 2, 3, four, five]" ||
+        filter == "NOT tag_in NOT IN[1, 2, 3, four, five]") {
+      if (Set("A", "B", "C", "D", "E").contains(d.id)) some else None
+    } else if (filter == "tag_in NOT IN[1, 2, 3, four, five]") {
+      if (!Set("A", "B", "C", "D", "E").contains(d.id)) some else None
+    } else None
+  }
+
+  /** Port of `expected_filtered_ids` (mod.rs:245-272): AND of groups,
+    * OR within a group. */
+  def expectedFilteredIds(groups: Seq[Seq[String]]): Set[String] = {
+    var ids: Set[String] = docs.map(_.id).toSet
+    groups.foreach { group =>
+      val union = group.flatMap(f => docs.flatMap(d => executeFilter(f, d))).toSet
+      ids = ids.intersect(union)
+    }
+    ids
+  }
 
   // ------------------------------------------------------------- oracle
 
