@@ -91,6 +91,7 @@ object Bench {
     val settings = IndexSettings(searchableFields = Seq("text"))
     new IndexBuilder(spark, settings).build(docs, idxDir, resume = false)
     val index = GraftIndex(spark, idxDir, settings)
+    index.warm()
     val bm25 = new Bm25(index)
     // selectivity ladder mirroring search_wiki.rs:20-33 (rare → stop word)
     val ladder = Seq(
@@ -102,7 +103,8 @@ object Bench {
     }
     val search = new Search(index)
     val milliTimes: Seq[Double] = Seq("w3 w17", "w200", "the w100 w2500").map { q =>
-      timed(search.execute(SearchRequest(query = Some(q), limit = 20)))._2
+      timed(search.execute(
+        SearchRequest(query = Some(q), limit = 20, exhaustive = false)))._2
     }
     spark.stop()
 

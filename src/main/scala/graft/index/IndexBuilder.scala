@@ -15,6 +15,12 @@ import graft.functions.{GraftFunctions => F}
   * `(fieldId << 16) | wordIndex`. */
 final case class TokenRow(docid: Int, fid: Int, word: String, position: Int)
 
+/** One forward-index row: a doc's sorted absolute positions of one word —
+  * the value shape of reference db #6 (`milli/src/index.rs:108-109`).
+  * Emitted doc-contiguously by [[IndexBuilder.extractDwp]], so downstream
+  * per-doc operators never shuffle. */
+final case class DwpRow(docid: Int, word: String, positions: Array[Int])
+
 /** Distributed index build — the Spark re-expression of
   * `IndexDocuments::execute`
   * (`/root/reference/milli/src/update/index_documents/mod.rs:204-429`).
@@ -88,6 +94,41 @@ class IndexBuilder(spark: SparkSession, settings: IndexSettings) extends Seriali
     }
   }
 
+  /** Map-side forward-index extraction: tokenize all searchable fields of a
+    * doc and group positions per word BEFORE any shuffle (the per-chunk
+    * grenad sorter of `extract_docid_word_positions.rs` becomes a per-row
+    * TreeMap). Words are emitted sorted; positions accumulate in field
+    * order and are therefore already sorted. */
+  def extractDwp(docs: DataFrame): Dataset[DwpRow] = {
+    val fields = settings.searchableFields
+    val fidOf = fieldIds
+    val stop = settings.stopWords
+    val cols = col("docid") +: fields.map(f => col(f).cast("string"))
+    docs.select(cols: _*).flatMap { row =>
+      val docid = row.getInt(0)
+      val byWord = new java.util.TreeMap[String, mutable.ArrayBuffer[Int]]()
+      var i = 0
+      while (i < fields.length) {
+        if (!row.isNullAt(i + 1)) {
+          val fid = fidOf(fields(i))
+          val toks = Tokenizer.tokenize(row.getString(i + 1))
+          toks.foreach { t =>
+            if (!stop.contains(t.word)) {
+              var buf = byWord.get(t.word)
+              if (buf == null) { buf = mutable.ArrayBuffer.empty[Int]; byWord.put(t.word, buf) }
+              buf += Tokenizer.absoluteFromRelative(fid, t.position)
+            }
+          }
+        }
+        i += 1
+      }
+      import scala.jdk.CollectionConverters._
+      byWord.entrySet().iterator().asScala.map { e =>
+        DwpRow(docid, e.getKey, e.getValue.toArray)
+      }
+    }
+  }
+
   /** Facet value rows derived from document columns: every value is stored
     * both as f64 (when parseable) and as a normalized string, exactly like
     * `extract_fid_docid_facet_values`
@@ -145,82 +186,91 @@ class IndexBuilder(spark: SparkSession, settings: IndexSettings) extends Seriali
     val manifest = Manifest.load(dir)
     val t0 = System.nanoTime()
 
+    // Stages are independent DataFrame lineages off the shared token
+    // Dataset: run each wave's writes CONCURRENTLY (Spark's scheduler
+    // interleaves the jobs across executor slots — same shape as a
+    // multi-tenant cluster). Row counts come from parquet footers, not a
+    // second scan.
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+
     def stage(name: String)(df: => DataFrame): Unit =
       if (!(resume && manifest.isDone(name, dir))) {
         val s0 = System.nanoTime()
         val out = df
         out.write.mode("overwrite").parquet(s"$dir/$name")
-        val rows = spark.read.parquet(s"$dir/$name").count()
-        manifest.record(name, rows, (System.nanoTime() - s0) / 1e9, dir)
+        val rows = Manifest.parquetRowCount(spark, s"$dir/$name")
+        manifest.synchronized {
+          manifest.record(name, rows, (System.nanoTime() - s0) / 1e9, dir)
+        }
       }
+
+    def wave(stages: (String, () => DataFrame)*): Unit = {
+      val fs = stages.map { case (name, df) => Future(stage(name)(df())) }
+      fs.foreach(Await.result(_, Duration.Inf))
+    }
 
     stage(T.Documents) {
       docs.repartitionByRange(col("docid")).sortWithinPartitions("docid")
     }
 
-    val tokens = tokenize(spark.read.parquet(s"$dir/${T.Documents}"))
+    // The forward index (doc → word → positions) is built MAP-SIDE: the
+    // flatMap groups tokens per document before anything is shuffled, the
+    // Spark mirror of milli's per-chunk extraction
+    // (extract/extract_docid_word_positions.rs). Rows stay doc-contiguous,
+    // so per-doc operators (pair sweep, doclen, word counts) run with NO
+    // shuffle via consecutive-run grouping; only word-keyed aggregations
+    // shuffle, and those move (word, docid) pairs, not raw tokens.
+    val dwp = extractDwp(spark.read.parquet(s"$dir/${T.Documents}"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    dwp.count() // materialize once before the concurrent wave
 
-    stage(T.DocWordPositions) {
-      tokens.groupBy($"docid", $"word")
-        .agg(sort_array(collect_list($"position")).as("positions"))
-        .repartitionByRange(col("docid"))
-        .sortWithinPartitions("docid", "word")
-    }
+    val efSeq = exactFids.toSeq.map(Integer.valueOf)
+    def hasTolerant = if (exactFids.isEmpty) lit(true)
+      else exists($"positions", p => !(shiftright(p, 16).isin(efSeq: _*)))
+    def hasExact = if (exactFids.isEmpty) lit(false)
+      else exists($"positions", p => shiftright(p, 16).isin(efSeq: _*))
 
-    stage(T.WordDocids) {
-      // words occurring in exact_attributes fields live ONLY in
-      // exact_word_docids (extract_word_docids.rs:25-88) — typo-tolerant
-      // derivations never match them
-      val ef = exactFids
-      tokens.filter(t => !ef.contains(t.fid))
-        .groupBy($"word")
-        .agg(F.bitmap_or_agg($"docid").as("docids"))
-        .withColumn("df", F.bitmap_cardinality($"docids"))
-        .repartitionByRange(col("word"))
-        .sortWithinPartitions("word")
-    }
-
-    stage(T.ExactWordDocids) {
-      val ef = exactFids
-      tokens.filter(t => ef.contains(t.fid))
-        .groupBy($"word").agg(F.bitmap_or_agg($"docid").as("docids"))
-        .repartitionByRange(col("word")).sortWithinPartitions("word")
-    }
-
-    stage(T.WordPositionDocids) {
-      tokens.groupBy($"word", $"position")
-        .agg(F.bitmap_or_agg($"docid").as("docids"))
-        .repartitionByRange(col("word"), col("position"))
-        .sortWithinPartitions("word", "position")
-    }
-
-    stage(T.FidWordCountDocids) {
-      // word count = last relative position + 1, kept only when ≤ 10
-      // (extract_fid_word_count_docids.rs:56-96)
-      tokens.groupBy($"docid", $"fid")
-        .agg((max($"position".bitwiseAND(lit(0xffff))) + 1).as("word_count"))
-        .where($"word_count" <= 10)
-        .groupBy($"fid", $"word_count")
-        .agg(F.bitmap_or_agg($"docid").as("docids"))
-    }
-
-    stage(T.DocFidWordCounts) {
-      // forward variant of #11, joined per-candidate by the exactness
-      // criterion's ranking job (docid-sorted → pruned point reads)
-      tokens.groupBy($"docid", $"fid")
-        .agg((max($"position".bitwiseAND(lit(0xffff))) + 1).as("word_count"))
-        .where($"word_count" <= 10)
-        .repartitionByRange($"docid").sortWithinPartitions("docid", "fid")
-    }
-
-    stage(T.WordPairProximityDocids) {
-      
-      
-      tokens.groupByKey(_.docid)
-        .flatMapGroups { (docid, rows) =>
-          IndexBuilder.pairProximities(rows).iterator.map {
-            case ((w1, w2), prox) => (prox, w1, w2, docid)
+    // wave 2: everything derived from the forward index
+    wave(
+      ("" + T.DocWordPositions, () => dwp.toDF()),
+      ("" + T.WordDocids, () => {
+        // occurrences in exact_attributes fields live ONLY in
+        // exact_word_docids (extract_word_docids.rs:25-88)
+        dwp.toDF().where(hasTolerant)
+          .groupBy($"word")
+          .agg(F.bitmap_or_agg($"docid").as("docids"))
+          .withColumn("df", F.bitmap_cardinality($"docids"))
+          .repartitionByRange(col("word"))
+          .sortWithinPartitions("word")
+      }),
+      ("" + T.ExactWordDocids, () => {
+        dwp.toDF().where(hasExact)
+          .groupBy($"word").agg(F.bitmap_or_agg($"docid").as("docids"))
+          .repartitionByRange(col("word")).sortWithinPartitions("word")
+      }),
+      ("" + T.WordPositionDocids, () => {
+        dwp.toDF().select($"word", explode($"positions").as("position"), $"docid")
+          .groupBy($"word", $"position")
+          .agg(F.bitmap_or_agg($"docid").as("docids"))
+          .repartitionByRange(col("word"), col("position"))
+          .sortWithinPartitions("word", "position")
+      }),
+      ("" + T.DocFidWordCounts, () => {
+        // word count = last relative position + 1, kept only when ≤ 10
+        // (extract_fid_word_count_docids.rs:56-96); per-doc, no shuffle
+        IndexBuilder.perDocFidWordCounts(spark, dwp)
+      }),
+      ("" + T.WordPairProximityDocids, () => {
+        // per-doc plane sweep on doc-contiguous rows: no docid shuffle
+        import spark.implicits._
+        dwp.mapPartitions { it =>
+          IndexBuilder.groupConsecutive(it).flatMap { case (docid, rows) =>
+            IndexBuilder.pairProximities(rows).iterator.map {
+              case ((w1, w2), prox) => (prox, w1, w2, docid)
+            }
           }
         }
         .toDF("prox", "w1", "w2", "docid")
@@ -228,21 +278,28 @@ class IndexBuilder(spark: SparkSession, settings: IndexSettings) extends Seriali
         .agg(F.bitmap_or_agg($"docid").as("docids"))
         .repartitionByRange($"w1", $"w2", $"prox")
         .sortWithinPartitions("w1", "w2", "prox")
+      }),
+      ("" + T.TermDict, () => {
+        // full vocabulary; exact_only marks words occurring solely in
+        // exact_attributes fields (not typo-derivable)
+        dwp.toDF().select($"word", $"docid", hasTolerant.as("tolerant_occ"))
+          .groupBy($"word")
+          .agg(count(lit(1)).as("df"),
+            (sum(when(col("tolerant_occ"), 1).otherwise(0)) === 0).as("exact_only"))
+          .repartitionByRange(col("word")).sortWithinPartitions("word")
+      }),
+      ("" + T.DocStats, () =>
+        IndexBuilder.perDocStats(spark, dwp)),
+      ("" + T.PostingBlocks, () =>
+        IndexBuilder.buildPostingBlocksFromDwp(spark, dwp.toDF())))
+
+    stage(T.FidWordCountDocids) {
+      spark.read.parquet(s"$dir/${T.DocFidWordCounts}")
+        .groupBy($"fid", $"word_count")
+        .agg(F.bitmap_or_agg($"docid").as("docids"))
     }
 
-    stage(T.TermDict) {
-      // full vocabulary; exact_only marks words occurring solely in
-      // exact_attributes fields (not typo-derivable)
-      val ef = exactFids
-      val isExact = if (ef.isEmpty) lit(false)
-        else col("fid").isin(ef.toSeq.map(Integer.valueOf): _*)
-      tokens.toDF().select($"word", $"docid", (!isExact).as("tolerant_occ"))
-        .groupBy($"word")
-        .agg(countDistinct($"docid").as("df"),
-          (sum(when(col("tolerant_occ"), 1).otherwise(0)) === 0).as("exact_only"))
-        .repartitionByRange(col("word")).sortWithinPartitions("word")
-    }
-
+    // wave 3: prefix dictionary (depends on term_dict)
     stage(T.PrefixDict) {
       // prefixes of length 1..=4 shared by ≥ threshold words
       // (words_prefixes_fst.rs:43-96)
@@ -255,7 +312,9 @@ class IndexBuilder(spark: SparkSession, settings: IndexSettings) extends Seriali
       }.reduce(_ unionAll _)
     }
 
-    stage(T.WordPrefixDocids) {
+    // wave 4: prefix posting tables (depend on wave 2 + prefix_dict)
+    wave(
+      ("" + T.WordPrefixDocids, () => {
       // equality join on generated prefixes (no startsWith range join —
       // shuffles hash-partition on prefix, skew-safe under AQE)
       val wd = spark.read.parquet(s"$dir/${T.WordDocids}")
@@ -265,9 +324,8 @@ class IndexBuilder(spark: SparkSession, settings: IndexSettings) extends Seriali
         .select($"word".substr(lit(1), $"n").as("prefix"), $"docids")
       exploded.join(broadcast(pd.select($"prefix")), Seq("prefix"))
         .groupBy($"prefix").agg(F.bitmap_union_agg($"docids").as("docids"))
-    }
-
-    stage(T.WordPrefixPositionDocids) {
+    }),
+      ("" + T.WordPrefixPositionDocids, () => {
       val wp = spark.read.parquet(s"$dir/${T.WordPositionDocids}")
       val pd = spark.read.parquet(s"$dir/${T.PrefixDict}")
       val exploded = wp.select($"word", $"position", $"docids",
@@ -275,37 +333,117 @@ class IndexBuilder(spark: SparkSession, settings: IndexSettings) extends Seriali
         .select($"word".substr(lit(1), $"n").as("prefix"), $"position", $"docids")
       exploded.join(broadcast(pd.select($"prefix")), Seq("prefix"))
         .groupBy($"prefix", $"position").agg(F.bitmap_union_agg($"docids").as("docids"))
-    }
+    }))
 
     val (fNum, fStr, fEx) = facetOverride.getOrElse(
       extractFacets(spark.read.parquet(s"$dir/${T.Documents}")))
 
-    stage(T.DocFacetNumbers) {
-      fNum.repartitionByRange($"field", $"value").sortWithinPartitions("field", "value")
-    }
-    stage(T.DocFacetStrings) {
-      fStr.repartitionByRange($"field", $"norm").sortWithinPartitions("field", "norm")
-    }
-    stage(T.FacetExistsDocids) {
-      fEx.groupBy($"field").agg(F.bitmap_or_agg($"docid").as("docids"))
-    }
+    // wave 4b: prefix-pair proximity tables (#8, #9) — prox ≤ 4,
+    // prefix len ≤ 2 (prefix_word_pairs/mod.rs:17-18)
+    wave(
+      ("" + T.WordPrefixPairProximityDocids, () => {
+        val wpp = spark.read.parquet(s"$dir/${T.WordPairProximityDocids}")
+        val pd = spark.read.parquet(s"$dir/${T.PrefixDict}")
+          .where(length($"prefix") <= 2).select($"prefix")
+        val exploded = wpp.where($"prox" <= 4)
+          .select($"prox", $"w1", $"docids",
+            explode(sequence(lit(1), least(length($"w2"), lit(2)))).as("n"),
+            $"w2")
+          .select($"prox", $"w1", $"w2".substr(lit(1), $"n").as("prefix"), $"docids")
+        exploded.join(broadcast(pd), Seq("prefix"))
+          .groupBy($"prox", $"w1", $"prefix")
+          .agg(F.bitmap_union_agg($"docids").as("docids"))
+      }),
+      ("" + T.PrefixWordPairProximityDocids, () => {
+        val wpp = spark.read.parquet(s"$dir/${T.WordPairProximityDocids}")
+        val pd = spark.read.parquet(s"$dir/${T.PrefixDict}")
+          .where(length($"prefix") <= 2).select($"prefix")
+        val exploded = wpp.where($"prox" <= 4)
+          .select($"prox", $"w2", $"docids",
+            explode(sequence(lit(1), least(length($"w1"), lit(2)))).as("n"),
+            $"w1")
+          .select($"prox", $"w1".substr(lit(1), $"n").as("prefix"), $"w2", $"docids")
+        exploded.join(broadcast(pd), Seq("prefix"))
+          .groupBy($"prox", $"prefix", $"w2")
+          .agg(F.bitmap_union_agg($"docids").as("docids"))
+      }))
 
-    stage(T.DocStats) {
-      tokens.groupBy($"docid").agg(count(lit(1)).as("doclen"))
-        .repartitionByRange($"docid").sortWithinPartitions("docid")
-    }
+    // wave 5: facet tables
+    wave(
+      ("" + T.DocFacetNumbers, () =>
+        fNum.repartitionByRange($"field", $"value").sortWithinPartitions("field", "value")),
+      ("" + T.DocFacetStrings, () =>
+        fStr.repartitionByRange($"field", $"norm").sortWithinPartitions("field", "norm")),
+      ("" + T.FacetExistsDocids, () =>
+        fEx.groupBy($"field").agg(F.bitmap_or_agg($"docid").as("docids"))))
 
-    stage(T.PostingBlocks) {
-      IndexBuilder.buildPostingBlocks(spark, tokens.toDF())
-    }
+    // wave 6: facet level trees (bulk rebuild — group 4, min level size 5,
+    // update/facet/mod.rs:75-77). Level 0 = per-value bitmaps; level n
+    // groups 4 consecutive level n−1 entries, keyed by their left bound.
+    wave(
+      ("" + T.FacetNumberLevels, () =>
+        IndexBuilder.buildFacetLevels(spark,
+          spark.read.parquet(s"$dir/${T.DocFacetNumbers}")
+            .select($"field", $"value".cast("double").as("bound"), $"docid"))),
+      ("" + T.FacetStringLevels, () =>
+        IndexBuilder.buildFacetLevels(spark,
+          spark.read.parquet(s"$dir/${T.DocFacetStrings}")
+            .select($"field", $"norm".as("bound"), $"docid"))))
 
-    tokens.unpersist()
+    dwp.unpersist()
+    pool.shutdown()
     manifest.finish((System.nanoTime() - t0) / 1e9, settings, dir)
     manifest
   }
 }
 
 object IndexBuilder extends Serializable {
+
+  /** Group doc-contiguous DwpRow iterators by docid without shuffling. */
+  def groupConsecutive(it: Iterator[DwpRow]): Iterator[(Int, Seq[DwpRow])] =
+    new Iterator[(Int, Seq[DwpRow])] {
+      private val src = it.buffered
+      override def hasNext: Boolean = src.hasNext
+      override def next(): (Int, Seq[DwpRow]) = {
+        val docid = src.head.docid
+        val buf = mutable.ArrayBuffer.empty[DwpRow]
+        while (src.hasNext && src.head.docid == docid) buf += src.next()
+        (docid, buf.toSeq)
+      }
+    }
+
+  /** (docid, fid, word_count ≤ 10) rows, computed per doc with no shuffle. */
+  def perDocFidWordCounts(spark: SparkSession, dwp: Dataset[DwpRow]): DataFrame = {
+    import spark.implicits._
+    dwp.mapPartitions { it =>
+      groupConsecutive(it).flatMap { case (docid, rows) =>
+        val byFid = mutable.HashMap.empty[Int, Int]
+        rows.foreach(_.positions.foreach { p =>
+          val fid = p >>> 16
+          val wc = (p & 0xffff) + 1
+          if (wc > byFid.getOrElse(fid, 0)) byFid(fid) = wc
+        })
+        byFid.iterator.collect { case (fid, wc) if wc <= 10 => (docid, fid, wc) }
+      }
+    }.toDF("docid", "fid", "word_count")
+  }
+
+  /** (docid, doclen) rows, per doc, no shuffle. */
+  def perDocStats(spark: SparkSession, dwp: Dataset[DwpRow]): DataFrame = {
+    import spark.implicits._
+    dwp.mapPartitions { it =>
+      groupConsecutive(it).map { case (docid, rows) =>
+        (docid, rows.iterator.map(_.positions.length.toLong).sum)
+      }
+    }.toDF("docid", "doclen")
+  }
+
+  /** Posting blocks from the forward index: tf = positions per (word, doc). */
+  def buildPostingBlocksFromDwp(spark: SparkSession, dwp: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    buildPostingBlocksFromTf(spark,
+      dwp.select(col("word"), col("docid"), size(col("positions")).as("tf")))
+  }
 
   /** Per-document plane sweep producing min proximity (1..7) per ordered
     * word pair — a direct re-expression of
@@ -314,17 +452,13 @@ object IndexBuilder extends Serializable {
     * per-word position iterators, window of 7 entries, head paired with the
     * tail, plus same-word consecutive-occurrence pairs.
     */
-  def pairProximities(rows: Iterator[TokenRow]): Map[(String, String), Int] = {
-    // per-word sorted position streams
-    val byWord = mutable.HashMap.empty[String, mutable.ArrayBuffer[Int]]
-    rows.foreach(r => byWord.getOrElseUpdate(r.word, mutable.ArrayBuffer.empty) += r.position)
+  def pairProximities(rows: Seq[DwpRow]): Map[(String, String), Int] = {
     final case class Peeked(word: String, var position: Int, it: Iterator[Int])
     implicit val ord: Ordering[Peeked] = Ordering.by[Peeked, Int](_.position).reverse
     val heap = mutable.PriorityQueue.empty[Peeked]
-    byWord.foreach { case (w, ps) =>
-      val sorted = ps.sorted
-      val it = sorted.iterator
-      if (it.hasNext) heap.enqueue(Peeked(w, it.next(), it))
+    rows.foreach { r =>
+      val it = r.positions.iterator // already sorted
+      if (it.hasNext) heap.enqueue(Peeked(r.word, it.next(), it))
     }
     val out = mutable.HashMap.empty[(String, String), Int]
     @inline def put(k: (String, String), prox: Int): Unit =
@@ -359,15 +493,67 @@ object IndexBuilder extends Serializable {
     out.toMap
   }
 
+  /** Facet level tree, bulk path (`update/facet/bulk.rs:26-160`): level 0 =
+    * one bitmap per (field, value); level n groups `FACET_GROUP_SIZE` = 4
+    * consecutive level n−1 entries keyed by their left bound; a field stops
+    * growing levels when the next level would hold fewer than
+    * `FACET_MIN_LEVEL_SIZE` = 5 groups. Input: (field, bound, docid) with
+    * `bound` orderable (double or string). */
+  def buildFacetLevels(spark: SparkSession, input: DataFrame): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val F = graft.functions.GraftFunctions
+    val GroupSize = 4
+    val MinLevelSize = 5
+    val w = Window.partitionBy(col("field")).orderBy(col("bound"))
+    var cur = input.groupBy(col("field"), col("bound"))
+      .agg(F.bitmap_or_agg(col("docid")).as("docids"))
+      .withColumn("rank", row_number().over(w) - 1)
+      .withColumn("level", lit(0))
+      .withColumn("group_size", lit(1))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val levels = mutable.ArrayBuffer[DataFrame](cur.drop("rank"))
+    var level = 1
+    var active = cur.groupBy(col("field")).count()
+      .where(col("count") >= GroupSize * MinLevelSize)
+      .select("field").as[String](org.apache.spark.sql.Encoders.STRING).collect().toSeq
+    while (active.nonEmpty) {
+      val next = cur.where(col("field").isin(active: _*))
+        .groupBy(col("field"), floor(col("rank") / GroupSize).as("grp"))
+        .agg(min(col("bound")).as("bound"),
+          F.bitmap_union_agg(col("docids")).as("docids"),
+          count(lit(1)).cast("int").as("group_size"))
+        .withColumn("rank", col("grp").cast("int"))
+        .withColumn("level", lit(level))
+        .drop("grp")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      levels += next.drop("rank")
+      cur = next
+      active = cur.groupBy(col("field")).count()
+        .where(col("count") >= GroupSize * MinLevelSize)
+        .select("field").as[String](org.apache.spark.sql.Encoders.STRING).collect().toSeq
+      level += 1
+    }
+    levels.reduce(_ unionByName _)
+  }
+
   /** FOR-compressed posting blocks with block-max metadata (north rule):
     * tf per (word, docid), shuffled once on word, blocks built inside a
     * `mapPartitions` over word-sorted runs. */
   def buildPostingBlocks(spark: SparkSession, tokens: DataFrame): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.functions._
-    val tf = tokens.groupBy($"word", $"docid").agg(count(lit(1)).cast("int").as("tf"))
+    buildPostingBlocksFromTf(spark,
+      tokens.groupBy($"word", $"docid").agg(count(lit(1)).cast("int").as("tf")))
+  }
+
+  /** Encode (word, docid, tf) rows into FOR blocks: one shuffle on word,
+    * blocks built inside `mapPartitions` over word-sorted runs. */
+  def buildPostingBlocksFromTf(spark: SparkSession, tf: DataFrame): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
     val sorted = tf.repartition(col("word")).sortWithinPartitions("word", "docid")
-    sorted.select($"word", $"docid", $"tf")
+    sorted.select($"word", $"docid", $"tf".cast("int"))
       .as[(String, Int, Int)]
       .mapPartitions { it =>
         new Iterator[(String, Int, Array[Byte], Int, Int, Int)] {

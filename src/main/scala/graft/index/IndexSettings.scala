@@ -45,6 +45,9 @@ object IndexSettings {
     val FidWordCountDocids = "fid_word_count_docids"
     val DocFidWordCounts = "doc_fid_word_counts"
     val WordPairProximityDocids = "word_pair_proximity_docids"
+    val WordPrefixPairProximityDocids = "word_prefix_pair_proximity_docids"
+    val PrefixWordPairProximityDocids = "prefix_word_pair_proximity_docids"
+    val FacetStringLevels = "facet_string_levels"
     val TermDict = "term_dict"
     val PrefixDict = "prefix_dict"
     val DocFacetNumbers = "doc_facet_numbers"

@@ -82,6 +82,26 @@ object Manifest {
       StandardOpenOption.CREATE, StandardOpenOption.APPEND)
   }
 
+  /** Row count from parquet footers only — no data scan. */
+  def parquetRowCount(spark: org.apache.spark.sql.SparkSession, path: String): Long = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) return 0L
+    val it = fs.listStatus(p).iterator
+    var total = 0L
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.isFile && f.getPath.getName.endsWith(".parquet")) {
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f.getPath, conf))
+        try total += reader.getRecordCount
+        finally reader.close()
+      }
+    }
+    total
+  }
+
   private def dirSize(p: java.nio.file.Path): Long =
     if (!Files.exists(p)) 0L
     else {

@@ -82,8 +82,10 @@ class Bm25(index: GraftIndex, k1: Double = 1.2, b: Double = 0.75) extends Serial
         }
     }
 
-    if (!prune) return score(metas.map(m => (m.word, m.blockId)).toSet, present, idfs, avgdl)
-      .orderBy(desc("score"), asc("docid")).limit(k).as[(Int, Double)].collect()
+    // small posting sets: the 3-pass pruning costs more jobs than it saves
+    if (!prune || metas.length <= 64)
+      return score(metas.map(m => (m.word, m.blockId)).toSet, present, idfs, avgdl)
+        .orderBy(desc("score"), asc("docid")).limit(k).as[(Int, Double)].collect()
 
     val globalUb: Map[String, Double] =
       metas.groupBy(_.word).map { case (w, ms) => w -> ms.map(_.ub).max }
@@ -136,6 +138,8 @@ class Bm25(index: GraftIndex, k1: Double = 1.2, b: Double = 0.75) extends Serial
     val bBlocks = spark.sparkContext.broadcast(blocks)
     val bIdfs = spark.sparkContext.broadcast(idfs)
     val kk1 = k1; val bb = b
+    val bDeleted = spark.sparkContext.broadcast(
+      graft.core.Bitmaps.cboSerialize(index.deletedDocids))
     val contrib = index.postingBlocks
       .where($"word".isin(terms: _*))
       .select($"word", $"block_id", $"bytes")
@@ -144,9 +148,11 @@ class Bm25(index: GraftIndex, k1: Double = 1.2, b: Double = 0.75) extends Serial
       .flatMap { case (word, _, bytes) =>
         val idfw = bIdfs.value(word)
         val filt = docFilter.map(_.value)
+        val del = graft.core.Bitmaps.cboDeserialize(bDeleted.value)
         PostingBlocks.decode(bytes).iterator
           .filter { case (docid, _) =>
-            filt.forall(a => java.util.Arrays.binarySearch(a, docid) >= 0) }
+            !del.contains(docid) &&
+              filt.forall(a => java.util.Arrays.binarySearch(a, docid) >= 0) }
           .map { case (docid, tf) => (docid, word, idfw, tf) }
       }
       .toDF("docid", "word", "idf", "tf")

@@ -40,10 +40,29 @@ class GraftIndex(val spark: SparkSession, val dir: String, val settings: IndexSe
 
   lazy val numberOfDocuments: Long = documents.count()
 
+  /** Pin the hot read-path tables in executor memory (a serving deployment
+    * would keep these on fast storage / cache; local bench calls this once).
+    * Cheap to skip — everything works uncached, just with parquet reads. */
+  def warm(): Unit = {
+    Seq(docWordPositions, docFidWordCounts, docStats, postingBlocks, termDict,
+      facetStrings, facetNumbers)
+      .foreach { df => df.cache(); df.count() }
+  }
+
   /** All docids as a bitmap (milli `documents_ids`, index.rs:259-266). */
   lazy val allDocids: RoaringBitmap = {
     val ids = documents.select($"docid").as[Int].collect()
     Bitmaps.fromInts(ids)
+  }
+
+  /** Soft-deleted tombstones, subtracted from every query
+    * (`search/mod.rs:252`). */
+  lazy val deletedDocids: RoaringBitmap = {
+    val p = new java.io.File(s"$dir/${T.DeletedDocids}")
+    if (!p.exists()) new RoaringBitmap()
+    else table(T.DeletedDocids).select($"docids").as[Array[Byte]]
+      .collect().headOption.map(Bitmaps.cboDeserialize)
+      .getOrElse(new RoaringBitmap())
   }
 
   // -------------------------------------------------------- planner probes

@@ -44,7 +44,10 @@ final case class SearchRequest(
     authorizeTypos: Boolean = true,
     sortCriteria: Seq[SortSpec] = Nil,
     criteriaOverride: Option[Seq[Criterion]] = None,
-    distinctOverride: Option[Option[String]] = None)
+    distinctOverride: Option[Option[String]] = None,
+    /** compute the exact candidate count (`exhaustive_number_hits`);
+      * false skips one counting job and reports -1 */
+    exhaustive: Boolean = true)
 
 final case class SearchResult(
     documentsIds: Seq[Int],
@@ -87,9 +90,14 @@ class Search(index: GraftIndex) extends Serializable {
       throw new IllegalArgumentException(
         "sort ranking rule missing: query-time sort requires the `sort` criterion")
 
-    // ---- filter → candidate bitmap (None = all)
-    val filterBitmap: Option[RoaringBitmap] =
+    // ---- filter → candidate bitmap (None = all); soft-deleted docs are
+    // always subtracted (`excluded_candidates`, search/mod.rs:252)
+    val rawFilter: Option[RoaringBitmap] =
       req.filter.map(f => FilterEvaluator.evaluate(index, FilterParser.parse(f)))
+    val deleted = index.deletedDocids
+    val filterBitmap: Option[RoaringBitmap] =
+      if (deleted.isEmpty) rawFilter
+      else Some(Bitmaps.andNot(rawFilter.getOrElse(index.allDocids), deleted))
 
     req.query.map(_.trim).filter(_.nonEmpty) match {
       case None =>
@@ -192,7 +200,7 @@ class Search(index: GraftIndex) extends Serializable {
 
     val withSorts = attachSortColumns(rankedRows, criteria, req.sortCriteria)
     val sortCols = criteria.flatMap(criterionColumns(_, req.sortCriteria)) :+ $"docid".asc
-    val total = withSorts.count()
+    val total = if (req.exhaustive) withSorts.count() else -1L
     finish(withSorts, sortCols, distinctField, req, total)
   }
 

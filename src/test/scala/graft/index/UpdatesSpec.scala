@@ -1,0 +1,96 @@
+package graft.index
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.TestSpark
+import graft.search.{GraftIndex, Search, SearchRequest}
+import graft.webgen.WebPages
+
+/** Delete / incremental-add semantics: soft-deleted docs disappear from
+  * results; hard delete purges tables; an incremental batch-merged index
+  * answers like a from-scratch index over the union corpus. */
+class UpdatesSpec extends AnyFunSuite with Matchers {
+
+  private def freshDir() = java.nio.file.Files.createTempDirectory("graft-upd").toString
+
+  test("soft delete removes docs from search; hard delete purges tables") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val settings = IndexSettings(searchableFields = Seq("text"))
+    val dir = freshDir()
+    val docs = WebPages.generate(spark, 300)
+    new IndexBuilder(spark, settings).build(docs, dir, resume = false)
+    val updates = new Updates(spark, settings)
+
+    val index0 = GraftIndex(spark, dir, settings)
+    val before = new Search(index0)
+      .execute(SearchRequest(query = Some("w3 "), limit = 300))
+    before.documentsIds should not be empty
+
+    val victim = before.documentsIds.head
+    updates.softDelete(dir, Seq(victim))
+    val afterSoft = new Search(GraftIndex(spark, dir, settings))
+      .execute(SearchRequest(query = Some("w3 "), limit = 300))
+    afterSoft.documentsIds should not contain victim
+    afterSoft.documentsIds.size shouldBe before.documentsIds.size - 1
+
+    updates.hardDelete(dir)
+    updates.deletedBitmap(dir).isEmpty shouldBe true
+    val wd = spark.read.parquet(s"$dir/${IndexSettings.T.DocWordPositions}")
+      .where($"docid" === victim).count()
+    wd shouldBe 0
+    val afterHard = new Search(GraftIndex(spark, dir, settings))
+      .execute(SearchRequest(query = Some("w3 "), limit = 300))
+    afterHard.documentsIds shouldBe afterSoft.documentsIds
+  }
+
+  test("incremental add-documents merge equals from-scratch build") {
+    val spark = TestSpark.spark
+    val settings = IndexSettings(searchableFields = Seq("text"), primaryKey = "url")
+    val all = WebPages.generate(spark, 400).cache()
+    val first = all.where(org.apache.spark.sql.functions.col("docid") < 200)
+    val second = all.where(org.apache.spark.sql.functions.col("docid") >= 200)
+
+    val incDir = freshDir()
+    new IndexBuilder(spark, settings).build(first, incDir, resume = false)
+    new Updates(spark, settings).addDocuments(incDir, second)
+
+    val fullDir = freshDir()
+    new IndexBuilder(spark, settings).build(all, fullDir, resume = false)
+
+    val qInc = new Search(GraftIndex(spark, incDir, settings))
+      .execute(SearchRequest(query = Some("w2 w7"), limit = 50))
+    val qFull = new Search(GraftIndex(spark, fullDir, settings))
+      .execute(SearchRequest(query = Some("w2 w7"), limit = 50))
+    qInc.documentsIds shouldBe qFull.documentsIds
+    qInc.candidates shouldBe qFull.candidates
+
+    // BM25 agrees too (term_dict dfs + posting blocks merged correctly)
+    val bmInc = new graft.search.Bm25(GraftIndex(spark, incDir, settings))
+      .topK(Seq("w2", "w7"), 10)
+    val bmFull = new graft.search.Bm25(GraftIndex(spark, fullDir, settings))
+      .topK(Seq("w2", "w7"), 10)
+    bmInc.map(_._1).toSeq shouldBe bmFull.map(_._1).toSeq
+    bmInc.zip(bmFull).foreach { case ((_, a), (_, b)) => a shouldBe b +- 1e-9 }
+  }
+
+  test("replace semantics tombstone old versions of re-added primary keys") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val settings = IndexSettings(searchableFields = Seq("text"), primaryKey = "url")
+    val dir = freshDir()
+    val docs = WebPages.generate(spark, 100)
+    new IndexBuilder(spark, settings).build(docs, dir, resume = false)
+    // re-add docid 5's url with new docid 100 and distinctive text
+    val newDoc = docs.where($"docid" === 5)
+      .withColumn("docid", org.apache.spark.sql.functions.lit(100))
+      .withColumn("text", org.apache.spark.sql.functions.lit("zzzunique phrase here"))
+    val updates = new Updates(spark, settings)
+    updates.addDocuments(dir, newDoc, replace = true)
+    updates.deletedBitmap(dir).contains(5) shouldBe true
+    val r = new Search(GraftIndex(spark, dir, settings))
+      .execute(SearchRequest(query = Some("zzzunique "), limit = 10))
+    r.documentsIds shouldBe Seq(100)
+  }
+}
