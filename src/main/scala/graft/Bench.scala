@@ -50,6 +50,7 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val benchDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "100000").toLong
+    val scaleDocs = sys.env.getOrElse("SPARK_GRAFT_SCALE_DOCS", "300000").toLong
     val lowN = sys.env.getOrElse("SPARK_GRAFT_LOW_N", "8").toInt
     val highN = math.min(lowN * 4, 32)
 
@@ -66,22 +67,33 @@ object Bench {
     spark.stop()
 
     // ---- phase 2: index-build scaling, N vs 4N threads, identical corpus
+    // identical input AND identical partitioning strategy (32 shuffle
+    // partitions) at both levels — only the executor-slot count varies,
+    // the in-sandbox stand-in for N vs 4N executors.
     def buildAt(threads: Int): (Double, Long) = {
-      val s = session(threads)
+      val s = SparkSession.builder()
+        .master(s"local[$threads]")
+        .appName(s"graft-bench-$threads")
+        .config("spark.sql.shuffle.partitions", 32)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.adaptive.enabled", "true")
+        .getOrCreate()
+      s.sparkContext.setLogLevel("ERROR")
       try {
         val dir = java.nio.file.Files.createTempDirectory(s"graft-bench-$threads").toString
-        val docs = graft.webgen.WebPages.generate(s, benchDocs)
+        val docs = graft.webgen.WebPages.generate(s, scaleDocs)
         val settings = IndexSettings(searchableFields = Seq("text"))
         val (_, sec) = timed {
           new IndexBuilder(s, settings).build(docs, dir, resume = false)
         }
-        (sec, benchDocs)
+        (sec, scaleDocs)
       } finally s.stop()
     }
     val (secLow, _) = buildAt(lowN)
     val (secHigh, _) = buildAt(highN)
-    val thrLow = benchDocs / secLow
-    val thrHigh = benchDocs / secHigh
+    val thrLow = scaleDocs / secLow
+    val thrHigh = scaleDocs / secHigh
     val efficiency = thrHigh / (thrLow * (highN.toDouble / lowN))
 
     // ---- phase 3: query serving on a persistent index at full parallelism
@@ -114,7 +126,7 @@ object Bench {
     val total = queryTimes.map(_._2).sum
     val json =
       s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"""" +
-        s""","index_build":{"docs":$benchDocs,"low_threads":$lowN,"low_sec":${f(secLow)},""" +
+        s""","index_build":{"docs":$scaleDocs,"low_threads":$lowN,"low_sec":${f(secLow)},""" +
         s""""low_docs_per_sec":${f(thrLow)},"high_threads":$highN,"high_sec":${f(secHigh)},""" +
         s""""high_docs_per_sec":${f(thrHigh)}}""" +
         s""","scaling":{"n":$lowN,"n4":$highN,"efficiency":${f(efficiency)}}""" +

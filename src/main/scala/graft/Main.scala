@@ -58,6 +58,23 @@ object Main {
       val ms = (System.nanoTime() - t0) / 1e6
       println(f"[graft] candidates=${result.candidates} took=$ms%.0f ms")
       println(s"[graft] top-${result.documentsIds.size}: ${result.documentsIds.mkString(", ")}")
+      // highlighted + cropped snippets for the first few hits
+      val qw = graft.search.Matcher.queryWords(
+        graft.search.QueryTree.primitiveQuery(query, settings.stopWords), settings)
+      val textCol = settings.searchableFields.head
+      val top = result.documentsIds.take(3)
+      if (top.nonEmpty && index.documents.columns.contains(textCol)) {
+        import org.apache.spark.sql.functions.col
+        index.documents
+          .where(col("docid").isin(top.map(Integer.valueOf): _*))
+          .select(col("docid"), col(textCol).cast("string"))
+          .collect().sortBy(r => top.indexOf(r.getInt(0)))
+          .foreach { r =>
+            val snippet = graft.search.Matcher.highlight(
+              graft.search.Matcher.crop(r.getString(1), qw, 12), qw)
+            println(s"[graft]   #${r.getInt(0)}: $snippet")
+          }
+      }
     case "gen" :: dir :: n :: Nil =>
       graft.webgen.WebPages.generate(spark, n.toLong)
         .write.mode("overwrite").parquet(dir)

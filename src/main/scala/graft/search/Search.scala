@@ -32,8 +32,10 @@ object Criterion {
   }
 }
 
-/** sort-at-query-time entry (`AscDesc` in milli). */
-final case class SortSpec(field: String, ascending: Boolean)
+/** sort-at-query-time entry (`AscDesc` in milli); `geoPoint` = sort by
+  * haversine distance to a point (the Geo criterion, criteria/geo.rs). */
+final case class SortSpec(field: String, ascending: Boolean,
+    geoPoint: Option[(Double, Double)] = None)
 
 final case class SearchRequest(
     query: Option[String] = None,
@@ -156,15 +158,26 @@ class Search(index: GraftIndex) extends Serializable {
     val bFilter = spark.sparkContext.broadcast(filterBitmap.map(Bitmaps.cboSerialize))
     val bFids = spark.sparkContext.broadcast(searchableFids.toVector)
 
-    // 3. per-candidate rank vector job
+    // 3. per-candidate rank vector job. doc_word_positions is written
+    // doc-contiguous (extractDwp) and the word IN-filter preserves row
+    // order, so per-doc grouping is a shuffle-free consecutive-run scan.
     val dwp = index.docWordPositions.where($"word".isin(relevantWords: _*))
     val wc = index.docFidWordCounts
     val docData = dwp.select($"docid", $"word", $"positions")
       .as[(Int, String, Array[Int])]
-      .groupByKey(_._1)
-      .mapGroups { (docid, rows) =>
-        val positions = rows.map(r => (r._2, r._3)).toMap
-        (docid, positions)
+      .mapPartitions { it =>
+        val src = it.buffered
+        new Iterator[(Int, Map[String, Array[Int]])] {
+          override def hasNext: Boolean = src.hasNext
+          override def next(): (Int, Map[String, Array[Int]]) = {
+            val docid = src.head._1
+            val m = Map.newBuilder[String, Array[Int]]
+            while (src.hasNext && src.head._1 == docid) {
+              val r = src.next(); m += (r._2 -> r._3)
+            }
+            (docid, m.result())
+          }
+        }
       }
       .toDF("docid", "positions")
       .join(wc.groupBy($"docid")
@@ -221,15 +234,25 @@ class Search(index: GraftIndex) extends Serializable {
     val fields: Seq[String] = criteria.flatMap {
       case Criterion.Asc(f)  => Seq(f)
       case Criterion.Desc(f) => Seq(f)
-      case Criterion.Sort    => sorts.map(_.field)
+      case Criterion.Sort    => sorts.filter(_.geoPoint.isEmpty).map(_.field)
       case _                 => Nil
     }.distinct
-    fields.foldLeft(df) { (acc, f) =>
+    val withFacets = fields.foldLeft(df) { (acc, f) =>
       val nums = index.facetNumbers.where($"field" === f)
         .select($"docid", $"value".as(s"num__$f"))
       val strs = index.facetStrings.where($"field" === f)
         .groupBy($"docid").agg(min($"norm").as(s"str__$f"))
       acc.join(nums, Seq("docid"), "left").join(strs, Seq("docid"), "left")
+    }
+    // geo sort: join the point coordinates once
+    val needsGeo = criteria.contains(Criterion.Sort) && sorts.exists(_.geoPoint.isDefined)
+    if (!needsGeo) withFacets
+    else {
+      val lat = index.facetNumbers.where($"field" === "_geo.lat")
+        .select($"docid", $"value".as("geo__lat"))
+      val lng = index.facetNumbers.where($"field" === "_geo.lng")
+        .select($"docid", $"value".as("geo__lng"))
+      withFacets.join(lat, Seq("docid"), "left").join(lng, Seq("docid"), "left")
     }
   }
 
@@ -247,10 +270,17 @@ class Search(index: GraftIndex) extends Serializable {
       Seq(col(s"num__$f").desc_nulls_last, col(s"str__$f").desc_nulls_last)
     case Criterion.Sort      =>
       sorts.flatMap { s =>
-        if (s.ascending)
-          Seq(col(s"num__${s.field}").asc_nulls_last, col(s"str__${s.field}").asc_nulls_last)
-        else
-          Seq(col(s"num__${s.field}").desc_nulls_last, col(s"str__${s.field}").desc_nulls_last)
+        s.geoPoint match {
+          case Some((qlat, qlng)) =>
+            val dist = graft.functions.GraftFunctions.haversine(
+              col("geo__lat"), col("geo__lng"), lit(qlat), lit(qlng))
+            Seq(if (s.ascending) dist.asc_nulls_last else dist.desc_nulls_last)
+          case None =>
+            if (s.ascending)
+              Seq(col(s"num__${s.field}").asc_nulls_last, col(s"str__${s.field}").asc_nulls_last)
+            else
+              Seq(col(s"num__${s.field}").desc_nulls_last, col(s"str__${s.field}").desc_nulls_last)
+        }
       }
   }
 
