@@ -1,0 +1,70 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.TestSpark
+
+/** Physical-plan assertions: the optimizations the engine is designed
+  * around must actually appear in `explain` output (they are what makes the
+  * 100 TB plan viable, not incidental).
+  */
+class PlanSpec extends AnyFunSuite with Matchers {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("word filters push down to the parquet scan (posting point-lookups)") {
+    val index = graft.search.Fixture.buildIndex(spark)
+    val df = index.docWordPositions
+      .where(org.apache.spark.sql.functions.col("word").isin("hello", "world"))
+    val p = plan(df)
+    p should include("PushedFilters")
+    p should include("In(word")
+  }
+
+  test("small-dimension join broadcasts (nation revenue)") {
+    plan(Queries.qJoinNationRevenue(spark, sf)) should include("BroadcastHashJoin")
+  }
+
+  test("top-k compiles to TakeOrderedAndProject, not a global sort") {
+    plan(Queries.qTopkLineitem(spark, sf)) should include("TakeOrderedAndProject")
+  }
+
+  test("aggregation pipeline stays inside whole-stage codegen") {
+    // AQE finalizes the plan on execution — run it, then inspect
+    val df = Queries.q1Agg(spark, sf)
+    df.collect()
+    // "*(n)" node prefixes mark whole-stage-codegen stages in AQE plans
+    df.queryExecution.executedPlan.toString should include("*(")
+  }
+
+  test("bitmap aggregation runs as partial + final hash aggregate") {
+    graft.functions.GraftFunctions.registerAll(spark)
+    val df = spark.read.parquet(s"$sf/lineitem.parquet")
+      .selectExpr("l_orderkey", "cast(l_partkey as int) as pk")
+      .groupBy("l_orderkey")
+      .agg(org.apache.spark.sql.functions.expr("bitmap_or_agg(pk)"))
+    val p = plan(df)
+    // partial aggregation = map-side combine: two (Object)HashAggregate
+    // nodes around the shuffle
+    "HashAggregate".r.findAllIn(p).size should be >= 2
+    p should include("partial_bitmap_or_agg")
+  }
+
+  test("posting-block metadata reads prune the bytes column") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-plan").toString
+    val settings = graft.index.IndexSettings(searchableFields = Seq("text"))
+    val docs = graft.webgen.WebPages.generate(spark, 200)
+    new graft.index.IndexBuilder(spark, settings).build(docs, dir, resume = false)
+    val index = graft.search.GraftIndex(spark, dir, settings)
+    val metaScan = index.postingBlocks
+      .where(org.apache.spark.sql.functions.col("word") === "w1")
+      .select("word", "block_id", "max_docid", "max_tf", "count")
+    val p = plan(metaScan)
+    p should include("PushedFilters")
+    p should not include "bytes"
+  }
+}
