@@ -75,6 +75,35 @@ object Main {
             println(s"[graft]   #${r.getInt(0)}: $snippet")
           }
       }
+    case "dedup" :: docsParquet :: idCol :: textCol :: rest =>
+      val docs = spark.read.parquet(docsParquet)
+      val threshold = rest.headOption.map(_.toDouble).getOrElse(0.8)
+      val exact = graft.pipeline.Dedup.exactDuplicates(docs, idCol, textCol)
+      println(s"[graft] exact duplicate groups: ${exact.count()}")
+      val near = graft.pipeline.Dedup.nearDuplicates(docs, idCol, textCol,
+        threshold = threshold)
+      val pairs = near.orderBy("da", "db").collect()
+      println(s"[graft] near-dup pairs (jaccard >= $threshold): ${pairs.length}")
+      pairs.take(10).foreach { r =>
+        println(f"[graft]   ${r.getLong(0)}%-8d ~ ${r.getLong(1)}%-8d jaccard=${r.getDouble(2)}%.3f")
+      }
+    case "ann" :: embParquet :: vecId :: k :: Nil =>
+      val emb = spark.read.parquet(embParquet)
+      val dims = emb.selectExpr("size(embedding)").first().getInt(0)
+      val sim = new graft.pipeline.Similarity(spark, numPlanes = 12, dims = dims)
+      val q = emb.where(org.apache.spark.sql.functions.col("vec_id") === vecId.toLong)
+        .selectExpr("transform(embedding, x -> cast(x as double)) as v")
+        .first().getSeq[Double](0).toArray
+      val rest2 = emb.where(org.apache.spark.sql.functions.col("vec_id") =!= vecId.toLong)
+      val exact = sim.bruteForceTopK(rest2, "vec_id", "embedding", q, k.toInt).collect()
+      val bucketized = sim.bucketize(rest2, "vec_id", "embedding").cache()
+      val approx = sim.annTopK(bucketized, "vec_id", "embedding", q, k.toInt, maxHamming = 4)
+        .collect()
+      println(s"[graft] exact : " + exact.map(r => s"${r.getLong(0)}@${"%.4f".format(r.getDouble(1))}").mkString(", "))
+      println(s"[graft] approx: " + approx.map(r => s"${r.getLong(0)}@${"%.4f".format(r.getDouble(1))}").mkString(", "))
+      val recall = approx.map(_.getLong(0)).toSet
+        .intersect(exact.map(_.getLong(0)).toSet).size.toDouble / exact.length
+      println(f"[graft] recall@$k=$recall%.2f (ring hamming<=4 of 12 planes)")
     case "gen" :: dir :: n :: Nil =>
       graft.webgen.WebPages.generate(spark, n.toLong)
         .write.mode("overwrite").parquet(dir)

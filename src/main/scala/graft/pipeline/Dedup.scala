@@ -1,0 +1,116 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Web-scale deduplication operators over a (docid, text) corpus.
+  *
+  * All hashes derive from md5 prefixes (stable across engines/runs — the
+  * same convention the DuckDB-checked [[graft.Queries]] oracles use), all
+  * shuffles are keyed by hash/bucket so hot shingles spread, and every
+  * stage is a plain DataFrame lineage (codegen'd, AQE-planned).
+  */
+object Dedup {
+
+  /** 60-bit stable hash: first 15 hex chars of md5. */
+  def md5long(c: Column): Column = conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Exact duplicates by content hash: (hash, cnt, keep_doc = min docid,
+    * members). O(n) with one shuffle on the hash. */
+  def exactDuplicates(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("docid"), md5(col(textCol)).as("h"))
+      .groupBy("h")
+      .agg(count(lit(1)).as("cnt"), min("docid").as("keep_doc"),
+        sort_array(collect_list("docid")).as("members"))
+      .where(col("cnt") > 1)
+
+  /** The ids to DROP under keep-first exact dedup (left-anti these away). */
+  def exactDropIds(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = Window.partitionBy("h").orderBy("docid")
+    docs.select(col(idCol).as("docid"), md5(col(textCol)).as("h"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") > 1)
+      .select("docid")
+  }
+
+  /** k-token shingles (lowercased alnum tokens), distinct per doc. */
+  def shingles(docs: DataFrame, idCol: String, textCol: String, k: Int = 3): DataFrame = {
+    val toks = docs.select(col(idCol).as("docid"),
+      filter(split(lower(col(textCol)), "[^a-z0-9]+"), w => w =!= "").as("toks"))
+    toks.select(col("docid"),
+        explode(expr(s"transform(sequence(0, size(toks) - $k), i -> " +
+          s"array_join(slice(toks, i + 1, $k), ' '))")).as("shingle"))
+      .where(col("shingle") =!= "")
+      .distinct()
+  }
+
+  /** MinHash signatures: `numHashes` seeded min-hashes over shingles.
+    * One wide row per doc: (docid, sig array<long>). */
+  def minhash(sh: DataFrame, numHashes: Int = 16): DataFrame = {
+    val mins = (0 until numHashes).map(j =>
+      min(md5long(concat(lit(s"$j:"), col("shingle")))).as(s"mh$j"))
+    sh.groupBy("docid").agg(mins.head, mins.tail: _*)
+      .select(col("docid"),
+        array((0 until numHashes).map(j => col(s"mh$j")): _*).as("sig"))
+  }
+
+  /** LSH banding: signature split into `bands` bands of `rows` hashes; docs
+    * sharing a band-bucket become candidate pairs (da < db). The band
+    * bucket join is an equality shuffle — skew-safe under AQE. */
+  def lshCandidatePairs(sig: DataFrame, bands: Int, rows: Int): DataFrame = {
+    val buckets = sig.select(col("docid"),
+        posexplode(expr(s"transform(sequence(0, ${bands - 1}), b -> " +
+          s"hash(slice(sig, b * $rows + 1, $rows)))")).as(Seq("band", "bucket")))
+    buckets.as("a").join(buckets.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.docid") < col("b.docid"))
+      .select(col("a.docid").as("da"), col("b.docid").as("db"))
+      .distinct()
+  }
+
+  /** Exact shingle-Jaccard verification of candidate pairs. */
+  def verifyJaccard(pairs: DataFrame, sh: DataFrame, threshold: Double): DataFrame = {
+    val sizes = sh.groupBy("docid").agg(count(lit(1)).as("n"))
+    val inter = pairs
+      .join(sh.as("sa"), col("da") === col("sa.docid"))
+      .join(sh.as("sb"),
+        col("db") === col("sb.docid") && col("sa.shingle") === col("sb.shingle"))
+      .groupBy("da", "db").agg(count(lit(1)).as("ninter"))
+    inter.join(sizes.as("za"), col("da") === col("za.docid"))
+      .join(sizes.as("zb"), col("db") === col("zb.docid"))
+      .withColumn("jaccard",
+        col("ninter").cast("double") / (col("za.n") + col("zb.n") - col("ninter")))
+      .where(col("jaccard") >= threshold)
+      .select("da", "db", "jaccard")
+  }
+
+  /** Full near-dup pipeline: shingle → minhash → LSH bands → verified pairs. */
+  def nearDuplicates(
+      docs: DataFrame, idCol: String, textCol: String,
+      shingleK: Int = 3, numHashes: Int = 16, bands: Int = 4,
+      threshold: Double = 0.8): DataFrame = {
+    val sh = shingles(docs, idCol, textCol, shingleK).cache()
+    val pairs = lshCandidatePairs(minhash(sh, numHashes), bands, numHashes / bands)
+    verifyJaccard(pairs, sh, threshold)
+  }
+
+  /** 64-bit SimHash over distinct tokens (hamming-near docs are near-dups). */
+  def simhash64(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tw = docs.select(col(idCol).as("docid"),
+        explode(filter(split(lower(col(textCol)), "[^a-z0-9]+"), w => w =!= "")).as("word"))
+      .distinct()
+      .withColumn("h", md5long(col("word")))
+    // 60 usable bits from the md5-long; fold the top 4 from a second hash
+    val bits = tw.select(col("docid"),
+        explode(sequence(lit(0), lit(59))).as("bit"), col("h"))
+      .withColumn("v", when(expr("shiftright(h, bit) & 1") === 1, 1).otherwise(-1))
+      .groupBy("docid", "bit").agg(sum("v").as("s"))
+    bits.withColumn("bitval",
+        when(col("s") > 0, expr("shiftleft(1L, bit)")).otherwise(lit(0L)))
+      .groupBy("docid").agg(sum("bitval").cast("long").as("simhash"))
+  }
+
+  /** Hamming distance between simhashes (for pairing by bit-band blocks). */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+}
