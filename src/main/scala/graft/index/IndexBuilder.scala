@@ -186,6 +186,26 @@ class IndexBuilder(spark: SparkSession, settings: IndexSettings) extends Seriali
     val manifest = Manifest.load(dir)
     val t0 = System.nanoTime()
 
+    // per-task lineage + metrics (north rule): aggregate task metrics per
+    // stage while the build runs; flushed into the manifest at the end.
+    val taskAgg = new java.util.concurrent.ConcurrentHashMap[Int, Array[Long]]()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        if (m != null) {
+          val a = taskAgg.computeIfAbsent(te.stageId, _ => new Array[Long](5))
+          a.synchronized {
+            a(0) += 1 // tasks
+            a(1) += m.inputMetrics.recordsRead
+            a(2) += m.outputMetrics.recordsWritten
+            a(3) += m.outputMetrics.bytesWritten + m.shuffleWriteMetrics.bytesWritten
+            a(4) += m.executorRunTime
+          }
+        }
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+
     // Stages are independent DataFrame lineages off the shared token
     // Dataset: run each wave's writes CONCURRENTLY (Spark's scheduler
     // interleaves the jobs across executor slots — same shape as a
@@ -392,6 +412,13 @@ class IndexBuilder(spark: SparkSession, settings: IndexSettings) extends Seriali
 
     dwp.unpersist()
     pool.shutdown()
+    spark.sparkContext.removeSparkListener(listener)
+    import scala.jdk.CollectionConverters._
+    val stages = taskAgg.asScala
+    val totals = Array(0L, 0L, 0L, 0L, 0L)
+    stages.values.foreach(a => (0 until 5).foreach(i => totals(i) += a(i)))
+    manifest.recordTaskMetrics(dir, stages.size, totals(0), totals(1),
+      totals(2), totals(3), totals(4))
     manifest.finish((System.nanoTime() - t0) / 1e9, settings, dir)
     manifest
   }

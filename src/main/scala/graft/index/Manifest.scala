@@ -38,6 +38,15 @@ final class Manifest private (entries: mutable.LinkedHashMap[String, Manifest.En
 
   def apply(table: String): Option[Entry] = entries.get(table)
   def tables: Seq[String] = entries.keys.toSeq
+
+  /** Aggregated per-task lineage metrics of one build run (north rule:
+    * docs/sec, postings/sec, bytes — recorded per task, reported per run). */
+  def recordTaskMetrics(dir: String, stages: Int, tasks: Long, recordsRead: Long,
+      recordsWritten: Long, bytesWritten: Long, executorMs: Long): Unit =
+    Manifest.append(dir,
+      s"""{"table":"__tasks__","stages":$stages,"tasks":$tasks,""" +
+        s""""records_read":$recordsRead,"records_written":$recordsWritten,""" +
+        s""""bytes_written":$bytesWritten,"executor_ms":$executorMs}""")
 }
 
 object Manifest {

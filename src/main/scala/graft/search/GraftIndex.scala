@@ -45,7 +45,7 @@ class GraftIndex(val spark: SparkSession, val dir: String, val settings: IndexSe
     * Cheap to skip — everything works uncached, just with parquet reads. */
   def warm(): Unit = {
     Seq(docWordPositions, docFidWordCounts, docStats, postingBlocks, termDict,
-      facetStrings, facetNumbers)
+      facetStrings, facetNumbers, pairProx, wordDocids)
       .foreach { df => df.cache(); df.count() }
   }
 
