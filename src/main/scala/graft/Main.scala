@@ -46,7 +46,10 @@ object Main {
         println(f"[graft] $t%-28s rows=${e.rows}%-10d ${e.seconds}%8.2fs ${e.bytes}%10d bytes")
       }
     case "search" :: dir :: searchable :: query :: rest =>
-      val settings = IndexSettings(searchableFields = searchable.split(',').toSeq)
+      // prefer the index's persisted settings.json; the searchable arg is a
+      // fallback for pre-settings indexes ("-" = use persisted)
+      val settings = graft.index.SettingsIO.load(dir).getOrElse(
+        IndexSettings(searchableFields = searchable.split(',').toSeq))
       val index = GraftIndex(spark, dir, settings)
       val filter = Option(rest.mkString(" ").trim).filter(_.nonEmpty)
         .map(_.stripPrefix("'").stripSuffix("'"))
@@ -127,7 +130,8 @@ object Main {
         .write.mode("overwrite").parquet(dir)
       println(s"[graft] generated $n web pages at $dir")
     case "bm25" :: dir :: searchable :: terms :: k :: Nil =>
-      val settings = IndexSettings(searchableFields = searchable.split(',').toSeq)
+      val settings = graft.index.SettingsIO.load(dir).getOrElse(
+        IndexSettings(searchableFields = searchable.split(',').toSeq))
       val index = GraftIndex(spark, dir, settings)
       val bm25 = new graft.search.Bm25(index)
       val t0 = System.nanoTime()

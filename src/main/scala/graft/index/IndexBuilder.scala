@@ -419,6 +419,7 @@ class IndexBuilder(spark: SparkSession, settings: IndexSettings) extends Seriali
     stages.values.foreach(a => (0 until 5).foreach(i => totals(i) += a(i)))
     manifest.recordTaskMetrics(dir, stages.size, totals(0), totals(1),
       totals(2), totals(3), totals(4))
+    SettingsIO.save(dir, settings) // self-describing index dir
     manifest.finish((System.nanoTime() - t0) / 1e9, settings, dir)
     manifest
   }

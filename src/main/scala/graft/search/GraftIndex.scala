@@ -159,6 +159,14 @@ class GraftIndex(val spark: SparkSession, val dir: String, val settings: IndexSe
 }
 
 object GraftIndex {
+  /** Open a self-describing index directory (settings.json written by the
+    * builder). */
+  def open(spark: SparkSession, dir: String): GraftIndex = {
+    val settings = graft.index.SettingsIO.load(dir).getOrElse(
+      throw new IllegalArgumentException(s"no settings.json under $dir"))
+    new GraftIndex(spark, dir, settings)
+  }
+
   /** Load index settings are the caller's responsibility for now (the
     * manifest stores build metrics; settings round-trip comes with the
     * settings-update operator). */
