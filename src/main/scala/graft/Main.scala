@@ -107,6 +107,14 @@ object Main {
       val recall = approx.map(_.getLong(0)).toSet
         .intersect(exact.map(_.getLong(0)).toSet).size.toDouble / exact.length
       println(f"[graft] recall@$k=$recall%.2f (ring hamming<=4 of 12 planes)")
+      val centroids = sim.trainIvf(rest2, "vec_id", "embedding", nLists = 8)
+      val assigned = sim.ivfAssign(rest2, "vec_id", "embedding", centroids).cache()
+      val ivf = sim.ivfTopK(assigned, "vec_id", "embedding", centroids, q, k.toInt, nprobe = 3)
+        .collect()
+      val ivfRecall = ivf.map(_.getLong(0)).toSet
+        .intersect(exact.map(_.getLong(0)).toSet).size.toDouble / exact.length
+      println(s"[graft] ivf   : " + ivf.map(r => s"${r.getLong(0)}@${"%.4f".format(r.getDouble(1))}").mkString(", "))
+      println(f"[graft] ivf recall@$k=$ivfRecall%.2f (nprobe=3 of 8 lists)")
     case "sessionize" :: eventsParquet :: Nil =>
       // streaming sessionization end-to-end: file source → stateful
       // flatMapGroupsWithState → memory sink

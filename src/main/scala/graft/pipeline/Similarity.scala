@@ -62,6 +62,59 @@ class Similarity(spark: SparkSession, numPlanes: Int = 16, dims: Int = 64) exten
       .select(col(idCol), col(vecCol), bf(col("__v")).as("bucket"))
   }
 
+  // ------------------------------------------------------------- IVF
+
+  /** Deterministic IVF coarse quantizer: centroids = the embeddings of a
+    * seeded id sample, refined with a few Lloyd iterations computed as
+    * DataFrame aggregations (assign = argmin distance via a broadcast
+    * centroid array; update = groupBy(cluster).avg). */
+  def trainIvf(embeddings: DataFrame, idCol: String, vecCol: String,
+      nLists: Int = 16, iterations: Int = 3, seed: Long = 42L): Array[Array[Double]] = {
+    val ds = asDouble(embeddings, vecCol).select(col("__v"))
+    var centroids: Array[Array[Double]] = ds
+      .orderBy(abs(hash(col("__v").cast("string")) + lit(seed)))
+      .limit(nLists)
+      .collect().map(_.getSeq[Double](0).toArray)
+    for (_ <- 0 until iterations) {
+      val bc = spark.sparkContext.broadcast(centroids)
+      val assign = udf((v: Seq[Double]) => Similarity.nearestCentroid(v.toArray, bc.value))
+      val updated = ds.withColumn("c", assign(col("__v")))
+        .groupBy("c")
+        .agg(Similarity.meanVec(col("__v"), dims).as("mean"))
+        .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
+      centroids = centroids.indices.map(i => updated.getOrElse(i, centroids(i))).toArray
+    }
+    centroids
+  }
+
+  /** Assign each vector to its IVF list (materialize once, reuse). */
+  def ivfAssign(embeddings: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[Array[Double]]): DataFrame = {
+    val bc = spark.sparkContext.broadcast(centroids)
+    val assign = udf((v: Seq[Double]) => Similarity.nearestCentroid(v.toArray, bc.value))
+    asDouble(embeddings, vecCol)
+      .select(col(idCol), col(vecCol), assign(col("__v")).as("list"))
+  }
+
+  /** IVF search: scan only the `nprobe` lists nearest the query. Exact
+    * within the probed lists; recall grows with nprobe (nprobe = nLists →
+    * exact). The probed-list filter pushes down to the parquet scan when
+    * the assignment table is partitioned by `list`. */
+  def ivfTopK(assigned: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[Array[Double]], query: Array[Double], k: Int,
+      nprobe: Int = 4): DataFrame = {
+    val probed = centroids.zipWithIndex
+      .sortBy { case (c, _) => -cosine(c, query) }
+      .take(nprobe).map(_._2)
+    val bq = spark.sparkContext.broadcast(query)
+    val cos = udf((v: Seq[Double]) => cosine(v.toArray.map(_.toDouble), bq.value))
+    assigned.where(col("list").isin(probed.map(Integer.valueOf): _*))
+      .withColumn("__v", transform(col(vecCol), x => x.cast("double")))
+      .select(col(idCol), cos(col("__v")).as("cosine"))
+      .orderBy(desc("cosine"), col(idCol))
+      .limit(k)
+  }
+
   /** Approximate top-k: score only vectors whose bucket is within
     * `maxHamming` sign-bits of the query's bucket (bucket ring probe).
     * maxHamming = numPlanes degrades to exact brute force. */
@@ -76,5 +129,28 @@ class Similarity(spark: SparkSession, numPlanes: Int = 16, dims: Int = 64) exten
       .select(col(idCol), cos(col("__v")).as("cosine"))
       .orderBy(desc("cosine"), col(idCol))
       .limit(k)
+  }
+}
+
+object Similarity extends Serializable {
+  def nearestCentroid(v: Array[Double], centroids: Array[Array[Double]]): Int = {
+    var best = 0; var bestD = Double.MaxValue
+    var i = 0
+    while (i < centroids.length) {
+      val c = centroids(i)
+      var d = 0.0; var j = 0
+      while (j < v.length) { val x = v(j) - c(j); d += x * x; j += 1 }
+      if (d < bestD) { bestD = d; best = i }
+      i += 1
+    }
+    best
+  }
+
+  /** element-wise mean of equal-length vectors as a SQL aggregate. */
+  def meanVec(c: org.apache.spark.sql.Column, dims: Int): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    val sums = aggregate(collect_list(c), lit(Array.fill(dims)(0.0)),
+      (acc, v) => zip_with(acc, v, (a, b) => a + b))
+    zip_with(sums, array_repeat(count(lit(1)).cast("double"), dims), (s, n) => s / n)
   }
 }

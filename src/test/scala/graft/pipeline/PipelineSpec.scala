@@ -62,6 +62,26 @@ class PipelineSpec extends AnyFunSuite with Matchers {
     full.toSeq shouldBe exact.toSeq
   }
 
+  test("IVF: nprobe=all is exact; small nprobe finds most of top-k") {
+    val emb = spark.read.parquet(s"$sf01/embeddings.parquet")
+    val sim = new Similarity(spark, numPlanes = 12, dims = 64)
+    val q = emb.where(org.apache.spark.sql.functions.col("vec_id") === 3)
+      .selectExpr("transform(embedding, x -> cast(x as double)) as v")
+      .first().getSeq[Double](0).toArray
+    val rest = emb.where(org.apache.spark.sql.functions.col("vec_id") =!= 3)
+    val centroids = sim.trainIvf(rest, "vec_id", "embedding", nLists = 8, iterations = 2)
+    centroids.length shouldBe 8
+    val assigned = sim.ivfAssign(rest, "vec_id", "embedding", centroids).cache()
+    val exact = sim.bruteForceTopK(rest, "vec_id", "embedding", q, 10)
+      .collect().map(_.getLong(0)).toSeq
+    val full = sim.ivfTopK(assigned, "vec_id", "embedding", centroids, q, 10, nprobe = 8)
+      .collect().map(_.getLong(0)).toSeq
+    full shouldBe exact
+    val probed = sim.ivfTopK(assigned, "vec_id", "embedding", centroids, q, 10, nprobe = 3)
+      .collect().map(_.getLong(0)).toSet
+    probed should contain(exact.head)
+  }
+
   test("language id predicts en for stop-wordy docs, unknown otherwise") {
     import spark.implicits._
     val d = Seq(
