@@ -94,20 +94,42 @@ class GraftIndex(val spark: SparkSession, val dir: String, val settings: IndexSe
     * scan cheap; the exact DP check (`Typo.derive`) runs on the survivors.
     * Replaces `word_derivations`' Levenshtein-automaton ∩ FST
     * (`/root/reference/milli/src/search/mod.rs:362-442`). */
+  /** Small dictionaries collect to the driver once per index handle —
+    * derivation then costs zero Spark jobs per query (the FST lived
+    * in-process in the reference too). Big dictionaries (> ~2M words) keep
+    * the distributed predicate-scan path. */
+  private val TermDictLocalMax = 2000000L
+  private lazy val termDictLocal: Option[Array[(String, Boolean)]] = {
+    val hasExactOnly = termDict.columns.contains("exact_only")
+    val n = termDict.count()
+    if (n > TermDictLocalMax) None
+    else Some(
+      if (hasExactOnly)
+        termDict.select($"word", $"exact_only").as[(String, Boolean)].collect()
+      else termDict.select($"word").as[String].collect().map((_, false)))
+  }
+
   def derivations(keys: Set[(String, Boolean, Int)]): Ranker.Derivations = {
     if (keys.isEmpty) return Ranker.Derivations(Map.empty)
     val keySeq = keys.toSeq
-    // coarse pushdown: any key may match words within its length band
-    val coarse = keySeq.map { case (w, prefix, t) =>
-      if (prefix) length($"word") >= w.length - t
-      else length($"word").between(w.length - t, w.length + t)
-    }.reduce(_ || _)
-    val hasExactOnly = termDict.columns.contains("exact_only")
-    val words: Array[(String, Boolean)] =
-      if (hasExactOnly)
-        termDict.where(coarse).select($"word", $"exact_only")
-          .as[(String, Boolean)].collect()
-      else termDict.where(coarse).select($"word").as[String].collect().map((_, false))
+    // coarse prefilter: any key may match words within its length band
+    def bandOk(len: Int): Boolean = keySeq.exists { case (w, prefix, t) =>
+      if (prefix) len >= w.length - t
+      else len >= w.length - t && len <= w.length + t
+    }
+    val words: Array[(String, Boolean)] = termDictLocal match {
+      case Some(local) => local.filter(e => bandOk(e._1.length))
+      case None =>
+        val coarse = keySeq.map { case (w, prefix, t) =>
+          if (prefix) length($"word") >= w.length - t
+          else length($"word").between(w.length - t, w.length + t)
+        }.reduce(_ || _)
+        val hasExactOnly = termDict.columns.contains("exact_only")
+        if (hasExactOnly)
+          termDict.where(coarse).select($"word", $"exact_only")
+            .as[(String, Boolean)].collect()
+        else termDict.where(coarse).select($"word").as[String].collect().map((_, false))
+    }
     val map = keySeq.map { case key @ (w, prefix, t) =>
       val ds = words.iterator.flatMap { case (cand, exactOnly) =>
         Typo.derive(w, cand, prefix, t).collect {
