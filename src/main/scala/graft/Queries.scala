@@ -23,17 +23,35 @@ object Queries {
   private def tbl(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** The battery shares one materialized forward index per (session, dir) —
+    * the analogue of building the index once and querying it many times.
+    * Keyed on the session identity so a stopped session's cache entries are
+    * never reused. */
+  private val dfCache =
+    scala.collection.concurrent.TrieMap.empty[(Int, String, String), DataFrame]
+  private def cached(spark: SparkSession, dir: String, tag: String)
+                    (mk: => DataFrame): DataFrame =
+    dfCache.getOrElseUpdate((System.identityHashCode(spark), dir, tag), {
+      val df = mk
+      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      df
+    })
+
+  /** (doc_id, toks: array<string>) — per-doc token array, empties dropped.
+    * Position = array index + 1, so no per-doc window shuffle is ever
+    * needed; every token-derived query explodes this cached table. */
+  def tokArrays(spark: SparkSession, dir: String): DataFrame =
+    cached(spark, dir, "tokarrays") {
+      docs(spark, dir).select(col("doc_id"),
+        filter(split(lower(col("text")), "[^a-z0-9]+"), w => w =!= "").as("toks"))
+    }
+
   /** (doc_id, word, pos) — pos = 1-based index in the filtered token
     * sequence. The forward index (doc_word_positions) in simple-token mode. */
-  def tokens(spark: SparkSession, dir: String): DataFrame = {
-    val d = docs(spark, dir)
-    val raw = d.select(col("doc_id"),
-      posexplode(split(lower(col("text")), "[^a-z0-9]+")).as(Seq("rawpos", "word")))
-      .where(col("word") =!= "")
-    raw.withColumn("pos",
-      row_number().over(Window.partitionBy("doc_id").orderBy("rawpos")))
-      .select("doc_id", "word", "pos")
-  }
+  def tokens(spark: SparkSession, dir: String): DataFrame =
+    tokArrays(spark, dir)
+      .select(col("doc_id"), posexplode(col("toks")).as(Seq("p0", "word")))
+      .select(col("doc_id"), col("word"), (col("p0") + 1).as("pos"))
 
   /** Fixed-point helper shared with the SQL oracles. */
   private def fp(c: Column): Column = floor(c * lit(1e6) + lit(0.5)).cast("long")
@@ -98,14 +116,20 @@ object Queries {
       .select("doc_id").distinct().orderBy("doc_id")
 
   /** typo-tolerant search: dictionary words within Damerau-Levenshtein 1 of
-    * the query word, same first letter (milli's 1-typo rule) → their docs. */
+    * the query word, same first letter (milli's 1-typo rule) → their docs.
+    * Derivations are computed DICTIONARY-side (distinct words only — a few
+    * thousand rows) and semi-joined back, not by scanning every token
+    * occurrence with the distance UDF: at web scale the dictionary is ~10^6
+    * rows while the token table is ~10^12. */
   def qSearchTypo(spark: SparkSession, dir: String): DataFrame = {
     val t = tokens(spark, dir)
     val qword = "spakr" // 1 transposition from "spark"
     val derive = udf((w: String) =>
       w != null && w.nonEmpty && w.charAt(0) == qword.charAt(0) &&
         graft.core.Typo.osaDistance(qword, w, 1) <= 1)
-    t.where(derive(col("word"))).select("doc_id").distinct().orderBy("doc_id")
+    val matches = t.select("word").distinct().where(derive(col("word")))
+    t.join(broadcast(matches), Seq("word"), "left_semi")
+      .select("doc_id").distinct().orderBy("doc_id")
   }
 
   /** BM25 top-k (k1=1.2, b=0.75) for query {spark, merge} — the flagship
@@ -131,13 +155,18 @@ object Queries {
       .orderBy(desc("score_fp"), asc("doc_id")).limit(20)
   }
 
-  /** adjacent word-pair table (word_pair_proximity prox=1 analogue). */
+  /** adjacent word-pair table (word_pair_proximity prox=1 analogue).
+    * Pairs come straight out of the per-doc token array — map-side, no
+    * window shuffle; the only shuffle is the pair-keyed aggregation. */
   def qWordPairs(spark: SparkSession, dir: String): DataFrame = {
-    val t = tokens(spark, dir)
-    val w = Window.partitionBy("doc_id").orderBy("pos")
-    t.withColumn("w2", lead("word", 1).over(w))
-      .where(col("w2").isNotNull)
-      .groupBy(col("word").as("w1"), col("w2"))
+    val toks = col("toks")
+    val pairs = tokArrays(spark, dir).select(col("doc_id"),
+      explode(when(size(toks) >= 2,
+        transform(sequence(lit(0), size(toks) - 2),
+          i => struct(toks(i).as("w1"), toks(i + 1).as("w2"))))
+        .otherwise(array().cast("array<struct<w1:string,w2:string>>"))).as("p"))
+    pairs.select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .groupBy("w1", "w2")
       .agg(countDistinct("doc_id").as("df"))
       .where(col("df") >= 50)
       .orderBy("w1", "w2")
@@ -232,17 +261,18 @@ object Queries {
   private def md5long(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
-  /** 3-token shingles per doc. */
-  private def shingles(spark: SparkSession, dir: String): DataFrame = {
-    val t = tokens(spark, dir)
-    val w = Window.partitionBy("doc_id").orderBy("pos")
-    t.withColumn("w2", lead("word", 1).over(w))
-      .withColumn("w3", lead("word", 2).over(w))
-      .where(col("w3").isNotNull)
-      .select(col("doc_id"),
-        concat_ws(" ", col("word"), col("w2"), col("w3")).as("shingle"))
-      .distinct()
-  }
+  /** 3-token shingles per doc — array-derived (no window), distinct'd once
+    * and cached (three dedup queries share it). */
+  private def shingles(spark: SparkSession, dir: String): DataFrame =
+    cached(spark, dir, "shingles") {
+      val toks = col("toks")
+      tokArrays(spark, dir).select(col("doc_id"),
+        explode(when(size(toks) >= 3,
+          transform(sequence(lit(0), size(toks) - 3),
+            i => concat_ws(" ", toks(i), toks(i + 1), toks(i + 2))))
+          .otherwise(array().cast("array<string>"))).as("shingle"))
+        .distinct()
+    }
 
   /** MinHash signatures (4 seeds) over 3-token shingles. */
   def qDedupMinhash(spark: SparkSession, dir: String): DataFrame = {
