@@ -34,9 +34,18 @@ case class BitmapToArray(child: Expression)
 case class BitmapContains(left: Expression, right: Expression)
     extends BinaryExpression with CodegenFallback {
   override def dataType: DataType = BooleanType
+  /** A literal/foldable bitmap (the common case: a broadcast filter or
+    * tombstone set tested against every row) is deserialized ONCE per task,
+    * not once per row. */
+  @transient private lazy val foldedLeft: Option[org.roaringbitmap.RoaringBitmap] =
+    if (left.foldable)
+      Option(left.eval(org.apache.spark.sql.catalyst.InternalRow.empty))
+        .map(b => Bitmaps.cboDeserialize(b.asInstanceOf[Array[Byte]]))
+    else None
   override def nullSafeEval(bytes: Any, id: Any): Any = {
     val docid = id match { case i: Int => i; case l: Long => l.toInt }
-    Bitmaps.cboDeserialize(bytes.asInstanceOf[Array[Byte]]).contains(docid)
+    foldedLeft.getOrElse(Bitmaps.cboDeserialize(bytes.asInstanceOf[Array[Byte]]))
+      .contains(docid)
   }
   override protected def withNewChildrenInternal(l: Expression, r: Expression): BitmapContains =
     copy(l, r)

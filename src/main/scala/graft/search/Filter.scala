@@ -155,63 +155,82 @@ object FilterParser {
   }
 }
 
-/** Filter AST → docid bitmap. Each leaf is a pushdown read on the facet
-  * tables (equality/range checks both the number and the lowercased string
-  * form, `filter.rs:188-290`); NOT complements against `documents_ids`
-  * (`filter.rs:300-320`). */
+/** Filter AST → distributed candidate-docid plan. Each leaf is a pushdown
+  * read on the facet tables (equality/range checks both the number and the
+  * lowercased string form, `filter.rs:188-290`); AND/OR/NOT become
+  * semi-/anti-joins and unions so the set algebra runs on the executors —
+  * the driver never materializes a candidate set (the reference's
+  * in-process RoaringBitmap algebra, filter.rs:300-320, doesn't survive
+  * 10^12 docs). `evaluate` keeps the bitmap contract for callers that want
+  * a driver-side set (tests, tiny indexes): ONE collect of the final
+  * result, never per leaf. */
 object FilterEvaluator {
   import FilterParser._
 
-  def evaluate(index: GraftIndex, ast: Ast): RoaringBitmap = {
+  /** Compile the AST to a one-column (`docid`) DataFrame, distinct. */
+  def candidates(index: GraftIndex, ast: Ast): org.apache.spark.sql.DataFrame = {
     val spark = index.spark
     import spark.implicits._
 
-    def docidsOf(df: org.apache.spark.sql.DataFrame): RoaringBitmap =
-      Bitmaps.fromInts(df.select($"docid").distinct().as[Int].collect())
+    def all = index.documents.select($"docid")
 
-    def eval(a: Ast): RoaringBitmap = a match {
-      case FAnd(l, r) => Bitmaps.and(eval(l), eval(r))
-      case FOr(l, r)  => Bitmaps.or(eval(l), eval(r))
-      case FNot(inner) => Bitmaps.andNot(index.allDocids, eval(inner))
+    def eval(a: Ast): org.apache.spark.sql.DataFrame = a match {
+      case FAnd(l, r)  => eval(l).join(eval(r), Seq("docid"), "left_semi")
+      case FOr(l, r)   => eval(l).unionByName(eval(r)).distinct()
+      case FNot(inner) => all.join(eval(inner), Seq("docid"), "left_anti")
       case FExists(field) =>
+        // one bitmap row per field; the explode is bounded by that field's
+        // cardinality and feeds a join, never the driver
         index.facetExists.where($"field" === field)
-          .select($"docids").as[Array[Byte]].collect().headOption
-          .map(Bitmaps.cboDeserialize).getOrElse(new RoaringBitmap())
+          .select(explode(graft.functions.GraftFunctions.bitmap_to_array($"docids"))
+            .as("docid"))
       case FIn(field, values) =>
-        values.map(v => eval(FCond(field, "=", v)))
-          .foldLeft(new RoaringBitmap())(Bitmaps.or)
+        // IN = OR of equalities (filter.rs:270-278) — one pushdown per form
+        val norms = values.map(_.trim.toLowerCase)
+        val nums = values.flatMap(_.toDoubleOption)
+        val byStr = index.facetStrings
+          .where($"field" === field && $"norm".isin(norms: _*)).select($"docid")
+        val both =
+          if (nums.isEmpty) byStr
+          else byStr.unionByName(index.facetNumbers
+            .where($"field" === field && $"value".isin(nums: _*)).select($"docid"))
+        both.distinct()
       case FGeoRadius(lat, lng, radius) =>
-        val pts = index.facetNumbers
-          .where($"field" === "_geo.lat" || $"field" === "_geo.lng")
-          .groupBy($"docid")
-          .pivot($"field", Seq("_geo.lat", "_geo.lng"))
-          .agg(first($"value"))
-          .as[(Int, Option[Double], Option[Double])].collect()
-        Bitmaps.fromInts(pts.collect {
-          case (docid, Some(dlat), Some(dlng))
-              if GeoMath.haversine(dlat, dlng, lat, lng) <= radius => docid
-        })
+        // distributed haversine over the (docid, lat, lng) projection —
+        // replaces the reference's driver-side R-tree (filter.rs:349-387)
+        val lats = index.facetNumbers.where($"field" === "_geo.lat")
+          .select($"docid", $"value".as("glat"))
+        val lngs = index.facetNumbers.where($"field" === "_geo.lng")
+          .select($"docid", $"value".as("glng"))
+        lats.join(lngs, Seq("docid"))
+          .where(graft.functions.GraftFunctions.haversine(
+            $"glat", $"glng", lit(lat), lit(lng)) <= lit(radius))
+          .select($"docid").distinct()
       case FBetween(field, lo, hi) =>
         (lo.toDoubleOption, hi.toDoubleOption) match {
           case (Some(l), Some(h)) =>
-            docidsOf(index.facetNumbers
-              .where($"field" === field && $"value" >= l && $"value" <= h))
-          case _ => new RoaringBitmap()
+            index.facetNumbers
+              .where($"field" === field && $"value" >= l && $"value" <= h)
+              .select($"docid").distinct()
+          case _ => all.limit(0)
         }
       case FCond(field, op, value) =>
         val num = value.toDoubleOption
         val norm = value.trim.toLowerCase
         op match {
           case "=" =>
-            val byStr = docidsOf(index.facetStrings
-              .where($"field" === field && $"norm" === norm))
-            val byNum = num.map(n => docidsOf(index.facetNumbers
-              .where($"field" === field && $"value" === n)))
-            byNum.map(Bitmaps.or(byStr, _)).getOrElse(byStr)
+            val byStr = index.facetStrings
+              .where($"field" === field && $"norm" === norm).select($"docid")
+            val both = num match {
+              case Some(n) => byStr.unionByName(index.facetNumbers
+                .where($"field" === field && $"value" === n).select($"docid"))
+              case None => byStr
+            }
+            both.distinct()
           case "!=" =>
             // != is the complement over ALL documents, not just faceted ones
             // (filter.rs:195-209)
-            Bitmaps.andNot(index.allDocids, eval(FCond(field, "=", value)))
+            all.join(eval(FCond(field, "=", value)), Seq("docid"), "left_anti")
           case ">" | ">=" | "<" | "<=" =>
             num match {
               case Some(n) =>
@@ -221,7 +240,8 @@ object FilterEvaluator {
                   case "<"  => $"value" < n
                   case "<=" => $"value" <= n
                 }
-                docidsOf(index.facetNumbers.where($"field" === field && cmp))
+                index.facetNumbers.where($"field" === field && cmp)
+                  .select($"docid").distinct()
               case None =>
                 val cmp = op match {
                   case ">"  => $"norm" > norm
@@ -229,11 +249,20 @@ object FilterEvaluator {
                   case "<"  => $"norm" < norm
                   case "<=" => $"norm" <= norm
                 }
-                docidsOf(index.facetStrings.where($"field" === field && cmp))
+                index.facetStrings.where($"field" === field && cmp)
+                  .select($"docid").distinct()
             }
           case other => throw new IllegalArgumentException(s"op $other")
         }
     }
     eval(ast)
+  }
+
+  /** Driver-side bitmap of the final candidate set — one collect at the
+    * root (small-result/test path). */
+  def evaluate(index: GraftIndex, ast: Ast): RoaringBitmap = {
+    val spark = index.spark
+    import spark.implicits._
+    Bitmaps.fromInts(candidates(index, ast).select($"docid").as[Int].collect())
   }
 }

@@ -92,36 +92,52 @@ class Search(index: GraftIndex) extends Serializable {
       throw new IllegalArgumentException(
         "sort ranking rule missing: query-time sort requires the `sort` criterion")
 
-    // ---- filter → candidate bitmap (None = all); soft-deleted docs are
-    // always subtracted (`excluded_candidates`, search/mod.rs:252)
-    val rawFilter: Option[RoaringBitmap] =
-      req.filter.map(f => FilterEvaluator.evaluate(index, FilterParser.parse(f)))
+    // ---- filter → distributed candidate plan (None = all); soft-deleted
+    // docs are always subtracted (`excluded_candidates`, search/mod.rs:252).
+    // The filter is a one-column docid DataFrame applied as a semi-join —
+    // the driver never materializes the candidate set (the tombstone bitmap
+    // IS driver-side, but it's bounded by deletes-since-last-compact).
+    val filterDf: Option[DataFrame] =
+      req.filter.map(f => FilterEvaluator.candidates(index, FilterParser.parse(f)))
     val deleted = index.deletedDocids
-    val filterBitmap: Option[RoaringBitmap] =
-      if (deleted.isEmpty) rawFilter
-      else Some(Bitmaps.andNot(rawFilter.getOrElse(index.allDocids), deleted))
 
     req.query.map(_.trim).filter(_.nonEmpty) match {
       case None =>
-        executeNoQuery(criteria, filterBitmap, distinctField, req)
+        executeNoQuery(criteria, filterDf, deleted, distinctField, req)
       case Some(q) =>
-        executeQuery(q, criteria, filterBitmap, distinctField, req)
+        executeQuery(q, criteria, filterDf, deleted, distinctField, req)
     }
+  }
+
+  /** Apply the filter semi-join + tombstone predicate to any docid-keyed
+    * plan. The tombstone check is a foldable-literal `bitmap_contains` —
+    * deserialized once per task, not per row. */
+  private def applyFilter(
+      df: DataFrame,
+      filterDf: Option[DataFrame],
+      deleted: RoaringBitmap): DataFrame = {
+    val semi = filterDf.map(fd => df.join(fd, Seq("docid"), "left_semi")).getOrElse(df)
+    if (deleted.isEmpty) semi
+    else semi.where(!graft.functions.GraftFunctions.bitmap_contains(
+      lit(Bitmaps.cboSerialize(deleted)), $"docid"))
   }
 
   // ------------------------------------------------------------- no query
 
   private def executeNoQuery(
       criteria: Seq[Criterion],
-      filterBitmap: Option[RoaringBitmap],
+      filterDf: Option[DataFrame],
+      deleted: RoaringBitmap,
       distinctField: Option[String],
       req: SearchRequest): SearchResult = {
-    val base = filterBitmap.getOrElse(index.allDocids)
-    val docids = index.documents.select($"docid")
-      .where(bitmapFilter(filterBitmap))
+    val docids = applyFilter(index.documents.select($"docid"), filterDf, deleted)
     val ranked = attachSortColumns(docids, criteria, req.sortCriteria)
     val sortCols = sortColumns(criteria, req.sortCriteria) :+ $"docid".asc
-    finish(ranked, sortCols, distinctField, req, base.getLongCardinality)
+    val total =
+      if (req.exhaustive) docids.count()
+      else if (filterDf.isEmpty && deleted.isEmpty) index.numberOfDocuments
+      else -1L
+    finish(ranked, sortCols, distinctField, req, total)
   }
 
   // ---------------------------------------------------------------- query
@@ -129,14 +145,15 @@ class Search(index: GraftIndex) extends Serializable {
   private def executeQuery(
       q: String,
       criteria: Seq[Criterion],
-      filterBitmap: Option[RoaringBitmap],
+      filterDf: Option[DataFrame],
+      deleted: RoaringBitmap,
       distinctField: Option[String],
       req: SearchRequest): SearchResult = {
 
     // 1. primitive query + tree (driver)
     val parts = QueryTree.primitiveQuery(q, settings.stopWords)
     if (parts.isEmpty)
-      return executeNoQuery(criteria, filterBitmap, distinctField, req)
+      return executeNoQuery(criteria, filterDf, deleted, distinctField, req)
     val queryWords = parts.collect { case PWord(w, _) => w }
     val ctx = index.primedQueryContext(queryWords)
     val tree = QueryTree.build(ctx, req.strategy, req.authorizeTypos, parts).get
@@ -155,13 +172,17 @@ class Search(index: GraftIndex) extends Serializable {
     val bBranches = spark.sparkContext.broadcast(branches.toVector)
     val bDerivations = spark.sparkContext.broadcast(derivations)
     val bExactParts = spark.sparkContext.broadcast(exactParts.toVector)
-    val bFilter = spark.sparkContext.broadcast(filterBitmap.map(Bitmaps.cboSerialize))
     val bFids = spark.sparkContext.broadcast(searchableFids.toVector)
 
     // 3. per-candidate rank vector job. doc_word_positions is written
     // doc-contiguous (extractDwp) and the word IN-filter preserves row
     // order, so per-doc grouping is a shuffle-free consecutive-run scan.
-    val dwp = index.docWordPositions.where($"word".isin(relevantWords: _*))
+    // The filter semi-join keeps doc-contiguity under either join strategy:
+    // broadcast-hash streams rows through in order; sort-merge re-sorts the
+    // partition BY docid, which is exactly the contiguity we need.
+    val dwp = applyFilter(
+      index.docWordPositions.where($"word".isin(relevantWords: _*)),
+      filterDf, deleted)
     val wc = index.docFidWordCounts
     val docData = dwp.select($"docid", $"word", $"positions")
       .as[(Int, String, Array[Int])]
@@ -188,25 +209,20 @@ class Search(index: GraftIndex) extends Serializable {
       .select($"docid", $"positions", $"fwc")
       .as[(Int, Map[String, Array[Int]], Map[Int, Int])]
       .flatMap { case (docid, positions, fwcOrNull) =>
-        val filterOk = bFilter.value.forall(bytes =>
-          Bitmaps.cboDeserialize(bytes).contains(docid))
-        if (!filterOk) Iterator.empty
+        val fwc = Option(fwcOrNull).getOrElse(Map.empty[Int, Int])
+        val doc = Ranker.DocData(positions, fwc)
+        val der = bDerivations.value
+        val branches = bBranches.value
+        // words bucket = first matching branch
+        val wordsBucket = branches.indexWhere(b => Ranker.matches(b, doc, der))
+        if (wordsBucket < 0) Iterator.empty
         else {
-          val fwc = Option(fwcOrNull).getOrElse(Map.empty[Int, Int])
-          val doc = Ranker.DocData(positions, fwc)
-          val der = bDerivations.value
-          val branches = bBranches.value
-          // words bucket = first matching branch
-          val wordsBucket = branches.indexWhere(b => Ranker.matches(b, doc, der))
-          if (wordsBucket < 0) Iterator.empty
-          else {
-            val branch = branches(wordsBucket)
-            val typo = Ranker.minTypos(branch, doc, der).getOrElse(Int.MaxValue)
-            val prox = Ranker.proximityBucket(branch, doc, der)
-            val attr = Ranker.attributeRank(Ranker.flattenQueryTree(branch), doc, der)
-            val exact = Ranker.exactnessRank(bExactParts.value, doc, bFids.value)
-            Iterator.single((docid, wordsBucket, typo, prox, attr, exact))
-          }
+          val branch = branches(wordsBucket)
+          val typo = Ranker.minTypos(branch, doc, der).getOrElse(Int.MaxValue)
+          val prox = Ranker.proximityBucket(branch, doc, der)
+          val attr = Ranker.attributeRank(Ranker.flattenQueryTree(branch), doc, der)
+          val exact = Ranker.exactnessRank(bExactParts.value, doc, bFids.value)
+          Iterator.single((docid, wordsBucket, typo, prox, attr, exact))
         }
       }
       .toDF("docid", "r_words", "r_typo", "r_proximity", "r_attribute", "r_exactness")
@@ -218,13 +234,6 @@ class Search(index: GraftIndex) extends Serializable {
   }
 
   // -------------------------------------------------------------- helpers
-
-  private def bitmapFilter(bm: Option[RoaringBitmap]) = bm match {
-    case None => lit(true)
-    case Some(b) =>
-      val ids = Bitmaps.toArray(b)
-      $"docid".isin(ids.map(Integer.valueOf): _*)
-  }
 
   /** join numeric+string facet values for every sort-ish criterion. */
   private def attachSortColumns(

@@ -54,6 +54,25 @@ class PlanSpec extends AnyFunSuite with Matchers {
     p should include("partial_bitmap_or_agg")
   }
 
+  test("filter AST compiles to distributed joins, never a docid In-list") {
+    val index = graft.search.Fixture.buildIndex(spark)
+    val ast = graft.search.FilterParser.parse(
+      "(tag = red OR asc_desc_rank > 1) AND NOT tag = green")
+    val df = graft.search.FilterEvaluator.candidates(index, ast)
+    val p = plan(df)
+    p should not include "In(docid"
+    p.toLowerCase should include("join")
+  }
+
+  test("_geoRadius filter is a distributed haversine join (no driver pivot)") {
+    val index = graft.search.Fixture.buildIndex(spark)
+    val ast = graft.search.FilterParser.parse("_geoRadius(50.6, 3.0, 100000)")
+    val df = graft.search.FilterEvaluator.candidates(index, ast)
+    val p = plan(df)
+    p should include("haversine")
+    p.toLowerCase should include("join")
+  }
+
   test("posting-block metadata reads prune the bytes column") {
     val dir = java.nio.file.Files.createTempDirectory("graft-plan").toString
     val settings = graft.index.IndexSettings(searchableFields = Seq("text"))
