@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.index.{IndexBuilder, IndexSettings}
+import graft.search.{Bm25, Criterion, GraftIndex, Search, SearchRequest, SortSpec}
+import graft.search.QueryTree.MatchingStrategy
+
+/** Driver-gate queries that run the PRODUCTION engine classes — a real
+  * `IndexBuilder.build` over `documents.parquet`, then `Search.execute` /
+  * `Bm25.topK` against the built index — each with an exact DuckDB oracle.
+  * The corpus is plain lowercase words, so the engine tokenizer and the
+  * oracle's regex split agree token-for-token, making ranked results
+  * SQL-expressible.
+  *
+  * docid == doc_id by construction (the table's primary key is already a
+  * dense int), so oracle rows join directly.
+  */
+object EngineQueries {
+
+  private val idxCache =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), GraftIndex]
+
+  private def settings = IndexSettings(
+    searchableFields = Seq("text"),
+    filterableFields = Set("n_chars", "lang", "source"),
+    sortableFields = Set("n_chars"))
+
+  /** Build (once per session+dir) a real index over documents.parquet. */
+  def index(spark: SparkSession, dir: String): GraftIndex =
+    idxCache.getOrElseUpdate((System.identityHashCode(spark), dir), {
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+        .withColumn("docid", col("doc_id").cast("int"))
+      val idxDir = java.nio.file.Files.createTempDirectory("graft-engine-idx").toString
+      val s = settings
+      new IndexBuilder(spark, s).build(docs, idxDir, resume = false)
+      GraftIndex(spark, idxDir, s)
+    })
+
+  /** Search.execute end-to-end: tokenized query (non-prefix), distributed
+    * filter semi-join, sort criterion over a numeric facet, rank order out. */
+  def qEngineSearchSort(spark: SparkSession, dir: String): DataFrame = {
+    val idx = index(spark, dir)
+    val res = new Search(idx).execute(SearchRequest(
+      query = Some("data "), // trailing space = non-prefix (milli semantics)
+      filter = Some("n_chars >= 200 AND lang = en"),
+      limit = 50,
+      authorizeTypos = false,
+      sortCriteria = Seq(SortSpec("n_chars", ascending = false)),
+      criteriaOverride = Some(Seq(Criterion.Sort))))
+    import spark.implicits._
+    res.documentsIds.zipWithIndex
+      .map { case (id, r) => (r.toLong, id.toLong) }
+      .toDF("rank", "doc_id")
+  }
+
+  /** Search.execute candidate resolution: two-word ALL-strategy query — the
+    * query tree, derivations, branch matching and exhaustive count all run
+    * on the production path. */
+  def qEngineCandidates(spark: SparkSession, dir: String): DataFrame = {
+    val idx = index(spark, dir)
+    val res = new Search(idx).execute(SearchRequest(
+      query = Some("data spark "),
+      limit = 100000,
+      authorizeTypos = false,
+      strategy = MatchingStrategy.All,
+      criteriaOverride = Some(Nil)))
+    import spark.implicits._
+    res.documentsIds.map(_.toLong).toDF("doc_id")
+      .withColumn("candidates", lit(res.candidates))
+  }
+
+  /** Block-max BM25 top-k through the FOR-compressed posting blocks with
+    * pruning ON — scores must equal the declarative formula exactly
+    * (pruned ≡ full is separately asserted by Bm25Spec). */
+  def qEngineBm25(spark: SparkSession, dir: String): DataFrame = {
+    val idx = index(spark, dir)
+    val top = new Bm25(idx).topK(Seq("data", "spark"), 20, prune = true)
+    import spark.implicits._
+    top.toSeq
+      .map { case (id, s) => (id.toLong, math.floor(s * 1e6 + 0.5).toLong) }
+      .toDF("doc_id", "score_fp")
+  }
+}

@@ -51,7 +51,12 @@ object SparkEntry {
     "q_fingerprint" -> (Queries.qFingerprint _),
     "q_multimodal_meta" -> (Queries.qMultimodalMeta _),
     "q_sessionize" -> (Queries.qSessionize _),
-    "q_incremental_merge" -> (Queries.qIncrementalMerge _)
+    "q_incremental_merge" -> (Queries.qIncrementalMerge _),
+    // production-engine gates: IndexBuilder → Search / Bm25 over a real
+    // index built from documents.parquet (EngineQueries)
+    "q_engine_search_sort" -> (EngineQueries.qEngineSearchSort _),
+    "q_engine_candidates" -> (EngineQueries.qEngineCandidates _),
+    "q_engine_bm25" -> (EngineQueries.qEngineBm25 _)
   )
 
   /** Shared tokenizer CTE (identical semantics to [[Queries.tokens]]). */
@@ -334,6 +339,41 @@ object SparkEntry {
          |h1 AS (SELECT word, count(DISTINCT doc_id) AS df FROM tok WHERE doc_id % 2 = 0 GROUP BY word),
          |h2 AS (SELECT word, count(DISTINCT doc_id) AS df FROM tok WHERE doc_id % 2 = 1 GROUP BY word),
          |u AS (SELECT * FROM h1 UNION ALL SELECT * FROM h2)
-         |SELECT word, CAST(sum(df) AS BIGINT) AS df FROM u GROUP BY word ORDER BY word""".stripMargin
+         |SELECT word, CAST(sum(df) AS BIGINT) AS df FROM u GROUP BY word ORDER BY word""".stripMargin,
+
+    "q_engine_search_sort" ->
+      s"""$TOK
+         |SELECT CAST(row_number() OVER (ORDER BY n_chars DESC, doc_id) - 1 AS BIGINT) AS rank,
+         |       CAST(doc_id AS BIGINT) AS doc_id
+         |FROM documents
+         |WHERE n_chars >= 200 AND lang = 'en'
+         |  AND doc_id IN (SELECT doc_id FROM tok WHERE word = 'data')
+         |ORDER BY rank LIMIT 50""".stripMargin,
+
+    "q_engine_candidates" ->
+      s"""$TOK,
+         |m AS (SELECT DISTINCT doc_id FROM tok WHERE word = 'data'
+         |      INTERSECT
+         |      SELECT DISTINCT doc_id FROM tok WHERE word = 'spark')
+         |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         |       (SELECT CAST(count(*) AS BIGINT) FROM m) AS candidates
+         |FROM m ORDER BY doc_id""".stripMargin,
+
+    "q_engine_bm25" ->
+      s"""$TOK,
+         |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+         |stats AS (SELECT (SELECT count(*) FROM documents) AS n,
+         |                 (SELECT avg(dl) FROM dl) AS avgdl),
+         |tf AS (SELECT doc_id, word, count(*) AS tf FROM tok
+         |       WHERE word IN ('data', 'spark') GROUP BY doc_id, word),
+         |dft AS (SELECT word, count(DISTINCT doc_id) AS df FROM tf GROUP BY word),
+         |scored AS (
+         |  SELECT tf.doc_id,
+         |         sum(ln(1.0 + (n - df + 0.5) / (df + 0.5)) *
+         |             (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))) AS score
+         |  FROM tf JOIN dft USING (word) JOIN dl USING (doc_id), stats
+         |  GROUP BY tf.doc_id)
+         |SELECT CAST(doc_id AS BIGINT) AS doc_id, ${fp("score")} AS score_fp FROM scored
+         |ORDER BY score_fp DESC, doc_id LIMIT 20""".stripMargin
   )
 }
