@@ -50,6 +50,9 @@ object SparkEntry {
     "q_token_count" -> (Queries.qTokenCount _),
     "q_fingerprint" -> (Queries.qFingerprint _),
     "q_multimodal_meta" -> (Queries.qMultimodalMeta _),
+    "q_multimodal_decode" -> ((s: SparkSession, dir: String) =>
+      graft.pipeline.Multimodal.decodeQuery(
+        s, s.read.parquet(s"$dir/documents.parquet"), "doc_id")),
     "q_sessionize" -> (Queries.qSessionize _),
     "q_incremental_merge" -> (Queries.qIncrementalMerge _),
     // production-engine gates: IndexBuilder → Search / Bm25 over a real
@@ -321,6 +324,17 @@ object SparkEntry {
     "q_multimodal_meta" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS nbytes,
         | lower(hex(encode(substr(text, 1, 8)))) AS head_hex
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // real javax.imageio decode must recover the dimensions and solid color
+    // planted in each synthetic PNG (pure doc_id arithmetic for the oracle)
+    "q_multimodal_decode" ->
+      """SELECT doc_id,
+        | CAST(16 + doc_id % 8 AS BIGINT) AS width,
+        | CAST(12 + doc_id % 5 AS BIGINT) AS height,
+        | CAST(doc_id % 256 AS BIGINT) AS mean_r,
+        | CAST((doc_id * 7) % 256 AS BIGINT) AS mean_g,
+        | CAST((doc_id * 13) % 256 AS BIGINT) AS mean_b
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_sessionize" ->

@@ -57,17 +57,26 @@ class IndexBuilder(spark: SparkSession, settings: IndexSettings) extends Seriali
   private val exactFids: Set[Int] =
     settings.exactAttributes.flatMap(fieldIds.get)
 
-  /** Deterministic dense docid assignment: dense rank of the primary key.
-    * Independent of input partitioning/parallelism (north-rule determinism:
-    * the same corpus at local[8] and local[32] yields identical docids).
+  /** Deterministic dense docid assignment: global rank of the primary key,
+    * computed in two distributed passes — range-partition + sort on the key,
+    * then per-partition counts → prefix-sum offsets (`zipWithIndex`) — so no
+    * single task ever sorts the whole corpus (a global `row_number()` window
+    * would). The result is the same for ANY partition count: docid is the
+    * total-order rank of the (unique) key, and the offsets only re-slice it
+    * (north-rule determinism: local[8] and local[32] yield identical ids).
     * Equivalent role: `AvailableDocumentsIds`
     * (`/root/reference/milli/src/update/available_documents_ids.rs`). */
   def assignDocids(docs: DataFrame, orderCol: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window.orderBy(col(orderCol))
-    // row_number over a global order: acceptable as a one-time id-assignment
-    // stage; at cluster scale swap for sort + zipWithIndex-style two-pass
-    // (count per range partition, then offset) — same deterministic result.
-    docs.withColumn("docid", (row_number().over(w) - 1).cast("int"))
+    val schema = org.apache.spark.sql.types.StructType(docs.schema.fields :+
+      org.apache.spark.sql.types.StructField("docid",
+        org.apache.spark.sql.types.IntegerType, nullable = false))
+    val sortedRdd = docs
+      .repartitionByRange(col(orderCol)).sortWithinPartitions(orderCol)
+      .rdd // single lineage: zipWithIndex's count job reuses the shuffle
+    val rows = sortedRdd.zipWithIndex().map { case (row, i) =>
+      org.apache.spark.sql.Row.fromSeq(row.toSeq :+ i.toInt)
+    }
+    docs.sparkSession.createDataFrame(rows, schema)
   }
 
   /** Tokenize every searchable field of every document.

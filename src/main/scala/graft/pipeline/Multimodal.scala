@@ -23,22 +23,67 @@ final case class MediaFeatures(
       * batch shape) is real. */
     features: Array[Float])
 
+/** Decoded image facts (real `javax.imageio` decode). */
+final case class ImageInfo(width: Int, height: Int,
+    meanR: Double, meanG: Double, meanB: Double)
+
 /** Multimodal-column plumbing for training pipelines: treat image/audio/
   * video as opaque `binary` columns with typed metadata; run decode /
   * feature-extraction as batched `mapPartitions` (the JVM analogue of
   * `mapInPandas` — one reusable "decoder" per partition, rows streamed
-  * through it). The decode itself is STUBBED with a deterministic fake
-  * (marked below); swap `decodeStub` for a real codec binding on a real
+  * through it). IMAGE decode is REAL (`javax.imageio`, in the JDK);
+  * audio/video stay stubbed with a deterministic fake (no codec libs in
+  * this container) — swap `decodeStub` for real bindings on a real
   * cluster.
   */
 object Multimodal {
 
-  /** === STUB ===: deterministic fake "decode" — hashes bytes into an
-    * 8-dim feature vector. Real deployments replace this body with an
-    * image/audio decode (the signature and batching stay). */
+  /** === STUB === (audio/video only): deterministic fake "decode" — hashes
+    * bytes into an 8-dim feature vector. Real deployments replace this body
+    * with a codec binding (the signature and batching stay). */
   def decodeStub(kind: String, media: Array[Byte]): Array[Float] = {
     val md = java.security.MessageDigest.getInstance("MD5").digest(media)
     Array.tabulate(8)(i => ((md(i) & 0xff) / 255.0f))
+  }
+
+  /** Real image decode: PNG/JPEG/GIF/BMP bytes → dimensions + channel
+    * means. Returns None when the bytes aren't a decodable image. */
+  def decodeImage(media: Array[Byte]): Option[ImageInfo] =
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(media))
+      if (img == null) None
+      else {
+        val w = img.getWidth; val h = img.getHeight
+        var r = 0L; var g = 0L; var b = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val p = img.getRGB(x, y)
+            r += (p >> 16) & 0xff; g += (p >> 8) & 0xff; b += p & 0xff
+            x += 1
+          }
+          y += 1
+        }
+        val n = w.toLong * h
+        Some(ImageInfo(w, h, r.toDouble / n, g.toDouble / n, b.toDouble / n))
+      }
+    } catch { case _: Exception => None }
+
+  /** Deterministic solid-color PNG (test/bench corpus): dimensions and
+    * color derive from the id, so decode output is oracle-checkable. */
+  def syntheticPng(id: Long): Array[Byte] = {
+    val w = 16 + (id % 8).toInt
+    val h = 12 + (id % 5).toInt
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val rgb = (((id % 256).toInt & 0xff) << 16) |
+      ((((id * 7) % 256).toInt & 0xff) << 8) | (((id * 13) % 256).toInt & 0xff)
+    var y = 0
+    while (y < h) { var x = 0; while (x < w) { img.setRGB(x, y, rgb); x += 1 }; y += 1 }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
   }
 
   /** Batched decode/feature-extract: one expensive "decoder" initialized
@@ -53,10 +98,35 @@ object Multimodal {
       it.map { m =>
         sha.reset()
         val digest = sha.digest(m.media).take(8).map("%02x".format(_)).mkString
-        MediaFeatures(m.id, m.kind, m.media.length.toLong, digest,
-          decodeStub(m.kind, m.media))
+        val features = m.kind match {
+          case "image" => decodeImage(m.media) match {
+            case Some(info) => Array(info.width.toFloat, info.height.toFloat,
+              info.meanR.toFloat, info.meanG.toFloat, info.meanB.toFloat)
+            case None => decodeStub(m.kind, m.media)
+          }
+          case other => decodeStub(other, m.media)
+        }
+        MediaFeatures(m.id, m.kind, m.media.length.toLong, digest, features)
       }
     }
+  }
+
+  /** Driver-gate query: decode a deterministic PNG per doc and recover the
+    * planted dimensions + color — proves the decode path is real, not a
+    * hash of the bytes. */
+  def decodeQuery(spark: SparkSession, docs: DataFrame, idCol: String): DataFrame = {
+    import spark.implicits._
+    val items = docs.select(col(idCol).cast("long")).as[Long]
+      .mapPartitions(_.map(id =>
+        MediaItem(id, "image", syntheticPng(id), 0, 0, 0L)))
+    extractFeatures(spark, items)
+      .select($"id".as("doc_id"),
+        $"features"(0).cast("long").as("width"),
+        $"features"(1).cast("long").as("height"),
+        $"features"(2).cast("long").as("mean_r"),
+        $"features"(3).cast("long").as("mean_g"),
+        $"features"(4).cast("long").as("mean_b"))
+      .orderBy("doc_id")
   }
 
   /** Frame sampling stub for video: pick every `stride`-th "frame" region

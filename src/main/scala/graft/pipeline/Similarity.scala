@@ -66,11 +66,21 @@ class Similarity(spark: SparkSession, numPlanes: Int = 16, dims: Int = 64) exten
 
   /** Deterministic IVF coarse quantizer: centroids = the embeddings of a
     * seeded id sample, refined with a few Lloyd iterations computed as
-    * DataFrame aggregations (assign = argmin distance via a broadcast
-    * centroid array; update = groupBy(cluster).avg). */
+    * DataFrame aggregations. The mean update is `posexplode` →
+    * `groupBy(cluster, dim).avg` — per-(cluster,dim) scalar partials with
+    * map-side combine, so no executor or driver ever holds a cluster's
+    * vectors (a `collect_list` of whole vectors per cluster would OOM at
+    * web scale). `trainSampleMod > 1` trains on a deterministic 1/mod
+    * hash-slice of the corpus — sampling is how IVF quantizers are trained
+    * at billion-vector scale anyway. */
   def trainIvf(embeddings: DataFrame, idCol: String, vecCol: String,
-      nLists: Int = 16, iterations: Int = 3, seed: Long = 42L): Array[Array[Double]] = {
-    val ds = asDouble(embeddings, vecCol).select(col("__v"))
+      nLists: Int = 16, iterations: Int = 3, seed: Long = 42L,
+      trainSampleMod: Int = 1): Array[Array[Double]] = {
+    val all = asDouble(embeddings, vecCol).select(col("__v"))
+    val ds =
+      if (trainSampleMod <= 1) all
+      else all.where(pmod(xxhash64(col("__v").cast("string"), lit(seed)),
+        lit(trainSampleMod)) === 0)
     var centroids: Array[Array[Double]] = ds
       .orderBy(abs(hash(col("__v").cast("string")) + lit(seed)))
       .limit(nLists)
@@ -78,10 +88,15 @@ class Similarity(spark: SparkSession, numPlanes: Int = 16, dims: Int = 64) exten
     for (_ <- 0 until iterations) {
       val bc = spark.sparkContext.broadcast(centroids)
       val assign = udf((v: Seq[Double]) => Similarity.nearestCentroid(v.toArray, bc.value))
-      val updated = ds.withColumn("c", assign(col("__v")))
-        .groupBy("c")
-        .agg(Similarity.meanVec(col("__v"), dims).as("mean"))
-        .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
+      val rows = ds.withColumn("c", assign(col("__v")))
+        .select(col("c"), posexplode(col("__v")).as(Seq("d", "x")))
+        .groupBy("c", "d").agg(avg("x").as("m"))
+        .collect() // nLists × dims scalars — the only driver materialization
+      val updated = rows.groupBy(_.getInt(0)).map { case (cidx, rs) =>
+        val arr = new Array[Double](dims)
+        rs.foreach(r => arr(r.getInt(1)) = r.getDouble(2))
+        cidx -> arr
+      }
       centroids = centroids.indices.map(i => updated.getOrElse(i, centroids(i))).toArray
     }
     centroids
@@ -146,11 +161,4 @@ object Similarity extends Serializable {
     best
   }
 
-  /** element-wise mean of equal-length vectors as a SQL aggregate. */
-  def meanVec(c: org.apache.spark.sql.Column, dims: Int): org.apache.spark.sql.Column = {
-    import org.apache.spark.sql.functions._
-    val sums = aggregate(collect_list(c), lit(Array.fill(dims)(0.0)),
-      (acc, v) => zip_with(acc, v, (a, b) => a + b))
-    zip_with(sums, array_repeat(count(lit(1)).cast("double"), dims), (s, n) => s / n)
-  }
 }

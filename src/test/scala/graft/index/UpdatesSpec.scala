@@ -75,6 +75,27 @@ class UpdatesSpec extends AnyFunSuite with Matchers {
     bmInc.zip(bmFull).foreach { case ((_, a), (_, b)) => a shouldBe b +- 1e-9 }
   }
 
+  test("docid assignment is identical across partition counts (two-pass, no global window)") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val settings = IndexSettings(searchableFields = Seq("text"))
+    val builder = new IndexBuilder(spark, settings)
+    val docs = WebPages.generate(spark, 1000).drop("docid")
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    def assign(inputParts: Int, shuffleParts: Int): Map[String, Int] = {
+      spark.conf.set("spark.sql.shuffle.partitions", shuffleParts)
+      try builder.assignDocids(docs.repartition(inputParts), "url")
+        .select($"url", $"docid").as[(String, Int)].collect().toMap
+      finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    }
+    val a = assign(3, 5)
+    val b = assign(17, 32)
+    a shouldBe b
+    // dense 0..n-1 and rank-ordered by the key
+    a.values.toSeq.sorted shouldBe (0 until 1000)
+    a.toSeq.sortBy(_._2).map(_._1) shouldBe a.keys.toSeq.sorted
+  }
+
   test("replace semantics tombstone old versions of re-added primary keys") {
     val spark = TestSpark.spark
     import spark.implicits._
