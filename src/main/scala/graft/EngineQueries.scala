@@ -71,6 +71,22 @@ object EngineQueries {
       .withColumn("candidates", lit(res.candidates))
   }
 
+  /** Prefix resolution through the production path: no trailing space →
+    * the last (only) word is a prefix query; extensions resolve via the
+    * parquet StartsWith range + per-doc startsWith, never a dictionary
+    * enumeration. */
+  def qEnginePrefix(spark: SparkSession, dir: String): DataFrame = {
+    val idx = index(spark, dir)
+    val res = new Search(idx).execute(SearchRequest(
+      query = Some("dat"), // prefix query
+      limit = 100000,
+      authorizeTypos = false,
+      criteriaOverride = Some(Nil)))
+    import spark.implicits._
+    res.documentsIds.map(_.toLong).toDF("doc_id")
+      .withColumn("candidates", lit(res.candidates))
+  }
+
   /** Block-max BM25 top-k through the FOR-compressed posting blocks with
     * pruning ON — scores must equal the declarative formula exactly
     * (pruned ≡ full is separately asserted by Bm25Spec). */

@@ -59,6 +59,7 @@ object SparkEntry {
     // index built from documents.parquet (EngineQueries)
     "q_engine_search_sort" -> (EngineQueries.qEngineSearchSort _),
     "q_engine_candidates" -> (EngineQueries.qEngineCandidates _),
+    "q_engine_prefix" -> (EngineQueries.qEnginePrefix _),
     "q_engine_bm25" -> (EngineQueries.qEngineBm25 _)
   )
 
@@ -369,6 +370,13 @@ object SparkEntry {
          |m AS (SELECT DISTINCT doc_id FROM tok WHERE word = 'data'
          |      INTERSECT
          |      SELECT DISTINCT doc_id FROM tok WHERE word = 'spark')
+         |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         |       (SELECT CAST(count(*) AS BIGINT) FROM m) AS candidates
+         |FROM m ORDER BY doc_id""".stripMargin,
+
+    "q_engine_prefix" ->
+      s"""$TOK,
+         |m AS (SELECT DISTINCT doc_id FROM tok WHERE word LIKE 'dat%')
          |SELECT CAST(doc_id AS BIGINT) AS doc_id,
          |       (SELECT CAST(count(*) AS BIGINT) FROM m) AS candidates
          |FROM m ORDER BY doc_id""".stripMargin,

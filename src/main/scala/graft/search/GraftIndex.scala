@@ -110,8 +110,19 @@ class GraftIndex(val spark: SparkSession, val dir: String, val settings: IndexSe
   }
 
   def derivations(keys: Set[(String, Boolean, Int)]): Ranker.Derivations = {
-    if (keys.isEmpty) return Ranker.Derivations(Map.empty)
-    val keySeq = keys.toSeq
+    // Plain prefix EXTENSIONS are NEVER enumerated against the dictionary:
+    // the read path resolves them with a parquet StartsWith predicate on
+    // the word-sorted posting tables + per-doc startsWith
+    // (Ranker.Derivations.matching) — at web scale a prefix can cover 10^5
+    // dictionary words, which is exactly the expansion milli's
+    // word_prefix_docids db exists to avoid (criteria/mod.rs:590-637).
+    // Prefix keys with a typo budget enumerate ONLY their typo'd
+    // derivations (extensions excluded below).
+    val enumKeys = keys.filterNot { case (_, prefix, t) => prefix && t == 0 }
+    if (enumKeys.isEmpty) return Ranker.Derivations(Map.empty,
+      settings.exactAttributes
+        .flatMap(f => settings.searchableFields.zipWithIndex.toMap.get(f)))
+    val keySeq = enumKeys.toSeq
     // coarse prefilter: any key may match words within its length band
     def bandOk(len: Int): Boolean = keySeq.exists { case (w, prefix, t) =>
       if (prefix) len >= w.length - t
@@ -132,7 +143,10 @@ class GraftIndex(val spark: SparkSession, val dir: String, val settings: IndexSe
     }
     val map = keySeq.map { case key @ (w, prefix, t) =>
       val ds = words.iterator.flatMap { case (cand, exactOnly) =>
-        Typo.derive(w, cand, prefix, t).collect {
+        // plain extensions of a prefix key are served by the per-doc
+        // startsWith path (Derivations.matching) — skip them here
+        if (prefix && cand.startsWith(w)) Iterator.empty
+        else Typo.derive(w, cand, prefix, t).collect {
           // exact-only words (occurring solely in exact_attributes fields)
           // are never typo-derivable (extract_word_docids exact split)
           case typo if typo == 0 || !exactOnly => (cand, typo)

@@ -47,6 +47,23 @@ object Ranker extends Serializable {
     def apply(word: String, prefix: Boolean, maxTypo: Int): Seq[(String, Int)] =
       map.getOrElse((word, prefix, maxTypo), Nil)
 
+    /** The doc's words matching a derivation key, with typo counts.
+      * PREFIX extensions (0 typos) are resolved per-document — `startsWith`
+      * against the doc's own (few) matched words — with NO dictionary
+      * enumeration: the scan predicate already restricted `doc.positions`
+      * to the query's word ranges, so this is the Spark-side stand-in for
+      * milli's `word_prefix_docids` lookup (`criteria/mod.rs:590-637`): the
+      * word-sorted posting table serves the prefix range directly, instead
+      * of expanding a web-scale dictionary into an IN-list. For prefix keys
+      * with a typo budget, only the genuinely typo'd derivations are
+      * enumerated (GraftIndex.derivations excludes plain extensions). */
+    def matching(doc: DocData, word: String, prefix: Boolean, maxTypo: Int): Seq[(String, Int)] = {
+      val enumerated = map.getOrElse((word, prefix, maxTypo), Nil)
+      if (!prefix) enumerated
+      else (doc.positions.keysIterator.filter(_.startsWith(word))
+        .map((_, 0)).toVector ++ enumerated).sortBy(_._1)
+    }
+
     /** do the doc's positions of `w` satisfy the typo/exact-field rule? */
     def positionsOk(positions: Array[Int], typo: Int): Boolean =
       typo == 0 || exactFids.isEmpty ||
@@ -73,7 +90,7 @@ object Ranker extends Serializable {
     case Or(_, cs) => cs.exists(matches(_, doc, derivations))
     case Phrase(ws) => phraseMatches(ws, doc)
     case Query(prefix, kind) =>
-      derivations(kind.word, prefix, kind.typo).exists { case (w, typo) =>
+      derivations.matching(doc, kind.word, prefix, kind.typo).exists { case (w, typo) =>
         doc.positions.get(w).exists(derivations.positionsOk(_, typo))
       }
   }
@@ -102,7 +119,7 @@ object Ranker extends Serializable {
       if (vs.isEmpty) None else Some(vs.min)
     case Phrase(ws) => if (phraseMatches(ws, doc)) Some(0) else None
     case Query(prefix, kind) =>
-      val matched = derivations(kind.word, prefix, kind.typo)
+      val matched = derivations.matching(doc, kind.word, prefix, kind.typo)
         .filter { case (w, typo) =>
           doc.positions.get(w).exists(derivations.positionsOk(_, typo))
         }
@@ -233,7 +250,7 @@ object Ranker extends Serializable {
       case Or(_, cs) =>
         cs.flatMap(proximityIntervals(_, doc, derivations)).sorted
       case Query(prefix, kind) =>
-        val words = derivations(kind.word, prefix, kind.typo).map(_._1)
+        val words = derivations.matching(doc, kind.word, prefix, kind.typo).map(_._1)
         words.flatMap(w => doc.positions.getOrElse(w, Array.empty[Int]))
           .map(p => (p, 0, p)).sorted
     }
@@ -293,7 +310,7 @@ object Ranker extends Serializable {
               case Exact(w, _) if !prefix =>
                 doc.positions.get(w).flatMap(_.headOption)
               case _ =>
-                val words = derivations(kind.word, prefix, kind.typo).map(_._1)
+                val words = derivations.matching(doc, kind.word, prefix, kind.typo).map(_._1)
                 val firsts = words.flatMap(w => doc.positions.get(w).flatMap(_.headOption))
                 if (firsts.isEmpty) None else Some(firsts.min)
             }

@@ -159,12 +159,21 @@ class Search(index: GraftIndex) extends Serializable {
     val tree = QueryTree.build(ctx, req.strategy, req.authorizeTypos, parts).get
     val branches = QueryTree.wordsBranches(tree)
 
-    // 2. derivations for every key of every branch (one term_dict scan)
+    // 2. derivations for every key of every branch (one term_dict scan);
+    // 0-typo prefix keys stay un-enumerated and become scan range
+    // predicates below
     val allKeys = branches.flatMap(Ranker.derivationKeys).toSet
     val derivations = index.derivations(allKeys)
     val relevantWords: Seq[String] =
       (derivations.map.values.flatten.map(_._1) ++
         allKeys.collect { case (w, false, 0) => w }).toSeq.distinct
+    val prefixWords: Seq[String] =
+      allKeys.collect { case (w, true, _) => w }.toSeq
+        // drop prefixes already covered by a shorter one
+        .sortBy(_.length)
+        .foldLeft(Vector.empty[String]) { (acc, p) =>
+          if (acc.exists(p.startsWith)) acc else acc :+ p
+        }
 
     val exactParts = Ranker.exactParts(parts, ctx.synonyms)
     val searchableFids = settings.searchableFields.indices
@@ -180,9 +189,15 @@ class Search(index: GraftIndex) extends Serializable {
     // The filter semi-join keeps doc-contiguity under either join strategy:
     // broadcast-hash streams rows through in order; sort-merge re-sorts the
     // partition BY docid, which is exactly the contiguity we need.
-    val dwp = applyFilter(
-      index.docWordPositions.where($"word".isin(relevantWords: _*)),
-      filterDf, deleted)
+    // Prefix keys read as StartsWith range predicates — parquet pushes
+    // StringStartsWith down to footer min/max pruning on the word-sorted
+    // table, the physical twin of milli's word_prefix_docids range.
+    val wordPred = {
+      val in = if (relevantWords.nonEmpty) Seq($"word".isin(relevantWords: _*)) else Nil
+      val pref = prefixWords.map(p => $"word".startsWith(p))
+      (in ++ pref).reduceOption(_ || _).getOrElse(lit(false))
+    }
+    val dwp = applyFilter(index.docWordPositions.where(wordPred), filterDf, deleted)
     val wc = index.docFidWordCounts
     val docData = dwp.select($"docid", $"word", $"positions")
       .as[(Int, String, Array[Int])]

@@ -54,6 +54,15 @@ class PlanSpec extends AnyFunSuite with Matchers {
     p should include("partial_bitmap_or_agg")
   }
 
+  test("prefix query words push down as StartsWith to the posting scan") {
+    val index = graft.search.Fixture.buildIndex(spark)
+    val df = index.docWordPositions
+      .where(org.apache.spark.sql.functions.col("word").startsWith("he"))
+    val p = plan(df)
+    p should include("PushedFilters")
+    p should include("StringStartsWith(word,he)")
+  }
+
   test("filter AST compiles to distributed joins, never a docid In-list") {
     val index = graft.search.Fixture.buildIndex(spark)
     val ast = graft.search.FilterParser.parse(
