@@ -329,40 +329,12 @@ class IndexBuilder(spark: SparkSession, settings: IndexSettings) extends Seriali
     }
 
     // wave 3: prefix dictionary (depends on term_dict)
-    stage(T.PrefixDict) {
-      // prefixes of length 1..=4 shared by ≥ threshold words
-      // (words_prefixes_fst.rs:43-96)
-      val dict = spark.read.parquet(s"$dir/${T.TermDict}")
-      (1 to settings.maxPrefixLength).map { n =>
-        dict.where(length($"word") > n)
-          .select(substring($"word", 1, n).as("prefix"))
-          .groupBy($"prefix").agg(count(lit(1)).as("n_words"))
-          .where($"n_words" >= settings.prefixThreshold)
-      }.reduce(_ unionAll _)
-    }
+    stage(T.PrefixDict) { buildPrefixDict(dir) }
 
     // wave 4: prefix posting tables (depend on wave 2 + prefix_dict)
     wave(
-      ("" + T.WordPrefixDocids, () => {
-      // equality join on generated prefixes (no startsWith range join —
-      // shuffles hash-partition on prefix, skew-safe under AQE)
-      val wd = spark.read.parquet(s"$dir/${T.WordDocids}")
-      val pd = spark.read.parquet(s"$dir/${T.PrefixDict}")
-      val exploded = wd.select($"word", $"docids",
-          explode(sequence(lit(1), least(length($"word"), lit(settings.maxPrefixLength)))).as("n"))
-        .select($"word".substr(lit(1), $"n").as("prefix"), $"docids")
-      exploded.join(broadcast(pd.select($"prefix")), Seq("prefix"))
-        .groupBy($"prefix").agg(F.bitmap_union_agg($"docids").as("docids"))
-    }),
-      ("" + T.WordPrefixPositionDocids, () => {
-      val wp = spark.read.parquet(s"$dir/${T.WordPositionDocids}")
-      val pd = spark.read.parquet(s"$dir/${T.PrefixDict}")
-      val exploded = wp.select($"word", $"position", $"docids",
-          explode(sequence(lit(1), least(length($"word"), lit(settings.maxPrefixLength)))).as("n"))
-        .select($"word".substr(lit(1), $"n").as("prefix"), $"position", $"docids")
-      exploded.join(broadcast(pd.select($"prefix")), Seq("prefix"))
-        .groupBy($"prefix", $"position").agg(F.bitmap_union_agg($"docids").as("docids"))
-    }))
+      ("" + T.WordPrefixDocids, () => buildWordPrefixDocids(dir)),
+      ("" + T.WordPrefixPositionDocids, () => buildWordPrefixPositionDocids(dir)))
 
     val (fNum, fStr, fEx) = facetOverride.getOrElse(
       extractFacets(spark.read.parquet(s"$dir/${T.Documents}")))
@@ -370,32 +342,8 @@ class IndexBuilder(spark: SparkSession, settings: IndexSettings) extends Seriali
     // wave 4b: prefix-pair proximity tables (#8, #9) — prox ≤ 4,
     // prefix len ≤ 2 (prefix_word_pairs/mod.rs:17-18)
     wave(
-      ("" + T.WordPrefixPairProximityDocids, () => {
-        val wpp = spark.read.parquet(s"$dir/${T.WordPairProximityDocids}")
-        val pd = spark.read.parquet(s"$dir/${T.PrefixDict}")
-          .where(length($"prefix") <= 2).select($"prefix")
-        val exploded = wpp.where($"prox" <= 4)
-          .select($"prox", $"w1", $"docids",
-            explode(sequence(lit(1), least(length($"w2"), lit(2)))).as("n"),
-            $"w2")
-          .select($"prox", $"w1", $"w2".substr(lit(1), $"n").as("prefix"), $"docids")
-        exploded.join(broadcast(pd), Seq("prefix"))
-          .groupBy($"prox", $"w1", $"prefix")
-          .agg(F.bitmap_union_agg($"docids").as("docids"))
-      }),
-      ("" + T.PrefixWordPairProximityDocids, () => {
-        val wpp = spark.read.parquet(s"$dir/${T.WordPairProximityDocids}")
-        val pd = spark.read.parquet(s"$dir/${T.PrefixDict}")
-          .where(length($"prefix") <= 2).select($"prefix")
-        val exploded = wpp.where($"prox" <= 4)
-          .select($"prox", $"w2", $"docids",
-            explode(sequence(lit(1), least(length($"w1"), lit(2)))).as("n"),
-            $"w1")
-          .select($"prox", $"w1".substr(lit(1), $"n").as("prefix"), $"w2", $"docids")
-        exploded.join(broadcast(pd), Seq("prefix"))
-          .groupBy($"prox", $"prefix", $"w2")
-          .agg(F.bitmap_union_agg($"docids").as("docids"))
-      }))
+      ("" + T.WordPrefixPairProximityDocids, () => buildWordPrefixPairProximity(dir)),
+      ("" + T.PrefixWordPairProximityDocids, () => buildPrefixWordPairProximity(dir)))
 
     // wave 5: facet tables
     wave(
@@ -421,6 +369,110 @@ class IndexBuilder(spark: SparkSession, settings: IndexSettings) extends Seriali
 
     dwp.unpersist()
     pool.shutdown()
+    finishBuild(manifest, taskAgg, listener, dir, t0)
+    manifest
+  }
+
+  // ------------------------------------------------- derived-table builders
+  // Each reads ONLY base tables already under `dir`, so they serve both the
+  // from-scratch build and the post-merge refresh in Updates.addDocuments
+  // (the Spark twin of word_prefix_docids.rs / prefix_word_pairs/mod.rs /
+  // words_prefix_position_docids.rs incremental updates — bulk rebuild from
+  // merged bases, cheap in parquet).
+
+  /** prefixes of length 1..=4 shared by ≥ threshold words
+    * (words_prefixes_fst.rs:43-96) */
+  def buildPrefixDict(dir: String): DataFrame = {
+    val dict = spark.read.parquet(s"$dir/${T.TermDict}")
+    (1 to settings.maxPrefixLength).map { n =>
+      dict.where(length($"word") > n)
+        .select(substring($"word", 1, n).as("prefix"))
+        .groupBy($"prefix").agg(count(lit(1)).as("n_words"))
+        .where($"n_words" >= settings.prefixThreshold)
+    }.reduce(_ unionAll _)
+  }
+
+  /** equality join on generated prefixes (no startsWith range join —
+    * shuffles hash-partition on prefix, skew-safe under AQE) */
+  def buildWordPrefixDocids(dir: String): DataFrame = {
+    val wd = spark.read.parquet(s"$dir/${T.WordDocids}")
+    val pd = spark.read.parquet(s"$dir/${T.PrefixDict}")
+    val exploded = wd.select($"word", $"docids",
+        explode(sequence(lit(1), least(length($"word"), lit(settings.maxPrefixLength)))).as("n"))
+      .select($"word".substr(lit(1), $"n").as("prefix"), $"docids")
+    exploded.join(broadcast(pd.select($"prefix")), Seq("prefix"))
+      .groupBy($"prefix").agg(F.bitmap_union_agg($"docids").as("docids"))
+  }
+
+  def buildWordPrefixPositionDocids(dir: String): DataFrame = {
+    val wp = spark.read.parquet(s"$dir/${T.WordPositionDocids}")
+    val pd = spark.read.parquet(s"$dir/${T.PrefixDict}")
+    val exploded = wp.select($"word", $"position", $"docids",
+        explode(sequence(lit(1), least(length($"word"), lit(settings.maxPrefixLength)))).as("n"))
+      .select($"word".substr(lit(1), $"n").as("prefix"), $"position", $"docids")
+    exploded.join(broadcast(pd.select($"prefix")), Seq("prefix"))
+      .groupBy($"prefix", $"position").agg(F.bitmap_union_agg($"docids").as("docids"))
+  }
+
+  def buildWordPrefixPairProximity(dir: String): DataFrame = {
+    val wpp = spark.read.parquet(s"$dir/${T.WordPairProximityDocids}")
+    val pd = spark.read.parquet(s"$dir/${T.PrefixDict}")
+      .where(length($"prefix") <= 2).select($"prefix")
+    val exploded = wpp.where($"prox" <= 4)
+      .select($"prox", $"w1", $"docids",
+        explode(sequence(lit(1), least(length($"w2"), lit(2)))).as("n"),
+        $"w2")
+      .select($"prox", $"w1", $"w2".substr(lit(1), $"n").as("prefix"), $"docids")
+    exploded.join(broadcast(pd), Seq("prefix"))
+      .groupBy($"prox", $"w1", $"prefix")
+      .agg(F.bitmap_union_agg($"docids").as("docids"))
+  }
+
+  def buildPrefixWordPairProximity(dir: String): DataFrame = {
+    val wpp = spark.read.parquet(s"$dir/${T.WordPairProximityDocids}")
+    val pd = spark.read.parquet(s"$dir/${T.PrefixDict}")
+      .where(length($"prefix") <= 2).select($"prefix")
+    val exploded = wpp.where($"prox" <= 4)
+      .select($"prox", $"w2", $"docids",
+        explode(sequence(lit(1), least(length($"w1"), lit(2)))).as("n"),
+        $"w1")
+      .select($"prox", $"w1".substr(lit(1), $"n").as("prefix"), $"w2", $"docids")
+    exploded.join(broadcast(pd), Seq("prefix"))
+      .groupBy($"prox", $"prefix", $"w2")
+      .agg(F.bitmap_union_agg($"docids").as("docids"))
+  }
+
+  def buildFacetNumberLevels(dir: String): DataFrame =
+    IndexBuilder.buildFacetLevels(spark,
+      spark.read.parquet(s"$dir/${T.DocFacetNumbers}")
+        .select($"field", $"value".cast("double").as("bound"), $"docid"))
+
+  def buildFacetStringLevels(dir: String): DataFrame =
+    IndexBuilder.buildFacetLevels(spark,
+      spark.read.parquet(s"$dir/${T.DocFacetStrings}")
+        .select($"field", $"norm".as("bound"), $"docid"))
+
+  /** Rebuild every derived table (prefix dict + the four prefix posting
+    * tables + facet level trees) from the CURRENT base tables under `dir` —
+    * called by `Updates.addDocuments` after merging bases so incremental
+    * indexes never serve stale derived data. */
+  def refreshDerivedTables(dir: String,
+      writeOver: (DataFrame, String) => Unit): Unit = {
+    writeOver(buildPrefixDict(dir), s"$dir/${T.PrefixDict}")
+    writeOver(buildWordPrefixDocids(dir), s"$dir/${T.WordPrefixDocids}")
+    writeOver(buildWordPrefixPositionDocids(dir), s"$dir/${T.WordPrefixPositionDocids}")
+    writeOver(buildWordPrefixPairProximity(dir), s"$dir/${T.WordPrefixPairProximityDocids}")
+    writeOver(buildPrefixWordPairProximity(dir), s"$dir/${T.PrefixWordPairProximityDocids}")
+    writeOver(buildFacetNumberLevels(dir), s"$dir/${T.FacetNumberLevels}")
+    writeOver(buildFacetStringLevels(dir), s"$dir/${T.FacetStringLevels}")
+  }
+
+  private def finishBuild(
+      manifest: Manifest,
+      taskAgg: java.util.concurrent.ConcurrentHashMap[Int, Array[Long]],
+      listener: org.apache.spark.scheduler.SparkListener,
+      dir: String,
+      t0: Long): Unit = {
     spark.sparkContext.removeSparkListener(listener)
     import scala.jdk.CollectionConverters._
     val stages = taskAgg.asScala
@@ -430,7 +482,6 @@ class IndexBuilder(spark: SparkSession, settings: IndexSettings) extends Seriali
       totals(2), totals(3), totals(4))
     SettingsIO.save(dir, settings) // self-describing index dir
     manifest.finish((System.nanoTime() - t0) / 1e9, settings, dir)
-    manifest
   }
 }
 

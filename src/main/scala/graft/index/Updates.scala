@@ -184,10 +184,14 @@ class Updates(spark: SparkSession, settings: IndexSettings) {
         .toDF("word", "docid", "tf")
       writeOver(IndexBuilder.buildPostingBlocksFromTf(spark, all), pbOld)
     }
-    // derived prefix tables + facet levels: cheap bulk rebuild from merged
-    // base tables (the reference's incremental prefix/facet updates exist
-    // because LMDB rewrites are expensive; parquet bulk rewrite is not)
-    // — skipped here when prefix_dict is empty.
+    // derived prefix tables + facet levels: bulk rebuild from the MERGED
+    // base tables, so incremental indexes never serve stale derived data
+    // (the reference updates these after every batch —
+    // word_prefix_docids.rs:40-136, prefix_word_pairs/mod.rs,
+    // words_prefix_position_docids.rs:57-182; its incremental machinery
+    // exists because LMDB rewrites are expensive, parquet bulk rewrite is
+    // not).
+    new IndexBuilder(spark, settings).refreshDerivedTables(dir, writeOver)
   }
 
   /** Atomic-ish table replace: write to side dir then swap. */

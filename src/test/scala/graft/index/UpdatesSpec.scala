@@ -73,6 +73,30 @@ class UpdatesSpec extends AnyFunSuite with Matchers {
       .topK(Seq("w2", "w7"), 10)
     bmInc.map(_._1).toSeq shouldBe bmFull.map(_._1).toSeq
     bmInc.zip(bmFull).foreach { case ((_, a), (_, b)) => a shouldBe b +- 1e-9 }
+
+    // EVERY table is identical — including the derived prefix tables and
+    // facet level trees refreshed after the merge (stale derived data is
+    // the incremental-index time bomb)
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, concat_ws}
+    val tables = new java.io.File(fullDir).listFiles().filter(_.isDirectory)
+      .map(_.getName).filterNot(_.startsWith("_")).sorted.toSeq
+    def canon(dir: String, t: String): Seq[String] = {
+      val df = spark.read.parquet(s"$dir/$t")
+      val cols = df.schema.fields.sortBy(_.name).map { f =>
+        val c = col(f.name)
+        f.name match {
+          case "docids" => graft.functions.GraftFunctions.bitmap_to_array(c).cast("string")
+          case _ if f.dataType == org.apache.spark.sql.types.BinaryType =>
+            org.apache.spark.sql.functions.hex(c)
+          case _ => c.cast("string")
+        }
+      }
+      df.select(concat_ws("|", cols.toSeq: _*)).as[String].collect().sorted.toSeq
+    }
+    tables.foreach { t =>
+      withClue(s"table $t: ") { canon(incDir, t) shouldBe canon(fullDir, t) }
+    }
   }
 
   test("docid assignment is identical across partition counts (two-pass, no global window)") {
