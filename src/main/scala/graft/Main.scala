@@ -62,8 +62,7 @@ object Main {
       println(f"[graft] candidates=${result.candidates} took=$ms%.0f ms")
       println(s"[graft] top-${result.documentsIds.size}: ${result.documentsIds.mkString(", ")}")
       // highlighted + cropped snippets for the first few hits
-      val qw = graft.search.Matcher.queryWords(
-        graft.search.QueryTree.primitiveQuery(query, settings.stopWords), settings)
+      val mw = graft.search.Matcher.matchingWordsFor(index, query)
       val textCol = settings.searchableFields.head
       val top = result.documentsIds.take(3)
       if (top.nonEmpty && index.documents.columns.contains(textCol)) {
@@ -73,8 +72,7 @@ object Main {
           .select(col("docid"), col(textCol).cast("string"))
           .collect().sortBy(r => top.indexOf(r.getInt(0)))
           .foreach { r =>
-            val snippet = graft.search.Matcher.highlight(
-              graft.search.Matcher.crop(r.getString(1), qw, 12), qw)
+            val snippet = graft.search.Matcher.highlightCrop(r.getString(1), mw, 12)
             println(s"[graft]   #${r.getInt(0)}: $snippet")
           }
       }
