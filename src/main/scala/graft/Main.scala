@@ -33,7 +33,16 @@ object Main {
         searchableFields = searchable.split(',').toSeq,
         filterableFields = rest.headOption.map(_.split(',').toSet).getOrElse(Set.empty),
         sortableFields = rest.headOption.map(_.split(',').toSet).getOrElse(Set.empty))
-      val df0 = spark.read.parquet(docs)
+      // ingestion formats mirror documents/builder.rs: parquet (columnar),
+      // NDJSON / JSON lines, CSV with header. Nested JSON flattens to
+      // dotted columns (flatten-serde-json semantics) before indexing.
+      val raw =
+        if (docs.endsWith(".csv"))
+          spark.read.option("header", "true").option("inferSchema", "true").csv(docs)
+        else if (docs.endsWith(".json") || docs.endsWith(".ndjson") || docs.endsWith(".jsonl"))
+          spark.read.json(docs)
+        else spark.read.parquet(docs)
+      val df0 = graft.index.JsonFlatten.flattenColumns(raw)
       val builder = new IndexBuilder(spark, settings)
       val df =
         if (df0.columns.contains("docid")) df0

@@ -57,6 +57,12 @@ class IndexBuilder(spark: SparkSession, settings: IndexSettings) extends Seriali
   private val exactFids: Set[Int] =
     settings.exactAttributes.flatMap(fieldIds.get)
 
+  /** Reference a user field by its LITERAL name — flattened nested docs
+    * produce dotted column names (`meta.lang`) that bare `col()` would
+    * parse as a struct path. */
+  @inline private def fcol(name: String) =
+    col(s"`${name.replace("`", "")}`")
+
   /** Deterministic dense docid assignment: global rank of the primary key,
     * computed in two distributed passes — range-partition + sort on the key,
     * then per-partition counts → prefix-sum offsets (`zipWithIndex`) — so no
@@ -86,7 +92,7 @@ class IndexBuilder(spark: SparkSession, settings: IndexSettings) extends Seriali
     val fields = settings.searchableFields
     val fidOf = fieldIds
     val stop = settings.stopWords
-    val cols = col("docid") +: fields.map(f => col(f).cast("string"))
+    val cols = col("docid") +: fields.map(f => fcol(f).cast("string"))
     docs.select(cols: _*).flatMap { row =>
       val docid = row.getInt(0)
       fields.iterator.zipWithIndex.flatMap { case (f, i) =>
@@ -112,7 +118,7 @@ class IndexBuilder(spark: SparkSession, settings: IndexSettings) extends Seriali
     val fields = settings.searchableFields
     val fidOf = fieldIds
     val stop = settings.stopWords
-    val cols = col("docid") +: fields.map(f => col(f).cast("string"))
+    val cols = col("docid") +: fields.map(f => fcol(f).cast("string"))
     docs.select(cols: _*).flatMap { row =>
       val docid = row.getInt(0)
       val byWord = new java.util.TreeMap[String, mutable.ArrayBuffer[Int]]()
@@ -147,23 +153,32 @@ class IndexBuilder(spark: SparkSession, settings: IndexSettings) extends Seriali
     val facetFields =
       (settings.filterableFields ++ settings.sortableFields).toSeq.sorted
         .filter(docs.columns.contains)
+    // array-valued fields (flattened JSON arrays) facet per ELEMENT, like
+    // the reference's per-value facet extraction over flattened docs
+    def rawValues(f: String): DataFrame =
+      docs.schema(f).dataType match {
+        case org.apache.spark.sql.types.ArrayType(_, _) =>
+          docs.select(col("docid"), explode(fcol(f)).as("__raw"))
+        case _ =>
+          docs.select(col("docid"), fcol(f).as("__raw"))
+      }
     val numbers = facetFields.map { f =>
       // try_cast: non-numeric values simply have no number form
       // (ANSI cast would throw), matching the reference's "store as f64
       // only when parseable" rule.
-      docs.select(lit(f).as("field"), col("docid"),
-          expr(s"try_cast(`$f` as double)").as("value"))
+      rawValues(f).select(lit(f).as("field"), col("docid"),
+          expr("try_cast(__raw as double)").as("value"))
         .where(col("value").isNotNull)
     }.reduceOption(_ unionAll _).getOrElse(emptyNumbers)
     val strings = facetFields.map { f =>
-      docs.select(lit(f).as("field"), col("docid"),
-          trim(lower(col(f).cast("string"))).as("norm"),
-          col(f).cast("string").as("orig"))
+      rawValues(f).select(lit(f).as("field"), col("docid"),
+          trim(lower(col("__raw").cast("string"))).as("norm"),
+          col("__raw").cast("string").as("orig"))
         .where(col("orig").isNotNull)
     }.reduceOption(_ unionAll _).getOrElse(emptyStrings)
     val exists = facetFields.map { f =>
       docs.select(lit(f).as("field"), col("docid"))
-        .where(col(f).isNotNull)
+        .where(fcol(f).isNotNull)
     }.reduceOption(_ unionAll _).getOrElse(emptyExists)
     (numbers, strings, exists)
   }
@@ -222,7 +237,9 @@ class IndexBuilder(spark: SparkSession, settings: IndexSettings) extends Seriali
     // second scan.
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.Duration
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    // daemon threads: a failed build must never keep the JVM alive
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8,
+      (r: Runnable) => { val t = new Thread(r); t.setDaemon(true); t })
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
 
     def stage(name: String)(df: => DataFrame): Unit =

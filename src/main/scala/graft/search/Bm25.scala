@@ -144,16 +144,20 @@ class Bm25(index: GraftIndex, k1: Double = 1.2, b: Double = 0.75) extends Serial
       .where($"word".isin(terms: _*))
       .select($"word", $"block_id", $"bytes")
       .as[(String, Int, Array[Byte])]
-      .filter(r => bBlocks.value.contains((r._1, r._2)))
-      .flatMap { case (word, _, bytes) =>
-        val idfw = bIdfs.value(word)
-        val filt = docFilter.map(_.value)
+      .mapPartitions { rows =>
+        // tombstone bitmap deserialized ONCE per task, not per block row
         val del = graft.core.Bitmaps.cboDeserialize(bDeleted.value)
-        PostingBlocks.decode(bytes).iterator
-          .filter { case (docid, _) =>
-            !del.contains(docid) &&
-              filt.forall(a => java.util.Arrays.binarySearch(a, docid) >= 0) }
-          .map { case (docid, tf) => (docid, word, idfw, tf) }
+        val filt = docFilter.map(_.value)
+        val idfs = bIdfs.value
+        val blocks = bBlocks.value
+        rows.filter(r => blocks.contains((r._1, r._2))).flatMap { case (word, _, bytes) =>
+          val idfw = idfs(word)
+          PostingBlocks.decode(bytes).iterator
+            .filter { case (docid, _) =>
+              !del.contains(docid) &&
+                filt.forall(a => java.util.Arrays.binarySearch(a, docid) >= 0) }
+            .map { case (docid, tf) => (docid, word, idfw, tf) }
+        }
       }
       .toDF("docid", "word", "idf", "tf")
     val withS = contrib.join(index.docStats, Seq("docid"))
