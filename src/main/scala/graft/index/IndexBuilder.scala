@@ -253,25 +253,36 @@ class IndexBuilder(spark: SparkSession, settings: IndexSettings) extends Seriali
         }
       }
 
-    def wave(stages: (String, () => DataFrame)*): Unit = {
-      val fs = stages.map { case (name, df) => Future(stage(name)(df())) }
-      fs.foreach(Await.result(_, Duration.Inf))
-    }
+    // Dependency-DAG scheduling: each table stage launches the moment its
+    // dependencies commit (no wave barriers), so build wall time ≈ the
+    // critical path (documents → forward index → pair-proximity →
+    // prefix-pair tables) while independent stages fill the remaining
+    // executor slots — the Spark twin of the reference's rayon fan-out.
+    val done = scala.collection.concurrent.TrieMap.empty[String, Future[Unit]]
+    def stageF(name: String, deps: Seq[String])(df: => DataFrame): Unit =
+      done(name) = Future.sequence(deps.map(done(_)))
+        .map(_ => stage(name)(df))
 
-    stage(T.Documents) {
+    stageF(T.Documents, Nil) {
       docs.repartitionByRange(col("docid")).sortWithinPartitions("docid")
     }
 
     // The forward index (doc → word → positions) is built MAP-SIDE: the
     // flatMap groups tokens per document before anything is shuffled, the
     // Spark mirror of milli's per-chunk extraction
-    // (extract/extract_docid_word_positions.rs). Rows stay doc-contiguous,
+    // (extract_docid_word_positions.rs). Rows stay doc-contiguous,
     // so per-doc operators (pair sweep, doclen, word counts) run with NO
     // shuffle via consecutive-run grouping; only word-keyed aggregations
     // shuffle, and those move (word, docid) pairs, not raw tokens.
-    val dwp = extractDwp(spark.read.parquet(s"$dir/${T.Documents}"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    dwp.count() // materialize once before the concurrent wave
+    // Created (and materialized) only after the documents table commits.
+    var dwpRef: Dataset[DwpRow] = null
+    done("__dwp") = done(T.Documents).map { _ =>
+      dwpRef = extractDwp(spark.read.parquet(s"$dir/${T.Documents}"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      dwpRef.count()
+      ()
+    }
+    def dwp = dwpRef
 
     val efSeq = exactFids.toSeq.map(Integer.valueOf)
     def hasTolerant = if (exactFids.isEmpty) lit(true)
@@ -279,10 +290,9 @@ class IndexBuilder(spark: SparkSession, settings: IndexSettings) extends Seriali
     def hasExact = if (exactFids.isEmpty) lit(false)
       else exists($"positions", p => shiftright(p, 16).isin(efSeq: _*))
 
-    // wave 2: everything derived from the forward index
-    wave(
-      ("" + T.DocWordPositions, () => dwp.toDF()),
-      ("" + T.WordDocids, () => {
+    // everything derived from the forward index (launches when __dwp lands)
+    stageF(T.DocWordPositions, Seq("__dwp")) { dwp.toDF() }
+    stageF(T.WordDocids, Seq("__dwp")) {
         // occurrences in exact_attributes fields live ONLY in
         // exact_word_docids (extract_word_docids.rs:25-88)
         dwp.toDF().where(hasTolerant)
@@ -291,101 +301,108 @@ class IndexBuilder(spark: SparkSession, settings: IndexSettings) extends Seriali
           .withColumn("df", F.bitmap_cardinality($"docids"))
           .repartitionByRange(col("word"))
           .sortWithinPartitions("word")
-      }),
-      ("" + T.ExactWordDocids, () => {
-        dwp.toDF().where(hasExact)
-          .groupBy($"word").agg(F.bitmap_or_agg($"docid").as("docids"))
-          .repartitionByRange(col("word")).sortWithinPartitions("word")
-      }),
-      ("" + T.WordPositionDocids, () => {
-        dwp.toDF().select($"word", explode($"positions").as("position"), $"docid")
-          .groupBy($"word", $"position")
-          .agg(F.bitmap_or_agg($"docid").as("docids"))
-          .repartitionByRange(col("word"), col("position"))
-          .sortWithinPartitions("word", "position")
-      }),
-      ("" + T.DocFidWordCounts, () => {
-        // word count = last relative position + 1, kept only when ≤ 10
-        // (extract_fid_word_count_docids.rs:56-96); per-doc, no shuffle
-        IndexBuilder.perDocFidWordCounts(spark, dwp)
-      }),
-      ("" + T.WordPairProximityDocids, () => {
-        // per-doc plane sweep on doc-contiguous rows: no docid shuffle
-        import spark.implicits._
-        dwp.mapPartitions { it =>
-          IndexBuilder.groupConsecutive(it).flatMap { case (docid, rows) =>
-            IndexBuilder.pairProximities(rows).iterator.map {
-              case ((w1, w2), prox) => (prox, w1, w2, docid)
-            }
+    }
+    stageF(T.ExactWordDocids, Seq("__dwp")) {
+      dwp.toDF().where(hasExact)
+        .groupBy($"word").agg(F.bitmap_or_agg($"docid").as("docids"))
+        .repartitionByRange(col("word")).sortWithinPartitions("word")
+    }
+    stageF(T.WordPositionDocids, Seq("__dwp")) {
+      dwp.toDF().select($"word", explode($"positions").as("position"), $"docid")
+        .groupBy($"word", $"position")
+        .agg(F.bitmap_or_agg($"docid").as("docids"))
+        .repartitionByRange(col("word"), col("position"))
+        .sortWithinPartitions("word", "position")
+    }
+    stageF(T.DocFidWordCounts, Seq("__dwp")) {
+      // word count = last relative position + 1, kept only when ≤ 10
+      // (extract_fid_word_count_docids.rs:56-96); per-doc, no shuffle
+      IndexBuilder.perDocFidWordCounts(spark, dwp)
+    }
+    stageF(T.WordPairProximityDocids, Seq("__dwp")) {
+      // per-doc plane sweep on doc-contiguous rows: no docid shuffle
+      dwp.mapPartitions { it =>
+        IndexBuilder.groupConsecutive(it).flatMap { case (docid, rows) =>
+          IndexBuilder.pairProximities(rows).iterator.map {
+            case ((w1, w2), prox) => (prox, w1, w2, docid)
           }
         }
-        .toDF("prox", "w1", "w2", "docid")
-        .groupBy($"prox", $"w1", $"w2")
-        .agg(F.bitmap_or_agg($"docid").as("docids"))
-        .repartitionByRange($"w1", $"w2", $"prox")
-        .sortWithinPartitions("w1", "w2", "prox")
-      }),
-      ("" + T.TermDict, () => {
-        // full vocabulary; exact_only marks words occurring solely in
-        // exact_attributes fields (not typo-derivable)
-        dwp.toDF().select($"word", $"docid", hasTolerant.as("tolerant_occ"))
-          .groupBy($"word")
-          .agg(count(lit(1)).as("df"),
-            (sum(when(col("tolerant_occ"), 1).otherwise(0)) === 0).as("exact_only"))
-          .repartitionByRange(col("word")).sortWithinPartitions("word")
-      }),
-      ("" + T.DocStats, () =>
-        IndexBuilder.perDocStats(spark, dwp)),
-      ("" + T.PostingBlocks, () =>
-        IndexBuilder.buildPostingBlocksFromDwp(spark, dwp.toDF())))
+      }
+      .toDF("prox", "w1", "w2", "docid")
+      .groupBy($"prox", $"w1", $"w2")
+      .agg(F.bitmap_or_agg($"docid").as("docids"))
+      .repartitionByRange($"w1", $"w2", $"prox")
+      .sortWithinPartitions("w1", "w2", "prox")
+    }
+    stageF(T.TermDict, Seq("__dwp")) {
+      // full vocabulary; exact_only marks words occurring solely in
+      // exact_attributes fields (not typo-derivable)
+      dwp.toDF().select($"word", $"docid", hasTolerant.as("tolerant_occ"))
+        .groupBy($"word")
+        .agg(count(lit(1)).as("df"),
+          (sum(when(col("tolerant_occ"), 1).otherwise(0)) === 0).as("exact_only"))
+        .repartitionByRange(col("word")).sortWithinPartitions("word")
+    }
+    stageF(T.DocStats, Seq("__dwp")) { IndexBuilder.perDocStats(spark, dwp) }
+    stageF(T.PostingBlocks, Seq("__dwp")) {
+      IndexBuilder.buildPostingBlocksFromDwp(spark, dwp.toDF())
+    }
 
-    stage(T.FidWordCountDocids) {
+    stageF(T.FidWordCountDocids, Seq(T.DocFidWordCounts)) {
       spark.read.parquet(s"$dir/${T.DocFidWordCounts}")
         .groupBy($"fid", $"word_count")
         .agg(F.bitmap_or_agg($"docid").as("docids"))
     }
 
-    // wave 3: prefix dictionary (depends on term_dict)
-    stage(T.PrefixDict) { buildPrefixDict(dir) }
+    // prefix dictionary (words_prefixes_fst) + prefix posting tables
+    stageF(T.PrefixDict, Seq(T.TermDict)) { buildPrefixDict(dir) }
+    stageF(T.WordPrefixDocids, Seq(T.WordDocids, T.PrefixDict)) {
+      buildWordPrefixDocids(dir)
+    }
+    stageF(T.WordPrefixPositionDocids, Seq(T.WordPositionDocids, T.PrefixDict)) {
+      buildWordPrefixPositionDocids(dir)
+    }
+    // prefix-pair proximity tables (#8, #9) — prox ≤ 4, prefix len ≤ 2
+    // (prefix_word_pairs/mod.rs:17-18)
+    stageF(T.WordPrefixPairProximityDocids,
+      Seq(T.WordPairProximityDocids, T.PrefixDict)) {
+      buildWordPrefixPairProximity(dir)
+    }
+    stageF(T.PrefixWordPairProximityDocids,
+      Seq(T.WordPairProximityDocids, T.PrefixDict)) {
+      buildPrefixWordPairProximity(dir)
+    }
 
-    // wave 4: prefix posting tables (depend on wave 2 + prefix_dict)
-    wave(
-      ("" + T.WordPrefixDocids, () => buildWordPrefixDocids(dir)),
-      ("" + T.WordPrefixPositionDocids, () => buildWordPrefixPositionDocids(dir)))
+    // facet extraction (reads the committed documents table)
+    var facets: (DataFrame, DataFrame, DataFrame) = null
+    done("__facets") = done(T.Documents).map { _ =>
+      facets = facetOverride.getOrElse(
+        extractFacets(spark.read.parquet(s"$dir/${T.Documents}")))
+      ()
+    }
+    stageF(T.DocFacetNumbers, Seq("__facets")) {
+      facets._1.repartitionByRange($"field", $"value")
+        .sortWithinPartitions("field", "value")
+    }
+    stageF(T.DocFacetStrings, Seq("__facets")) {
+      facets._2.repartitionByRange($"field", $"norm")
+        .sortWithinPartitions("field", "norm")
+    }
+    stageF(T.FacetExistsDocids, Seq("__facets")) {
+      facets._3.groupBy($"field").agg(F.bitmap_or_agg($"docid").as("docids"))
+    }
 
-    val (fNum, fStr, fEx) = facetOverride.getOrElse(
-      extractFacets(spark.read.parquet(s"$dir/${T.Documents}")))
-
-    // wave 4b: prefix-pair proximity tables (#8, #9) — prox ≤ 4,
-    // prefix len ≤ 2 (prefix_word_pairs/mod.rs:17-18)
-    wave(
-      ("" + T.WordPrefixPairProximityDocids, () => buildWordPrefixPairProximity(dir)),
-      ("" + T.PrefixWordPairProximityDocids, () => buildPrefixWordPairProximity(dir)))
-
-    // wave 5: facet tables
-    wave(
-      ("" + T.DocFacetNumbers, () =>
-        fNum.repartitionByRange($"field", $"value").sortWithinPartitions("field", "value")),
-      ("" + T.DocFacetStrings, () =>
-        fStr.repartitionByRange($"field", $"norm").sortWithinPartitions("field", "norm")),
-      ("" + T.FacetExistsDocids, () =>
-        fEx.groupBy($"field").agg(F.bitmap_or_agg($"docid").as("docids"))))
-
-    // wave 6: facet level trees (bulk rebuild — group 4, min level size 5,
+    // facet level trees (bulk rebuild — group 4, min level size 5,
     // update/facet/mod.rs:75-77). Level 0 = per-value bitmaps; level n
     // groups 4 consecutive level n−1 entries, keyed by their left bound.
-    wave(
-      ("" + T.FacetNumberLevels, () =>
-        IndexBuilder.buildFacetLevels(spark,
-          spark.read.parquet(s"$dir/${T.DocFacetNumbers}")
-            .select($"field", $"value".cast("double").as("bound"), $"docid"))),
-      ("" + T.FacetStringLevels, () =>
-        IndexBuilder.buildFacetLevels(spark,
-          spark.read.parquet(s"$dir/${T.DocFacetStrings}")
-            .select($"field", $"norm".as("bound"), $"docid"))))
+    stageF(T.FacetNumberLevels, Seq(T.DocFacetNumbers)) { buildFacetNumberLevels(dir) }
+    stageF(T.FacetStringLevels, Seq(T.DocFacetStrings)) { buildFacetStringLevels(dir) }
 
-    dwp.unpersist()
-    pool.shutdown()
+    try Await.result(Future.sequence(done.values.toSeq), Duration.Inf)
+    finally {
+      if (dwpRef != null) dwpRef.unpersist()
+      pool.shutdown()
+    }
     finishBuild(manifest, taskAgg, listener, dir, t0)
     manifest
   }
