@@ -244,8 +244,16 @@ class Search(index: GraftIndex) extends Serializable {
 
     val withSorts = attachSortColumns(rankedRows, criteria, req.sortCriteria)
     val sortCols = criteria.flatMap(criterionColumns(_, req.sortCriteria)) :+ $"docid".asc
-    val total = if (req.exhaustive) withSorts.count() else -1L
-    finish(withSorts, sortCols, distinctField, req, total)
+    // exhaustive counting + top-k are two actions: persist the (small,
+    // candidates × rank-ints) rank rows so the scan/rank job runs once
+    val persisted =
+      if (req.exhaustive)
+        Some(withSorts.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      else None
+    try {
+      val total = persisted.map(_.count()).getOrElse(-1L)
+      finish(persisted.getOrElse(withSorts), sortCols, distinctField, req, total)
+    } finally persisted.foreach(_.unpersist(false))
   }
 
   // -------------------------------------------------------------- helpers
