@@ -44,11 +44,18 @@ object Main {
         else spark.read.parquet(docs)
       val df0 = graft.index.JsonFlatten.flattenColumns(raw)
       val builder = new IndexBuilder(spark, settings)
+      // enrich: primary-key discovery + id/geo validation before indexing
+      // (enrich.rs semantics; one distributed aggregation)
       val df =
         if (df0.columns.contains("docid")) df0
-        else if (df0.columns.contains("doc_id"))
+        else if (df0.columns.contains("doc_id")) {
+          graft.index.Enrich.validate(df0, Some("doc_id"))
           df0.withColumn("docid", org.apache.spark.sql.functions.col("doc_id").cast("int"))
-        else builder.assignDocids(df0, df0.columns.head)
+        } else {
+          val pk = graft.index.Enrich.validate(df0,
+            Option(settings.primaryKey).filter(df0.columns.contains))
+          builder.assignDocids(df0, pk)
+        }
       val manifest = builder.build(df, dir)
       manifest.tables.foreach { t =>
         val e = manifest(t).get
