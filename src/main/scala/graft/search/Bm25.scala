@@ -32,7 +32,11 @@ import graft.core.PostingBlocks
   * Result is identical to full scoring (asserted by Bm25Spec); pruning only
   * skips blocks provably unable to host a top-k doc.
   */
-class Bm25(index: GraftIndex, k1: Double = 1.2, b: Double = 0.75) extends Serializable {
+class Bm25(index: GraftIndex, k1: Double = 1.2, b: Double = 0.75,
+    /** queries touching ≤ this many postings score driver-side in one
+      * posting-block fetch — the adaptive twin of milli's in-process point
+      * reads. 0 disables the fast path (tests force the distributed one). */
+    smallQueryMaxPostings: Long = 1L << 18) extends Serializable {
   import index.spark
   import spark.implicits._
 
@@ -40,6 +44,18 @@ class Bm25(index: GraftIndex, k1: Double = 1.2, b: Double = 0.75) extends Serial
     val row = index.docStats.agg(count(lit(1)), avg($"doclen")).first()
     (index.numberOfDocuments, row.getDouble(1))
   }
+
+  /** doclen array pinned on the driver for the small-query path — only for
+    * indexes small enough that 4 bytes/doc is nothing (≤ 20M docs). At
+    * 10^12 docs this is None and every query takes the distributed path. */
+  private lazy val docLensLocal: Option[Array[Int]] =
+    if (index.numberOfDocuments > 20000000L) None
+    else {
+      val arr = new Array[Int](index.numberOfDocuments.toInt)
+      index.docStats.select($"docid", $"doclen".cast("int")).as[(Int, Int)]
+        .collect().foreach { case (d, l) => if (d < arr.length) arr(d) = l }
+      Some(arr)
+    }
 
   def idf(df: Long): Double = {
     val n = stats._1
@@ -81,6 +97,12 @@ class Bm25(index: GraftIndex, k1: Double = 1.2, b: Double = 0.75) extends Serial
           m
         }
     }
+
+    // small-query fast path: one posting-block fetch + driver-side exact
+    // scoring (identical formula/ordering; Bm25Spec asserts equivalence)
+    val totalPostings = metas.map(_.count.toLong).sum
+    if (totalPostings <= smallQueryMaxPostings && docLensLocal.isDefined)
+      return topKLocal(present, idfs, avgdl, k)
 
     // small posting sets: the 3-pass pruning costs more jobs than it saves
     if (!prune || metas.length <= 64)
@@ -124,6 +146,34 @@ class Bm25(index: GraftIndex, k1: Double = 1.2, b: Double = 0.75) extends Serial
     val bCands = spark.sparkContext.broadcast(candSet)
     val exact = score(phaseB, present, idfs, avgdl, docFilter = Some(bCands))
     exact.orderBy(desc("score"), asc("docid")).limit(k).as[(Int, Double)].collect()
+  }
+
+  /** Small-query path: fetch the terms' posting-block bytes (one pruned
+    * scan), decode and score in-process against the pinned doclen array. */
+  private def topKLocal(terms: Seq[String], idfs: Map[String, Double],
+      avgdl: Double, k: Int): Array[(Int, Double)] = {
+    val lens = docLensLocal.get
+    val del = index.deletedDocids
+    val rows = index.postingBlocks
+      .where($"word".isin(terms: _*))
+      .select($"word", $"bytes").as[(String, Array[Byte])].collect()
+    val acc = new java.util.HashMap[Integer, java.lang.Double]()
+    rows.foreach { case (word, bytes) =>
+      val idfw = idfs(word)
+      PostingBlocks.decode(bytes).foreach { case (docid, tf) =>
+        if (!del.contains(docid)) {
+          val dl = if (docid < lens.length) lens(docid) else 0
+          val s = idfw * (tf * (k1 + 1)) / (tf + k1 * (1 - b + b * dl / avgdl))
+          val prev = acc.get(docid)
+          acc.put(docid, if (prev == null) s else prev + s)
+        }
+      }
+    }
+    import scala.jdk.CollectionConverters._
+    acc.entrySet().asScala.toArray
+      .map(e => (e.getKey.intValue(), e.getValue.doubleValue()))
+      .sortBy { case (docid, s) => (-s, docid) }
+      .take(k)
   }
 
   /** Decode + score the given blocks: flatMap decode → join doclen →

@@ -29,12 +29,24 @@ class Bm25Spec extends AnyFunSuite with Matchers {
   }
 
   test("pruned top-k identical to full scoring (rank + score)") {
-    val bm25 = new Bm25(index)
+    // force the distributed path so block-max pruning is what's tested
+    val bm25 = new Bm25(index, smallQueryMaxPostings = 0)
     for (terms <- Seq(Seq("w0"), Seq("w3", "w17"), Seq("the", "w100"), Seq("w5", "w50", "w500"))) {
       val full = bm25.topK(terms, 10, prune = false)
       val pruned = bm25.topK(terms, 10, prune = true)
       pruned.map(_._1).toSeq shouldBe full.map(_._1).toSeq
       pruned.zip(full).foreach { case ((_, a), (_, b)) => a shouldBe b +- 1e-12 }
+    }
+  }
+
+  test("small-query driver path identical to the distributed path") {
+    val fast = new Bm25(index) // default: small queries score driver-side
+    val dist = new Bm25(index, smallQueryMaxPostings = 0)
+    for (terms <- Seq(Seq("w0"), Seq("w3", "w17"), Seq("the", "w100"), Seq("w5", "w50", "w500"))) {
+      val a = fast.topK(terms, 10)
+      val b = dist.topK(terms, 10, prune = false)
+      a.map(_._1).toSeq shouldBe b.map(_._1).toSeq
+      a.zip(b).foreach { case ((_, x), (_, y)) => x shouldBe y +- 1e-9 }
     }
   }
 
