@@ -60,7 +60,9 @@ object EngineQueries {
     * on the production path. */
   def qEngineCandidates(spark: SparkSession, dir: String): DataFrame = {
     val idx = index(spark, dir)
-    val res = new Search(idx).execute(SearchRequest(
+    // maxLocalPostings = 0: this gate pins the DISTRIBUTED rank path (the
+    // 100 TB path); q_engine_prefix gates the small-query driver path
+    val res = new Search(idx, maxLocalPostings = 0).execute(SearchRequest(
       query = Some("data spark "),
       limit = 100000,
       authorizeTypos = false,

@@ -99,15 +99,35 @@ class GraftIndex(val spark: SparkSession, val dir: String, val settings: IndexSe
     * in-process in the reference too). Big dictionaries (> ~2M words) keep
     * the distributed predicate-scan path. */
   private val TermDictLocalMax = 2000000L
-  private lazy val termDictLocal: Option[Array[(String, Boolean)]] = {
+  /** (word, exactOnly, df) rows pinned driver-side for small dictionaries —
+    * derivations AND posting-size estimation cost zero Spark jobs. */
+  private lazy val termDictLocalFull: Option[Array[(String, Boolean, Long)]] = {
     val hasExactOnly = termDict.columns.contains("exact_only")
     val n = termDict.count()
     if (n > TermDictLocalMax) None
     else Some(
       if (hasExactOnly)
-        termDict.select($"word", $"exact_only").as[(String, Boolean)].collect()
-      else termDict.select($"word").as[String].collect().map((_, false)))
+        termDict.select($"word", $"exact_only", $"df".cast("long"))
+          .as[(String, Boolean, Long)].collect()
+      else termDict.select($"word", $"df".cast("long")).as[(String, Long)]
+        .collect().map { case (w, df) => (w, false, df) })
   }
+  private lazy val termDictLocal: Option[Array[(String, Boolean)]] =
+    termDictLocalFull.map(_.map { case (w, eo, _) => (w, eo) })
+
+  /** Estimated posting rows a query scan will touch: Σ df over the exact /
+    * derived words + Σ df over every dictionary word extending a prefix.
+    * None when the dictionary is too big to pin (web scale) — callers then
+    * always take the distributed path. */
+  def estimatePostings(words: Seq[String], prefixes: Seq[String]): Option[Long] =
+    termDictLocalFull.map { dict =>
+      val wanted = words.toSet
+      var sum = 0L
+      dict.foreach { case (w, _, df) =>
+        if (wanted.contains(w) || prefixes.exists(w.startsWith)) sum += df
+      }
+      sum
+    }
 
   def derivations(keys: Set[(String, Boolean, Int)]): Ranker.Derivations = {
     // Plain prefix EXTENSIONS are NEVER enumerated against the dictionary:

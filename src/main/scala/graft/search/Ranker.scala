@@ -81,6 +81,27 @@ object Ranker extends Serializable {
     }
   }
 
+  /** The full per-candidate rank vector (words bucket, typos, proximity,
+    * attribute, exactness) — shared by the distributed rank job and the
+    * driver-side small-query path. None = no branch matches. */
+  def rankVector(
+      doc: DocData,
+      branches: IndexedSeq[Op],
+      der: Derivations,
+      exactParts: Seq[ExactPart],
+      searchableFids: Seq[Int]): Option[(Int, Int, Int, Long, Int)] = {
+    val wordsBucket = branches.indexWhere(b => matches(b, doc, der))
+    if (wordsBucket < 0) None
+    else {
+      val branch = branches(wordsBucket)
+      Some((wordsBucket,
+        minTypos(branch, doc, der).getOrElse(Int.MaxValue),
+        proximityBucket(branch, doc, der),
+        attributeRank(flattenQueryTree(branch), doc, der),
+        exactnessRank(exactParts, doc, searchableFids)))
+    }
+  }
+
   // ---------------------------------------------------------------- match
 
   /** Does the doc match the op? (bool eval of resolve_query_tree,

@@ -75,7 +75,15 @@ final case class SearchResult(
   * partition (TakeOrdered). At 10^12 docs the scan is pruned by the word
   * IN-filter; candidates without any query word never leave the scan.
   */
-class Search(index: GraftIndex) extends Serializable {
+object Search {
+  /** default bound for the small-query driver path. */
+  val DefaultMaxLocalPostings: Long = 1L << 17
+}
+
+class Search(index: GraftIndex,
+    /** queries whose scan provably touches ≤ this many posting rows rank
+      * driver-side (small-query path); 0 forces the distributed path. */
+    maxLocalPostings: Long = Search.DefaultMaxLocalPostings) extends Serializable {
   import index.spark
   import spark.implicits._
 
@@ -178,6 +186,21 @@ class Search(index: GraftIndex) extends Serializable {
     val exactParts = Ranker.exactParts(parts, ctx.synonyms)
     val searchableFids = settings.searchableFields.indices
 
+    // driver-side small-query path: when the pinned dictionary proves the
+    // scan touches few posting rows (and no sort-ish criterion / distinct
+    // needs facet joins), collect those rows once and rank in-process —
+    // the adaptive twin of milli's in-process execution. Web-scale
+    // dictionaries return None here and always rank distributed.
+    val sortish = criteria.exists {
+      case Criterion.Sort | Criterion.Asc(_) | Criterion.Desc(_) => true
+      case _ => false
+    }
+    val smallEnough = index.estimatePostings(relevantWords, prefixWords)
+      .exists(_ <= maxLocalPostings)
+    if (smallEnough && !sortish && distinctField.isEmpty)
+      return executeQueryLocal(branches.toVector, derivations, exactParts,
+        searchableFids, relevantWords, prefixWords, filterDf, deleted, criteria, req)
+
     val bBranches = spark.sparkContext.broadcast(branches.toVector)
     val bDerivations = spark.sparkContext.broadcast(derivations)
     val bExactParts = spark.sparkContext.broadcast(exactParts.toVector)
@@ -192,12 +215,9 @@ class Search(index: GraftIndex) extends Serializable {
     // Prefix keys read as StartsWith range predicates — parquet pushes
     // StringStartsWith down to footer min/max pruning on the word-sorted
     // table, the physical twin of milli's word_prefix_docids range.
-    val wordPred = {
-      val in = if (relevantWords.nonEmpty) Seq($"word".isin(relevantWords: _*)) else Nil
-      val pref = prefixWords.map(p => $"word".startsWith(p))
-      (in ++ pref).reduceOption(_ || _).getOrElse(lit(false))
-    }
-    val dwp = applyFilter(index.docWordPositions.where(wordPred), filterDf, deleted)
+    val dwp = applyFilter(
+      index.docWordPositions.where(wordPredicate(relevantWords, prefixWords)),
+      filterDf, deleted)
     val wc = index.docFidWordCounts
     val docData = dwp.select($"docid", $"word", $"positions")
       .as[(Int, String, Array[Int])]
@@ -226,19 +246,10 @@ class Search(index: GraftIndex) extends Serializable {
       .flatMap { case (docid, positions, fwcOrNull) =>
         val fwc = Option(fwcOrNull).getOrElse(Map.empty[Int, Int])
         val doc = Ranker.DocData(positions, fwc)
-        val der = bDerivations.value
-        val branches = bBranches.value
-        // words bucket = first matching branch
-        val wordsBucket = branches.indexWhere(b => Ranker.matches(b, doc, der))
-        if (wordsBucket < 0) Iterator.empty
-        else {
-          val branch = branches(wordsBucket)
-          val typo = Ranker.minTypos(branch, doc, der).getOrElse(Int.MaxValue)
-          val prox = Ranker.proximityBucket(branch, doc, der)
-          val attr = Ranker.attributeRank(Ranker.flattenQueryTree(branch), doc, der)
-          val exact = Ranker.exactnessRank(bExactParts.value, doc, bFids.value)
-          Iterator.single((docid, wordsBucket, typo, prox, attr, exact))
-        }
+        Ranker.rankVector(doc, bBranches.value, bDerivations.value,
+            bExactParts.value, bFids.value)
+          .map { case (w, t, p, a, e) => (docid, w, t, p, a, e) }
+          .iterator
       }
       .toDF("docid", "r_words", "r_typo", "r_proximity", "r_attribute", "r_exactness")
 
@@ -254,6 +265,87 @@ class Search(index: GraftIndex) extends Serializable {
       val total = persisted.map(_.count()).getOrElse(-1L)
       finish(persisted.getOrElse(withSorts), sortCols, distinctField, req, total)
     } finally persisted.foreach(_.unpersist(false))
+  }
+
+  /** Word scan predicate: IN over the enumerated derivations + StartsWith
+    * ranges for prefix keys (both push down to the parquet footers). */
+  private def wordPredicate(relevantWords: Seq[String], prefixWords: Seq[String]) = {
+    val in = if (relevantWords.nonEmpty) Seq($"word".isin(relevantWords: _*)) else Nil
+    val pref = prefixWords.map(p => $"word".startsWith(p))
+    (in ++ pref).reduceOption(_ || _).getOrElse(lit(false))
+  }
+
+  /** Small-query path: one pruned collect of the matching posting rows
+    * (plus one for word counts when exactness is active, one for the
+    * filter), then the SAME rank vector + ordering in-process. Only
+    * reachable when the pinned dictionary bounds the scan size. */
+  private def executeQueryLocal(
+      branches: Vector[QueryTree.Op],
+      derivations: Ranker.Derivations,
+      exactParts: Seq[Ranker.ExactPart],
+      searchableFids: Seq[Int],
+      relevantWords: Seq[String],
+      prefixWords: Seq[String],
+      filterDf: Option[DataFrame],
+      deleted: RoaringBitmap,
+      criteria: Seq[Criterion],
+      req: SearchRequest): SearchResult = {
+    val filterBm: Option[RoaringBitmap] =
+      filterDf.map(fd => Bitmaps.fromInts(fd.select($"docid").as[Int].collect()))
+    val rows = index.docWordPositions
+      .where(wordPredicate(relevantWords, prefixWords))
+      .select($"docid", $"word", $"positions")
+      .as[(Int, String, Array[Int])].collect()
+    val byDoc = scala.collection.mutable.LinkedHashMap
+      .empty[Int, scala.collection.mutable.HashMap[String, Array[Int]]]
+    rows.foreach { case (d, w, ps) =>
+      if (!deleted.contains(d) && filterBm.forall(_.contains(d)))
+        byDoc.getOrElseUpdate(d,
+          scala.collection.mutable.HashMap.empty[String, Array[Int]]).update(w, ps)
+    }
+    val fwc: Map[Int, Map[Int, Int]] =
+      if (!criteria.contains(Criterion.Exactness) || byDoc.isEmpty) Map.empty
+      else {
+        val candDf = spark.createDataset(byDoc.keys.toSeq).toDF("docid")
+        index.docFidWordCounts
+          .join(broadcast(candDf), Seq("docid"), "left_semi")
+          .select($"docid", $"fid", $"word_count")
+          .as[(Int, Int, Int)].collect()
+          .groupBy(_._1).map { case (d, rs) => d -> rs.map(r => r._2 -> r._3).toMap }
+      }
+    val ranked = byDoc.iterator.flatMap { case (docid, pos) =>
+      val doc = Ranker.DocData(pos.toMap, fwc.getOrElse(docid, Map.empty))
+      Ranker.rankVector(doc, branches, derivations, exactParts, searchableFids)
+        .map(v => (docid, v))
+    }.toArray
+    // lexicographic order over the criteria that are active, then docid —
+    // identical to the distributed sortCols
+    val orderIdx: Seq[Int] = criteria.collect {
+      case Criterion.Words => 0
+      case Criterion.Typo => 1
+      case Criterion.Proximity => 2
+      case Criterion.Attribute => 3
+      case Criterion.Exactness => 4
+    }
+    @inline def sel(v: (Int, Int, Int, Long, Int), i: Int): Long = i match {
+      case 0 => v._1; case 1 => v._2; case 2 => v._3; case 3 => v._4; case _ => v._5
+    }
+    val ord = new Ordering[(Int, (Int, Int, Int, Long, Int))] {
+      override def compare(a: (Int, (Int, Int, Int, Long, Int)),
+          b: (Int, (Int, Int, Int, Long, Int))): Int = {
+        var i = 0
+        while (i < orderIdx.length) {
+          val c = java.lang.Long.compare(sel(a._2, orderIdx(i)), sel(b._2, orderIdx(i)))
+          if (c != 0) return c
+          i += 1
+        }
+        Integer.compare(a._1, b._1)
+      }
+    }
+    val sorted = ranked.sorted(ord)
+    SearchResult(
+      sorted.iterator.map(_._1).slice(req.offset, req.offset + req.limit).toSeq,
+      ranked.length.toLong)
   }
 
   // -------------------------------------------------------------- helpers

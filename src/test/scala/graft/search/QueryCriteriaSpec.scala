@@ -16,14 +16,18 @@ class QueryCriteriaSpec extends AnyFunSuite with Matchers {
 
   private lazy val index = Fixture.buildIndex(TestSpark.spark)
   private lazy val search = new Search(index)
+  // the fixture index is tiny, so `search` exercises the small-query driver
+  // path; `searchDist` forces the distributed rank job (the 100 TB path) —
+  // both must be rank-identical to the oracle
+  private lazy val searchDist = new Search(index, maxLocalPostings = 0)
 
-  private def check(
-      name: String,
+  private def runCase(
+      s: Search,
       optionalWordsLast: Boolean,
       authorizeTypos: Boolean,
       criteria: Seq[Criterion],
-      sortBy: Seq[SortSpec]): Unit = test(name) {
-    val result = search.execute(SearchRequest(
+      sortBy: Seq[SortSpec]): Unit = {
+    val result = s.execute(SearchRequest(
       query = Some(Fixture.TestQuery),
       limit = 17,
       strategy = if (optionalWordsLast) MatchingStrategy.Last else MatchingStrategy.All,
@@ -34,6 +38,24 @@ class QueryCriteriaSpec extends AnyFunSuite with Matchers {
     val want = Fixture.expectedOrder(criteria, authorizeTypos, optionalWordsLast, sortBy)
       .map(_.id)
     got shouldBe want
+  }
+
+  private def check(
+      name: String,
+      optionalWordsLast: Boolean,
+      authorizeTypos: Boolean,
+      criteria: Seq[Criterion],
+      sortBy: Seq[SortSpec]): Unit = test(name) {
+    runCase(search, optionalWordsLast, authorizeTypos, criteria, sortBy)
+  }
+
+  private def checkDist(
+      name: String,
+      optionalWordsLast: Boolean,
+      authorizeTypos: Boolean,
+      criteria: Seq[Criterion],
+      sortBy: Seq[SortSpec]): Unit = test(s"$name (distributed path)") {
+    runCase(searchDist, optionalWordsLast, authorizeTypos, criteria, sortBy)
   }
 
   val LAST = true; val ALL = false
@@ -64,5 +86,15 @@ class QueryCriteriaSpec extends AnyFunSuite with Matchers {
   check("sort_by_desc_allow_typo", ALL, TYPOS, Seq(Sort), Seq(SortSpec("tag", false)))
   check("sort_by_desc_disallow_typo", ALL, NO_TYPOS, Seq(Sort), Seq(SortSpec("tag", false)))
   check("default_criteria_order", LAST, TYPOS,
+    Seq(Words, Typo, Proximity, Attribute, Exactness), Nil)
+
+  // distributed-path regression (representative rank-criteria subset)
+  checkDist("none_allow_typo", ALL, TYPOS, Nil, Nil)
+  checkDist("words_allow_typo", LAST, TYPOS, Seq(Words), Nil)
+  checkDist("typo", ALL, TYPOS, Seq(Typo), Nil)
+  checkDist("proximity_allow_typo", ALL, TYPOS, Seq(Proximity), Nil)
+  checkDist("attribute_allow_typo", ALL, TYPOS, Seq(Attribute), Nil)
+  checkDist("exactness_allow_typo", ALL, TYPOS, Seq(Exactness), Nil)
+  checkDist("default_criteria_order", LAST, TYPOS,
     Seq(Words, Typo, Proximity, Attribute, Exactness), Nil)
 }
