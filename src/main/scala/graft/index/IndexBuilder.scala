@@ -359,6 +359,9 @@ class IndexBuilder(spark: SparkSession, settings: IndexSettings) extends Seriali
     stageF(T.WordPrefixDocids, Seq(T.WordDocids, T.PrefixDict)) {
       buildWordPrefixDocids(dir)
     }
+    stageF(T.ExactWordPrefixDocids, Seq(T.ExactWordDocids, T.PrefixDict)) {
+      buildExactWordPrefixDocids(dir)
+    }
     stageF(T.WordPrefixPositionDocids, Seq(T.WordPositionDocids, T.PrefixDict)) {
       buildWordPrefixPositionDocids(dir)
     }
@@ -438,6 +441,18 @@ class IndexBuilder(spark: SparkSession, settings: IndexSettings) extends Seriali
       .groupBy($"prefix").agg(F.bitmap_union_agg($"docids").as("docids"))
   }
 
+  /** reference db #5: prefix unions over the exact-attribute split
+    * (`index.rs:105-106`). */
+  def buildExactWordPrefixDocids(dir: String): DataFrame = {
+    val wd = spark.read.parquet(s"$dir/${T.ExactWordDocids}")
+    val pd = spark.read.parquet(s"$dir/${T.PrefixDict}")
+    val exploded = wd.select($"word", $"docids",
+        explode(sequence(lit(1), least(length($"word"), lit(settings.maxPrefixLength)))).as("n"))
+      .select($"word".substr(lit(1), $"n").as("prefix"), $"docids")
+    exploded.join(broadcast(pd.select($"prefix")), Seq("prefix"))
+      .groupBy($"prefix").agg(F.bitmap_union_agg($"docids").as("docids"))
+  }
+
   def buildWordPrefixPositionDocids(dir: String): DataFrame = {
     val wp = spark.read.parquet(s"$dir/${T.WordPositionDocids}")
     val pd = spark.read.parquet(s"$dir/${T.PrefixDict}")
@@ -494,6 +509,7 @@ class IndexBuilder(spark: SparkSession, settings: IndexSettings) extends Seriali
       writeOver: (DataFrame, String) => Unit): Unit = {
     writeOver(buildPrefixDict(dir), s"$dir/${T.PrefixDict}")
     writeOver(buildWordPrefixDocids(dir), s"$dir/${T.WordPrefixDocids}")
+    writeOver(buildExactWordPrefixDocids(dir), s"$dir/${T.ExactWordPrefixDocids}")
     writeOver(buildWordPrefixPositionDocids(dir), s"$dir/${T.WordPrefixPositionDocids}")
     writeOver(buildWordPrefixPairProximity(dir), s"$dir/${T.WordPrefixPairProximityDocids}")
     writeOver(buildPrefixWordPairProximity(dir), s"$dir/${T.PrefixWordPairProximityDocids}")

@@ -40,6 +40,7 @@ object IndexSettings {
     val WordDocids = "word_docids"
     val ExactWordDocids = "exact_word_docids"
     val WordPrefixDocids = "word_prefix_docids"
+    val ExactWordPrefixDocids = "exact_word_prefix_docids"
     val WordPositionDocids = "word_position_docids"
     val WordPrefixPositionDocids = "word_prefix_position_docids"
     val FidWordCountDocids = "fid_word_count_docids"

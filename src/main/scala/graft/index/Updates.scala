@@ -73,7 +73,8 @@ class Updates(spark: SparkSession, settings: IndexSettings) {
       writeOver(spark.read.parquet(path).where(keep($"docid")), path)
     }
 
-    Seq(T.WordDocids, T.ExactWordDocids, T.WordPrefixDocids, T.WordPositionDocids,
+    Seq(T.WordDocids, T.ExactWordDocids, T.WordPrefixDocids,
+      T.ExactWordPrefixDocids, T.WordPositionDocids,
       T.WordPrefixPositionDocids, T.FidWordCountDocids, T.WordPairProximityDocids,
       T.WordPrefixPairProximityDocids, T.PrefixWordPairProximityDocids,
       T.FacetExistsDocids, T.FacetNumberLevels, T.FacetStringLevels)
