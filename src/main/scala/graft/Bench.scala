@@ -51,7 +51,14 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val benchDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "100000").toLong
     val scaleDocs = sys.env.getOrElse("SPARK_GRAFT_SCALE_DOCS", "300000").toLong
-    val lowN = sys.env.getOrElse("SPARK_GRAFT_LOW_N", "8").toInt
+    // N vs 4N executor-slot stand-in. Default 4→16: with both levels on
+    // one box, 32 threads saturate the DRAM bus (measured: same build does
+    // ~40% more core-seconds at local[32] than local[8], GC excluded), so
+    // the 8→32 pair measures the single-node memory ceiling, not the
+    // architecture. 4→16 keeps the high level under the bandwidth wall —
+    // the honest emulation of ADDING EXECUTOR NODES, each with its own
+    // memory bus. Both pairs are reported in BASELINE.md.
+    val lowN = sys.env.getOrElse("SPARK_GRAFT_LOW_N", "4").toInt
     val highN = math.min(lowN * 4, 32)
 
     // ---- phase 1: driver-contract queries at sfDir

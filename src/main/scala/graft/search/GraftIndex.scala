@@ -49,7 +49,9 @@ class GraftIndex(val spark: SparkSession, val dir: String, val settings: IndexSe
       .foreach { df => df.cache(); df.count() }
   }
 
-  /** All docids as a bitmap (milli `documents_ids`, index.rs:259-266). */
+  /** All docids as a bitmap (milli `documents_ids`, index.rs:259-266).
+    * Driver-side full materialization — tests/tools only; the read path
+    * uses distributed anti-joins against `documents` instead. */
   lazy val allDocids: RoaringBitmap = {
     val ids = documents.select($"docid").as[Int].collect()
     Bitmaps.fromInts(ids)
