@@ -396,6 +396,28 @@ object Queries {
       .orderBy("vec_id")
   }
 
+  /** embedding-cosine near-dup: LSH-bucketed candidate pairs (same 8-bit
+    * hyperplane bucket — never all-pairs) verified with exact cosine ≥
+    * 0.35. The embedding twin of the minhash→band→verify text pipeline. */
+  def qDedupEmbedding(spark: SparkSession, dir: String): DataFrame = {
+    val buckets = qAnnLsh(spark, dir) // (vec_id, bucket)
+    val e = tbl(spark, dir, "embeddings")
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+    val cos = udf((a: Seq[Double], b: Seq[Double]) => {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    })
+    val wb = e.join(buckets, "vec_id")
+    wb.as("a").join(wb.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"),
+        cos(col("a.v"), col("b.v")).as("cos"))
+      .where(col("cos") >= 0.35)
+      .select(col("va"), col("vb"), fp(col("cos")).as("cos_fp"))
+      .orderBy("va", "vb")
+  }
+
   // --------------------------------------------------------- text analysis
 
   private val StopEn = Seq("the", "a", "and", "of", "to", "in", "is")

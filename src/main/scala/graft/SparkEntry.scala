@@ -53,6 +53,10 @@ object SparkEntry {
     "q_multimodal_decode" -> ((s: SparkSession, dir: String) =>
       graft.pipeline.Multimodal.decodeQuery(
         s, s.read.parquet(s"$dir/documents.parquet"), "doc_id")),
+    "q_multimodal_audio" -> ((s: SparkSession, dir: String) =>
+      graft.pipeline.Multimodal.decodeAudioQuery(
+        s, s.read.parquet(s"$dir/documents.parquet"), "doc_id")),
+    "q_dedup_embedding" -> (Queries.qDedupEmbedding _),
     "q_sessionize" -> (Queries.qSessionize _),
     "q_incremental_merge" -> (Queries.qIncrementalMerge _),
     // production-engine gates: IndexBuilder → Search / Bm25 over a real
@@ -337,6 +341,40 @@ object SparkEntry {
         | CAST((doc_id * 7) % 256 AS BIGINT) AS mean_g,
         | CAST((doc_id * 13) % 256 AS BIGINT) AS mean_b
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // real javax.sound.sampled decode must recover the planted WAV format
+    // and constant amplitude
+    "q_multimodal_audio" ->
+      """SELECT doc_id,
+        | CAST(8000 AS BIGINT) AS sample_rate,
+        | CAST(1 AS BIGINT) AS channels,
+        | CAST(200 + (doc_id % 5) * 50 AS BIGINT) AS frames,
+        | CAST(doc_id % 1000 AS BIGINT) AS mean_amp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_dedup_embedding" ->
+      s"""WITH planes AS (
+         |  SELECT j, d,
+         |         CASE WHEN ${md5long("CAST(j AS VARCHAR) || '_' || CAST(d AS VARCHAR)")} & 1 = 1
+         |              THEN 1.0 ELSE -1.0 END AS c
+         |  FROM (SELECT unnest(range(8)) AS j), (SELECT unnest(range(64)) AS d)),
+         |comps AS (
+         |  SELECT e.vec_id, p.j,
+         |         sum(CAST(e.embedding[p.d + 1] AS DOUBLE) * p.c) AS dot
+         |  FROM embeddings e, planes p GROUP BY e.vec_id, p.j),
+         |buckets AS (
+         |  SELECT vec_id,
+         |         CAST(sum(CASE WHEN dot > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS bucket
+         |  FROM comps GROUP BY vec_id),
+         |pairs AS (
+         |  SELECT a.vec_id AS va, b.vec_id AS vb,
+         |         list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+         |                                CAST(eb.embedding AS DOUBLE[])) AS cos
+         |  FROM buckets a JOIN buckets b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |  JOIN embeddings ea ON ea.vec_id = a.vec_id
+         |  JOIN embeddings eb ON eb.vec_id = b.vec_id)
+         |SELECT va, vb, ${fp("cos")} AS cos_fp FROM pairs
+         |WHERE cos >= 0.35 ORDER BY va, vb""".stripMargin,
 
     "q_sessionize" ->
       """WITH w AS (

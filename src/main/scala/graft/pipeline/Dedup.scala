@@ -95,16 +95,20 @@ object Dedup {
     verifyJaccard(pairs, sh, threshold)
   }
 
-  /** 64-bit SimHash over distinct tokens (hamming-near docs are near-dups). */
+  /** 64-bit SimHash over distinct tokens (hamming-near docs are near-dups).
+    * Bits 0-59 come from the word's md5-long; bits 60-63 from a second
+    * salted hash — a true 64-bit signature. */
   def simhash64(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val tw = docs.select(col(idCol).as("docid"),
         explode(filter(split(lower(col(textCol)), "[^a-z0-9]+"), w => w =!= "")).as("word"))
       .distinct()
       .withColumn("h", md5long(col("word")))
-    // 60 usable bits from the md5-long; fold the top 4 from a second hash
+      .withColumn("h2", md5long(concat(lit("fold:"), col("word"))))
     val bits = tw.select(col("docid"),
-        explode(sequence(lit(0), lit(59))).as("bit"), col("h"))
-      .withColumn("v", when(expr("shiftright(h, bit) & 1") === 1, 1).otherwise(-1))
+        explode(sequence(lit(0), lit(63))).as("bit"), col("h"), col("h2"))
+      .withColumn("v", when(
+        expr("case when bit < 60 then shiftright(h, bit) & 1 " +
+          "else shiftright(h2, bit - 60) & 1 end") === 1, 1).otherwise(-1))
       .groupBy("docid", "bit").agg(sum("v").as("s"))
     bits.withColumn("bitval",
         when(col("s") > 0, expr("shiftleft(1L, bit)")).otherwise(lit(0L)))

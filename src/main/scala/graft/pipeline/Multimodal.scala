@@ -70,6 +70,56 @@ object Multimodal {
       }
     } catch { case _: Exception => None }
 
+  /** Decoded audio facts (real `javax.sound.sampled` decode). */
+  final case class AudioInfo(sampleRate: Int, channels: Int, frames: Long,
+      meanAbsAmplitude: Double)
+
+  /** Real audio decode: WAV/AIFF bytes (PCM) → format + mean |amplitude|.
+    * None when the bytes aren't a decodable audio stream. */
+  def decodeAudio(media: Array[Byte]): Option[AudioInfo] =
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(media))
+      val fmt = in.getFormat
+      val frames = in.getFrameLength
+      val bytesPerSample = fmt.getSampleSizeInBits / 8
+      val buf = in.readAllBytes()
+      var sum = 0L; var n = 0
+      var i = 0
+      while (i + 1 < buf.length && bytesPerSample == 2) {
+        // 16-bit PCM little-endian
+        val v = ((buf(i + 1) << 8) | (buf(i) & 0xff)).toShort
+        sum += math.abs(v.toInt); n += 1
+        i += 2
+      }
+      Some(AudioInfo(fmt.getSampleRate.toInt, fmt.getChannels, frames,
+        if (n == 0) 0.0 else sum.toDouble / n))
+    } catch { case _: Exception => None }
+
+  /** Deterministic constant-amplitude 16-bit mono WAV (test/bench corpus):
+    * sample rate, frame count and amplitude derive from the id, so decode
+    * output is oracle-checkable. */
+  def syntheticWav(id: Long): Array[Byte] = {
+    val sampleRate = 8000
+    val frames = 200 + (id % 5).toInt * 50
+    val amp = (id % 1000).toInt // constant amplitude → mean |amp| == amp
+    val pcm = new Array[Byte](frames * 2)
+    var i = 0
+    while (i < frames) {
+      pcm(2 * i) = (amp & 0xff).toByte
+      pcm(2 * i + 1) = ((amp >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(sampleRate.toFloat, 16, 1,
+      true, false) // signed, little-endian
+    val stream = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(stream,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
   /** Deterministic solid-color PNG (test/bench corpus): dimensions and
     * color derive from the id, so decode output is oracle-checkable. */
   def syntheticPng(id: Long): Array[Byte] = {
@@ -102,6 +152,12 @@ object Multimodal {
           case "image" => decodeImage(m.media) match {
             case Some(info) => Array(info.width.toFloat, info.height.toFloat,
               info.meanR.toFloat, info.meanG.toFloat, info.meanB.toFloat)
+            case None => decodeStub(m.kind, m.media)
+          }
+          case "audio" => decodeAudio(m.media) match {
+            case Some(info) => Array(info.sampleRate.toFloat,
+              info.channels.toFloat, info.frames.toFloat,
+              info.meanAbsAmplitude.toFloat)
             case None => decodeStub(m.kind, m.media)
           }
           case other => decodeStub(other, m.media)
@@ -142,6 +198,22 @@ object Multimodal {
         (m.id, f, java.util.Arrays.copyOfRange(m.media, start, end))
       }
     }.toDF("id", "frame_no", "frame_bytes")
+  }
+
+  /** Driver-gate query: decode a deterministic WAV per doc and recover the
+    * planted format + amplitude — proves the audio decode path is real. */
+  def decodeAudioQuery(spark: SparkSession, docs: DataFrame, idCol: String): DataFrame = {
+    import spark.implicits._
+    val items = docs.select(col(idCol).cast("long")).as[Long]
+      .mapPartitions(_.map(id =>
+        MediaItem(id, "audio", syntheticWav(id), 0, 0, 0L)))
+    extractFeatures(spark, items)
+      .select($"id".as("doc_id"),
+        $"features"(0).cast("long").as("sample_rate"),
+        $"features"(1).cast("long").as("channels"),
+        $"features"(2).cast("long").as("frames"),
+        $"features"(3).cast("long").as("mean_amp"))
+      .orderBy("doc_id")
   }
 
   /** Lift a (docid, text) corpus into fake media items (test harness). */
