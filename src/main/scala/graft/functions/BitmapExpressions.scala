@@ -79,10 +79,17 @@ case class BitmapOr(left: Expression, right: Expression)
 case class BitmapAndNot(left: Expression, right: Expression)
     extends BinaryExpression with CodegenFallback {
   override def dataType: DataType = BinaryType
+  /** literal subtrahend (e.g. a tombstone set applied to every row) is
+    * deserialized once per task */
+  @transient private lazy val foldedRight: Option[org.roaringbitmap.RoaringBitmap] =
+    if (right.foldable)
+      Option(right.eval(org.apache.spark.sql.catalyst.InternalRow.empty))
+        .map(b => Bitmaps.cboDeserialize(b.asInstanceOf[Array[Byte]]))
+    else None
   override def nullSafeEval(a: Any, b: Any): Any =
     Bitmaps.cboSerialize(Bitmaps.andNot(
       Bitmaps.cboDeserialize(a.asInstanceOf[Array[Byte]]),
-      Bitmaps.cboDeserialize(b.asInstanceOf[Array[Byte]])))
+      foldedRight.getOrElse(Bitmaps.cboDeserialize(b.asInstanceOf[Array[Byte]]))))
   override protected def withNewChildrenInternal(l: Expression, r: Expression): BitmapAndNot =
     copy(l, r)
   override def prettyName: String = "bitmap_and_not"

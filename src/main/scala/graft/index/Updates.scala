@@ -53,24 +53,23 @@ class Updates(spark: SparkSession, settings: IndexSettings) {
   def hardDelete(dir: String): Unit = {
     val deleted = deletedBitmap(dir)
     if (deleted.isEmpty) return
-    val bBytes = spark.sparkContext.broadcast(Bitmaps.cboSerialize(deleted))
-    val keep = udf((d: Int) => !Bitmaps.cboDeserialize(bBytes.value).contains(d))
+    // foldable-literal operands: the tombstone set is deserialized once per
+    // task by the bitmap expressions, never per row
+    val delLit = lit(Bitmaps.cboSerialize(deleted))
 
     def rewriteBitmapTable(name: String): Unit = {
       val path = s"$dir/$name"
       if (!new java.io.File(path).exists()) return
       val df = spark.read.parquet(path)
-      val sub = udf((bytes: Array[Byte]) => Bitmaps.cboSerialize(
-        Bitmaps.andNot(Bitmaps.cboDeserialize(bytes),
-          Bitmaps.cboDeserialize(bBytes.value))))
-      val out = df.withColumn("docids", sub($"docids"))
+      val out = df.withColumn("docids", F.bitmap_and_not($"docids", delLit))
         .where(F.bitmap_cardinality($"docids") > 0)
       writeOver(out, path)
     }
     def rewriteDocidTable(name: String): Unit = {
       val path = s"$dir/$name"
       if (!new java.io.File(path).exists()) return
-      writeOver(spark.read.parquet(path).where(keep($"docid")), path)
+      writeOver(spark.read.parquet(path)
+        .where(!F.bitmap_contains(delLit, $"docid")), path)
     }
 
     Seq(T.WordDocids, T.ExactWordDocids, T.WordPrefixDocids,
@@ -89,7 +88,7 @@ class Updates(spark: SparkSession, settings: IndexSettings) {
         .flatMap { case (w, bytes) =>
           graft.core.PostingBlocks.decode(bytes).iterator.map(p => (w, p._1, p._2)) }
         .toDF("word", "docid", "tf")
-        .where(keep($"docid"))
+        .where(!F.bitmap_contains(delLit, $"docid"))
       writeOver(IndexBuilder.buildPostingBlocksFromTf(spark, tf), pb)
     }
     // clear tombstone

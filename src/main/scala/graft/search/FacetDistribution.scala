@@ -28,9 +28,9 @@ class FacetDistribution(index: GraftIndex) {
     val filtered = candidates match {
       case None => base
       case Some(bm) =>
-        val bBytes = spark.sparkContext.broadcast(Bitmaps.cboSerialize(bm))
-        val contains = udf((d: Int) => Bitmaps.cboDeserialize(bBytes.value).contains(d))
-        base.where(contains($"docid"))
+        // foldable-literal bitmap_contains: deserialized once per task
+        base.where(graft.functions.GraftFunctions.bitmap_contains(
+          lit(Bitmaps.cboSerialize(bm)), $"docid"))
     }
     val rows = filtered
       .groupBy($"field", $"norm")
