@@ -79,56 +79,70 @@ object QueryTree {
     def minWordLenTwoTypos: Int
   }
 
-  /** Tokenize the query into primitive parts. Quoted spans become phrases
-    * with stop words as None holes; the trailing word is a prefix query
-    * unless the query ends with a separator (`create_primitive_query`,
-    * query_tree.rs:780-840). */
-  def primitiveQuery(query: String, stopWords: Set[String]): Seq[Part] = {
-    val parts = Vector.newBuilder[Part]
+  /** Tokenize the query into primitive parts — faithful port of
+    * `create_primitive_query` (query_tree.rs:780-846):
+    *  - at most `wordsLimit` parts (Search default 10, mod.rs:68);
+    *  - quoted spans become phrases with stop words as None holes; a hard
+    *    separator OR any quote closes an in-progress phrase;
+    *  - the last token of the query is a prefix word even when it is a
+    *    stop word; non-final stop words are dropped outside phrases;
+    *  - an unterminated quote keeps the query tail as a phrase. */
+  def primitiveQuery(query: String, stopWords: Set[String],
+      wordsLimit: Int = 10): Seq[Part] = {
+    val HardSeps = Set('.', ';', ',', '!', '?', '(', ')', '[', ']', '{', '}', '|', '…')
+    // token stream: word runs and separator runs (raw text kept for quotes)
+    val tokens = scala.collection.mutable.ArrayBuffer.empty[(String, Boolean)] // (text, isWord)
     var i = 0
     val n = query.length
-    var inQuotes = false
-    val phrase = Vector.newBuilder[Option[String]]
-    var phraseLen = 0
-    var lastWordEndsQuery = false
-    // walk simple quote-aware tokens
-    val tokens = scala.collection.mutable.ArrayBuffer.empty[(String, Boolean, Boolean)]
-    // (token, isQuoteToggleBefore?) — simpler: manual scan
     while (i < n) {
-      val c = query.charAt(i)
-      if (c == '"') { inQuotes = !inQuotes; tokens += (("\"", false, false)); i += 1 }
-      else if (Character.isLetterOrDigit(c)) {
-        val start = i
-        while (i < n && Character.isLetterOrDigit(query.charAt(i))) i += 1
-        tokens += ((query.substring(start, i), true, i == n))
-      } else i += 1
+      val start = i
+      val isWord = Character.isLetterOrDigit(query.charAt(i))
+      while (i < n && Character.isLetterOrDigit(query.charAt(i)) == isWord) i += 1
+      tokens += ((query.substring(start, i), isWord))
     }
-    inQuotes = false
-    tokens.foreach {
-      case ("\"", false, _) =>
-        if (inQuotes) { // closing quote: flush phrase
-          val p = phrase.result()
-          if (p.exists(_.isDefined)) parts += PPhrase(p)
-          phrase.clear(); phraseLen = 0
-        }
-        inQuotes = !inQuotes
-      case (raw, _, endsQuery) =>
-        val w = graft.core.Tokenizer.normalize(raw)
-        if (w.nonEmpty) {
-          if (inQuotes) {
-            phrase += (if (stopWords.contains(w)) None else Some(w))
-            phraseLen += 1
-          } else if (!stopWords.contains(w)) {
-            // prefix iff this token touches the very end of the query string
-            parts += PWord(w, endsQuery)
-            lastWordEndsQuery = endsQuery
+
+    val parts = scala.collection.mutable.ArrayBuffer.empty[Part]
+    var phrase = Vector.newBuilder[Option[String]]
+    var phraseNonEmpty = false
+    var quoted = false
+    var k = 0
+    var break = false
+    while (k < tokens.length && !break) {
+      if (parts.length >= wordsLimit) break = true
+      else {
+        val (text, isWord) = tokens(k)
+        if (isWord) {
+          val w = graft.core.Tokenizer.normalize(text)
+          if (w.nonEmpty) {
+            if (quoted) {
+              phrase += (if (stopWords.contains(w)) None else Some(w))
+              phraseNonEmpty = true
+            } else if (k + 1 < tokens.length) {
+              if (!stopWords.contains(w)) parts += PWord(w, prefix = false)
+            } else {
+              // last token of the query: prefix word, stop word or not
+              parts += PWord(w, prefix = true)
+            }
+          }
+        } else {
+          val quoteCount = text.count(_ == '"')
+          if (quoteCount % 2 != 0) quoted = !quoted
+          if (quoteCount > 0 || text.exists(HardSeps.contains)) {
+            val p = phrase.result()
+            if (p.exists(_.isDefined)) parts += PPhrase(p)
+            phrase = Vector.newBuilder[Option[String]]
+            phraseNonEmpty = false
           }
         }
+        k += 1
+      }
     }
-    // unterminated quote: flush
-    val p = phrase.result()
-    if (p.exists(_.isDefined)) parts += PPhrase(p)
-    parts.result()
+    // unterminated quote: keep the tail as a phrase
+    if (!break) {
+      val p = phrase.result()
+      if (p.exists(_.isDefined)) parts += PPhrase(p)
+    }
+    parts.toSeq
   }
 
   /** Best split of a word into two indexed words by pair frequency

@@ -44,6 +44,8 @@ final case class SearchRequest(
     limit: Int = 20,
     strategy: MatchingStrategy = MatchingStrategy.Last,
     authorizeTypos: Boolean = true,
+    /** max primitive query parts (`Search::words_limit`, mod.rs:68) */
+    wordsLimit: Int = 10,
     sortCriteria: Seq[SortSpec] = Nil,
     criteriaOverride: Option[Seq[Criterion]] = None,
     distinctOverride: Option[Option[String]] = None,
@@ -159,7 +161,7 @@ class Search(index: GraftIndex,
       req: SearchRequest): SearchResult = {
 
     // 1. primitive query + tree (driver)
-    val parts = QueryTree.primitiveQuery(q, settings.stopWords)
+    val parts = QueryTree.primitiveQuery(q, settings.stopWords, req.wordsLimit)
     if (parts.isEmpty)
       return executeNoQuery(criteria, filterDf, deleted, distinctField, req)
     val queryWords = parts.collect { case PWord(w, _) => w }
