@@ -36,9 +36,14 @@ object QueryTree {
   final case class Query(prefix: Boolean, kind: QueryKind) extends Op
 
   object Op {
-    /** `Operation::or` flattening single-child (query_tree.rs:31-45). */
+    /** `Operation::or`: single child collapses; nested Ors with the same
+      * word-branch flag flatten (query_tree.rs:112-129). */
     def or(consumable: Boolean, children: Seq[Op]): Op =
-      if (children.size == 1) children.head else Or(consumable, children)
+      if (children.size == 1) children.head
+      else Or(consumable, children.flatMap {
+        case Or(c, cs) if c == consumable => cs
+        case op => Seq(op)
+      })
     def and(children: Seq[Op]): Op =
       if (children.size == 1) children.head else And(children)
     def phrase(words: Seq[Option[String]]): Op = {
