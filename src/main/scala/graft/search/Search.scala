@@ -140,14 +140,23 @@ class Search(index: GraftIndex,
       deleted: RoaringBitmap,
       distinctField: Option[String],
       req: SearchRequest): SearchResult = {
-    val docids = applyFilter(index.documents.select($"docid"), filterDf, deleted)
-    val ranked = attachSortColumns(docids, criteria, req.sortCriteria)
-    val sortCols = sortColumns(criteria, req.sortCriteria) :+ $"docid".asc
-    val total =
-      if (req.exhaustive) docids.count()
-      else if (filterDf.isEmpty && deleted.isEmpty) index.numberOfDocuments
-      else -1L
-    finish(ranked, sortCols, distinctField, req, total)
+    val docids0 = applyFilter(index.documents.select($"docid"), filterDf, deleted)
+    // exhaustive counting + top-k are two actions over the same filter
+    // plan: persist so it runs once
+    val persisted =
+      if (req.exhaustive && filterDf.nonEmpty)
+        Some(docids0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      else None
+    val docids = persisted.getOrElse(docids0)
+    try {
+      val ranked = attachSortColumns(docids, criteria, req.sortCriteria)
+      val sortCols = sortColumns(criteria, req.sortCriteria) :+ $"docid".asc
+      val total =
+        if (req.exhaustive) docids.count()
+        else if (filterDf.isEmpty && deleted.isEmpty) index.numberOfDocuments
+        else -1L
+      finish(ranked, sortCols, distinctField, req, total)
+    } finally persisted.foreach(_.unpersist(false))
   }
 
   // ---------------------------------------------------------------- query
