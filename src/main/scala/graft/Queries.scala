@@ -408,7 +408,16 @@ object Queries {
       while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
       d / (math.sqrt(na) * math.sqrt(nb))
     })
+    // megabucket cap (same rationale as Dedup.lshCandidatePairs): buckets
+    // over 4096 members are dropped from pair generation and logged
+    val maxBucket = 4096
+    val sizes = buckets.groupBy("bucket").agg(count(lit(1)).as("bsz__"))
+    val oversized = sizes.where(col("bsz__") > maxBucket).count()
+    if (oversized > 0)
+      System.err.println(s"[graft] qDedupEmbedding: dropping $oversized " +
+        s"bucket(s) over $maxBucket members (megabucket cap)")
     val wb = e.join(buckets, "vec_id")
+      .join(sizes.where(col("bsz__") <= maxBucket).select("bucket"), Seq("bucket"))
     wb.as("a").join(wb.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"),

@@ -15,21 +15,29 @@ object Enrich {
 
   final case class GeoColumns(lat: String, lng: String)
 
-  /** Primary-key discovery (`enrich.rs:74-92`): an explicitly-set key wins;
-    * otherwise exactly one column whose name contains "id"
-    * (case-insensitive) must exist. */
+  /** Primary-key discovery (`enrich.rs:74-92`): an explicitly-set key wins —
+    * and, like the reference's MissingDocumentId, its ABSENCE from the batch
+    * is an error (a typo'd key must not silently re-key the corpus on a
+    * discovered column); with no configured key, exactly one column whose
+    * name contains "id" (case-insensitive) must exist. */
   def resolvePrimaryKey(docs: DataFrame, configured: Option[String]): String =
-    configured.filter(docs.columns.contains).getOrElse {
-      val candidates = docs.columns.filter(_.toLowerCase.contains("id"))
-      candidates match {
-        case Array(one) => one
-        case Array() => throw new IllegalArgumentException(
-          "no primary key candidate found: no column name contains 'id' " +
-            "(set one explicitly)")
-        case many => throw new IllegalArgumentException(
-          s"multiple primary key candidates found: ${many.mkString(", ")} " +
-            "(set one explicitly)")
-      }
+    configured match {
+      case Some(pk) =>
+        if (docs.columns.contains(pk)) pk
+        else throw new IllegalArgumentException(
+          s"missing document id: configured primary key column '$pk' is " +
+            "absent from the batch (enrich.rs MissingDocumentId)")
+      case None =>
+        val candidates = docs.columns.filter(_.toLowerCase.contains("id"))
+        candidates match {
+          case Array(one) => one
+          case Array() => throw new IllegalArgumentException(
+            "no primary key candidate found: no column name contains 'id' " +
+              "(set one explicitly)")
+          case many => throw new IllegalArgumentException(
+            s"multiple primary key candidates found: ${many.mkString(", ")} " +
+              "(set one explicitly)")
+        }
     }
 
   private def q(name: String): Column = col(s"`${name.replace("`", "")}`")

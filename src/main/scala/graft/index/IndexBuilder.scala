@@ -429,77 +429,85 @@ class IndexBuilder(spark: SparkSession, settings: IndexSettings) extends Seriali
     }.reduce(_ unionAll _)
   }
 
+  /** prefix set actually used by a build: the whole dict, or (incremental
+    * refresh) its intersection with an affected-prefix set. */
+  private def pdUse(dir: String, only: Option[DataFrame],
+      maxLen: Int = Int.MaxValue): DataFrame = {
+    val pd0 = spark.read.parquet(s"$dir/${T.PrefixDict}")
+    val pd = (if (maxLen == Int.MaxValue) pd0
+      else pd0.where(length($"prefix") <= maxLen)).select($"prefix")
+    only.fold(pd)(a => pd.join(a, Seq("prefix"), "left_semi"))
+  }
+
   /** equality join on generated prefixes (no startsWith range join —
-    * shuffles hash-partition on prefix, skew-safe under AQE) */
-  def buildWordPrefixDocids(dir: String): DataFrame = {
+    * shuffles hash-partition on prefix, skew-safe under AQE).
+    * `only`: restrict to these prefixes (incremental refresh). */
+  def buildWordPrefixDocids(dir: String, only: Option[DataFrame] = None): DataFrame = {
     val wd = spark.read.parquet(s"$dir/${T.WordDocids}")
-    val pd = spark.read.parquet(s"$dir/${T.PrefixDict}")
     val exploded = wd.select($"word", $"docids",
         explode(sequence(lit(1), least(length($"word"), lit(settings.maxPrefixLength)))).as("n"))
       .select($"word".substr(lit(1), $"n").as("prefix"), $"docids")
-    exploded.join(broadcast(pd.select($"prefix")), Seq("prefix"))
+    exploded.join(broadcast(pdUse(dir, only)), Seq("prefix"))
       .groupBy($"prefix").agg(F.bitmap_union_agg($"docids").as("docids"))
   }
 
   /** reference db #5: prefix unions over the exact-attribute split
     * (`index.rs:105-106`). */
-  def buildExactWordPrefixDocids(dir: String): DataFrame = {
+  def buildExactWordPrefixDocids(dir: String, only: Option[DataFrame] = None): DataFrame = {
     val wd = spark.read.parquet(s"$dir/${T.ExactWordDocids}")
-    val pd = spark.read.parquet(s"$dir/${T.PrefixDict}")
     val exploded = wd.select($"word", $"docids",
         explode(sequence(lit(1), least(length($"word"), lit(settings.maxPrefixLength)))).as("n"))
       .select($"word".substr(lit(1), $"n").as("prefix"), $"docids")
-    exploded.join(broadcast(pd.select($"prefix")), Seq("prefix"))
+    exploded.join(broadcast(pdUse(dir, only)), Seq("prefix"))
       .groupBy($"prefix").agg(F.bitmap_union_agg($"docids").as("docids"))
   }
 
-  def buildWordPrefixPositionDocids(dir: String): DataFrame = {
+  def buildWordPrefixPositionDocids(dir: String, only: Option[DataFrame] = None): DataFrame = {
     val wp = spark.read.parquet(s"$dir/${T.WordPositionDocids}")
-    val pd = spark.read.parquet(s"$dir/${T.PrefixDict}")
     val exploded = wp.select($"word", $"position", $"docids",
         explode(sequence(lit(1), least(length($"word"), lit(settings.maxPrefixLength)))).as("n"))
       .select($"word".substr(lit(1), $"n").as("prefix"), $"position", $"docids")
-    exploded.join(broadcast(pd.select($"prefix")), Seq("prefix"))
+    exploded.join(broadcast(pdUse(dir, only)), Seq("prefix"))
       .groupBy($"prefix", $"position").agg(F.bitmap_union_agg($"docids").as("docids"))
   }
 
-  def buildWordPrefixPairProximity(dir: String): DataFrame = {
+  def buildWordPrefixPairProximity(dir: String, only: Option[DataFrame] = None): DataFrame = {
     val wpp = spark.read.parquet(s"$dir/${T.WordPairProximityDocids}")
-    val pd = spark.read.parquet(s"$dir/${T.PrefixDict}")
-      .where(length($"prefix") <= 2).select($"prefix")
     val exploded = wpp.where($"prox" <= 4)
       .select($"prox", $"w1", $"docids",
         explode(sequence(lit(1), least(length($"w2"), lit(2)))).as("n"),
         $"w2")
       .select($"prox", $"w1", $"w2".substr(lit(1), $"n").as("prefix"), $"docids")
-    exploded.join(broadcast(pd), Seq("prefix"))
+    exploded.join(broadcast(pdUse(dir, only, maxLen = 2)), Seq("prefix"))
       .groupBy($"prox", $"w1", $"prefix")
       .agg(F.bitmap_union_agg($"docids").as("docids"))
   }
 
-  def buildPrefixWordPairProximity(dir: String): DataFrame = {
+  def buildPrefixWordPairProximity(dir: String, only: Option[DataFrame] = None): DataFrame = {
     val wpp = spark.read.parquet(s"$dir/${T.WordPairProximityDocids}")
-    val pd = spark.read.parquet(s"$dir/${T.PrefixDict}")
-      .where(length($"prefix") <= 2).select($"prefix")
     val exploded = wpp.where($"prox" <= 4)
       .select($"prox", $"w2", $"docids",
         explode(sequence(lit(1), least(length($"w1"), lit(2)))).as("n"),
         $"w1")
       .select($"prox", $"w1".substr(lit(1), $"n").as("prefix"), $"w2", $"docids")
-    exploded.join(broadcast(pd), Seq("prefix"))
+    exploded.join(broadcast(pdUse(dir, only, maxLen = 2)), Seq("prefix"))
       .groupBy($"prox", $"prefix", $"w2")
       .agg(F.bitmap_union_agg($"docids").as("docids"))
   }
 
-  def buildFacetNumberLevels(dir: String): DataFrame =
+  def buildFacetNumberLevels(dir: String, onlyFields: Option[Seq[String]] = None): DataFrame = {
+    val base = spark.read.parquet(s"$dir/${T.DocFacetNumbers}")
+      .select($"field", $"value".cast("double").as("bound"), $"docid")
     IndexBuilder.buildFacetLevels(spark,
-      spark.read.parquet(s"$dir/${T.DocFacetNumbers}")
-        .select($"field", $"value".cast("double").as("bound"), $"docid"))
+      onlyFields.fold(base)(fs => base.where($"field".isin(fs: _*))))
+  }
 
-  def buildFacetStringLevels(dir: String): DataFrame =
+  def buildFacetStringLevels(dir: String, onlyFields: Option[Seq[String]] = None): DataFrame = {
+    val base = spark.read.parquet(s"$dir/${T.DocFacetStrings}")
+      .select($"field", $"norm".as("bound"), $"docid")
     IndexBuilder.buildFacetLevels(spark,
-      spark.read.parquet(s"$dir/${T.DocFacetStrings}")
-        .select($"field", $"norm".as("bound"), $"docid"))
+      onlyFields.fold(base)(fs => base.where($"field".isin(fs: _*))))
+  }
 
   /** Rebuild every derived table (prefix dict + the four prefix posting
     * tables + facet level trees) from the CURRENT base tables under `dir` —
@@ -515,6 +523,77 @@ class IndexBuilder(spark: SparkSession, settings: IndexSettings) extends Seriali
     writeOver(buildPrefixWordPairProximity(dir), s"$dir/${T.PrefixWordPairProximityDocids}")
     writeOver(buildFacetNumberLevels(dir), s"$dir/${T.FacetNumberLevels}")
     writeOver(buildFacetStringLevels(dir), s"$dir/${T.FacetStringLevels}")
+  }
+
+  /** Prefix-DIFF incremental refresh — the Spark twin of the reference's
+    * new/deleted-prefix computation (`update/words_prefixes_fst.rs:43-96`):
+    * after a batch merge, only prefixes whose underlying rows could have
+    * changed are rebuilt; everything else carries over from the current
+    * tables. Affected = prefixes of words occurring in the batch (a prefix
+    * row aggregates word rows; only batch words' rows changed) ∪ prefixes
+    * added to ∪ removed from the recomputed prefix dictionary. Facet levels
+    * rebuild only the FIELDS present in the batch. At 10^9-doc indexes with
+    * small batches this turns the per-batch refresh from
+    * O(all derived rows) into O(rows under the batch's vocabulary). */
+  def refreshDerivedTablesIncremental(dir: String, deltaDir: String,
+      writeOver: (DataFrame, String) => Unit): Unit = {
+    def exists(p: String) = new java.io.File(p).exists()
+    val dictPath = s"$dir/${T.PrefixDict}"
+    if (!exists(dictPath) || !exists(s"$deltaDir/${T.TermDict}")) {
+      refreshDerivedTables(dir, writeOver); return
+    }
+    val deltaWords = spark.read.parquet(s"$deltaDir/${T.TermDict}").select($"word")
+    val deltaPrefixes = deltaWords
+      .select(explode(sequence(lit(1),
+        least(length($"word"), lit(settings.maxPrefixLength)))).as("n"), $"word")
+      .select($"word".substr(lit(1), $"n").as("prefix")).distinct()
+    val oldDict = spark.read.parquet(dictPath).select($"prefix")
+    val newDict = buildPrefixDict(dir)
+    val added = newDict.select($"prefix").join(oldDict, Seq("prefix"), "left_anti")
+    val removed = oldDict.join(newDict.select($"prefix"), Seq("prefix"), "left_anti")
+    val affected = deltaPrefixes.unionByName(added).unionByName(removed)
+      .distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    affected.count() // materialize BEFORE the dict (its lineage) is replaced
+    try {
+      writeOver(newDict, dictPath)
+
+      def refresh(name: String, build: Option[DataFrame] => DataFrame): Unit = {
+        val path = s"$dir/$name"
+        val rebuilt = build(Some(affected))
+        val out =
+          if (!exists(path)) build(None)
+          else {
+            // carry over rows of unaffected prefixes (their word rows are
+            // untouched by the batch); affected rows come from the rebuild,
+            // prefixes dropped from the dict vanish (removed ⊆ affected)
+            val kept = spark.read.parquet(path)
+              .join(broadcast(affected), Seq("prefix"), "left_anti")
+            kept.unionByName(rebuilt)
+          }
+        writeOver(out, path)
+      }
+      refresh(T.WordPrefixDocids, buildWordPrefixDocids(dir, _))
+      refresh(T.ExactWordPrefixDocids, buildExactWordPrefixDocids(dir, _))
+      refresh(T.WordPrefixPositionDocids, buildWordPrefixPositionDocids(dir, _))
+      refresh(T.WordPrefixPairProximityDocids, buildWordPrefixPairProximity(dir, _))
+      refresh(T.PrefixWordPairProximityDocids, buildPrefixWordPairProximity(dir, _))
+
+      // facet levels: rebuild only fields the batch touched
+      def refreshLevels(name: String, deltaBase: String,
+          build: Option[Seq[String]] => DataFrame): Unit = {
+        val path = s"$dir/$name"
+        if (!exists(path) || !exists(s"$deltaDir/$deltaBase")) {
+          writeOver(build(None), path); return
+        }
+        val fields = spark.read.parquet(s"$deltaDir/$deltaBase")
+          .select($"field").distinct().as[String].collect().toSeq
+        if (fields.isEmpty) return // nothing faceted in the batch: keep all
+        val kept = spark.read.parquet(path).where(!$"field".isin(fields: _*))
+        writeOver(kept.unionByName(build(Some(fields))), path)
+      }
+      refreshLevels(T.FacetNumberLevels, T.DocFacetNumbers, buildFacetNumberLevels(dir, _))
+      refreshLevels(T.FacetStringLevels, T.DocFacetStrings, buildFacetStringLevels(dir, _))
+    } finally affected.unpersist(false)
   }
 
   private def finishBuild(
@@ -639,14 +718,30 @@ object IndexBuilder extends Serializable {
     * `bound` orderable (double or string). */
   def buildFacetLevels(spark: SparkSession, input: DataFrame): DataFrame = {
     import spark.implicits._
-    import org.apache.spark.sql.expressions.Window
     val F = graft.functions.GraftFunctions
     val GroupSize = 4
     val MinLevelSize = 5
-    val w = Window.partitionBy(col("field")).orderBy(col("bound"))
-    var cur = input.groupBy(col("field"), col("bound"))
+    // Per-field value rank WITHOUT a per-field window (which lands every
+    // value of one field on a single task — a high-cardinality facet at
+    // 10^9 docs would single-thread the build): range-partition + sort by
+    // (field, bound) gives a total order, zipWithIndex numbers it globally
+    // (two passes, same trick as assignDocids), and rank-within-field =
+    // global index − the field's first global index (one broadcast join).
+    val agg0 = input.groupBy(col("field"), col("bound"))
       .agg(F.bitmap_or_agg(col("docid")).as("docids"))
-      .withColumn("rank", row_number().over(w) - 1)
+    val sorted = agg0.repartitionByRange(col("field"), col("bound"))
+      .sortWithinPartitions("field", "bound")
+    val zSchema = org.apache.spark.sql.types.StructType(sorted.schema.fields :+
+      org.apache.spark.sql.types.StructField("gidx",
+        org.apache.spark.sql.types.LongType, nullable = false))
+    val zipped = spark.createDataFrame(
+        sorted.rdd.zipWithIndex().map { case (r, i) =>
+          org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i) }, zSchema)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val firsts = zipped.groupBy(col("field")).agg(min(col("gidx")).as("g0__"))
+    var cur = zipped.join(broadcast(firsts), Seq("field"))
+      .withColumn("rank", (col("gidx") - col("g0__")).cast("int"))
+      .drop("gidx", "g0__")
       .withColumn("level", lit(0))
       .withColumn("group_size", lit(1))
       .persist(StorageLevel.MEMORY_AND_DISK)

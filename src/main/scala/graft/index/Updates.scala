@@ -184,14 +184,14 @@ class Updates(spark: SparkSession, settings: IndexSettings) {
         .toDF("word", "docid", "tf")
       writeOver(IndexBuilder.buildPostingBlocksFromTf(spark, all), pbOld)
     }
-    // derived prefix tables + facet levels: bulk rebuild from the MERGED
-    // base tables, so incremental indexes never serve stale derived data
-    // (the reference updates these after every batch —
-    // word_prefix_docids.rs:40-136, prefix_word_pairs/mod.rs,
-    // words_prefix_position_docids.rs:57-182; its incremental machinery
-    // exists because LMDB rewrites are expensive, parquet bulk rewrite is
-    // not).
-    new IndexBuilder(spark, settings).refreshDerivedTables(dir, writeOver)
+    // derived prefix tables + facet levels refresh from the MERGED base
+    // tables so incremental indexes never serve stale derived data — but
+    // via the PREFIX DIFF (words_prefixes_fst.rs:43-96): only prefixes
+    // under the batch's vocabulary (plus dict additions/removals) rebuild;
+    // unaffected rows carry over, so a small batch into a huge index pays
+    // for its own words, not the whole dictionary.
+    new IndexBuilder(spark, settings)
+      .refreshDerivedTablesIncremental(dir, delta, writeOver)
   }
 
   /** Atomic-ish table replace: write to side dir then swap. */

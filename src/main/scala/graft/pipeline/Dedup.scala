@@ -57,12 +57,29 @@ object Dedup {
 
   /** LSH banding: signature split into `bands` bands of `rows` hashes; docs
     * sharing a band-bucket become candidate pairs (da < db). The band
-    * bucket join is an equality shuffle — skew-safe under AQE. */
-  def lshCandidatePairs(sig: DataFrame, bands: Int, rows: Int): DataFrame = {
+    * bucket join is an equality shuffle — skew-safe under AQE.
+    *
+    * Megabucket cap: a bucket of B members yields B² pairs, so one
+    * boilerplate-identical bucket (10^6+ members in a web corpus) turns the
+    * self-join quadratic. Buckets over `maxBucket` members are DROPPED from
+    * pair generation (their members still pair through their other
+    * `bands − 1` buckets, so recall loss is bounded to docs near-identical
+    * only in one band) and the drop is logged — no silent truncation. */
+  def lshCandidatePairs(sig: DataFrame, bands: Int, rows: Int,
+      maxBucket: Int = 4096): DataFrame = {
     val buckets = sig.select(col("docid"),
         posexplode(expr(s"transform(sequence(0, ${bands - 1}), b -> " +
           s"hash(slice(sig, b * $rows + 1, $rows)))")).as(Seq("band", "bucket")))
-    buckets.as("a").join(buckets.as("b"),
+    val sizes = buckets.groupBy("band", "bucket").agg(count(lit(1)).as("bsz__"))
+    val oversized = sizes.where(col("bsz__") > maxBucket).count()
+    if (oversized > 0)
+      System.err.println(s"[graft] lshCandidatePairs: dropping $oversized " +
+        s"bucket(s) over $maxBucket members from pair generation " +
+        "(megabucket cap; members still pair via their other bands)")
+    val kept = buckets
+      .join(sizes.where(col("bsz__") <= maxBucket).select("band", "bucket"),
+        Seq("band", "bucket"))
+    kept.as("a").join(kept.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.docid") < col("b.docid"))
       .select(col("a.docid").as("da"), col("b.docid").as("db"))

@@ -36,7 +36,11 @@ class Bm25(index: GraftIndex, k1: Double = 1.2, b: Double = 0.75,
     /** queries touching ≤ this many postings score driver-side in one
       * posting-block fetch — the adaptive twin of milli's in-process point
       * reads. 0 disables the fast path (tests force the distributed one). */
-    smallQueryMaxPostings: Long = 1L << 18) extends Serializable {
+    smallQueryMaxPostings: Long = 1L << 18,
+    /** phase-A candidates above this count rescore via a distributed
+      * semi-join instead of a driver collect (all-stop-word queries at web
+      * scale can leave millions of survivors; the driver must stay bounded). */
+    maxCandidateCollect: Long = 1L << 18) extends Serializable {
   import index.spark
   import spark.implicits._
 
@@ -46,15 +50,23 @@ class Bm25(index: GraftIndex, k1: Double = 1.2, b: Double = 0.75,
   }
 
   /** doclen array pinned on the driver for the small-query path — only for
-    * indexes small enough that 4 bytes/doc is nothing (≤ 20M docs). At
-    * 10^12 docs this is None and every query takes the distributed path. */
+    * indexes small enough that 4 bytes/doc is nothing. Sized by max(docid)+1
+    * (docids go sparse after hard deletes / replace merges / caller-assigned
+    * ids), missing ids sentinel −1 → the query falls back to the distributed
+    * path rather than silently scoring doclen=0. At 10^12 docs this is None
+    * and every query takes the distributed path. */
   private lazy val docLensLocal: Option[Array[Int]] =
     if (index.numberOfDocuments > 20000000L) None
     else {
-      val arr = new Array[Int](index.numberOfDocuments.toInt)
-      index.docStats.select($"docid", $"doclen".cast("int")).as[(Int, Int)]
-        .collect().foreach { case (d, l) => if (d < arr.length) arr(d) = l }
-      Some(arr)
+      val rows = index.docStats.select($"docid", $"doclen".cast("int"))
+        .as[(Int, Int)].collect()
+      val maxId = rows.iterator.map(_._1).foldLeft(-1)(math.max)
+      if (maxId >= 40000000) None // sparse ids would blow the dense array up
+      else {
+        val arr = Array.fill(maxId + 1)(-1)
+        rows.foreach { case (d, l) => arr(d) = l }
+        Some(arr)
+      }
     }
 
   def idf(df: Long): Double = {
@@ -98,11 +110,17 @@ class Bm25(index: GraftIndex, k1: Double = 1.2, b: Double = 0.75,
         }
     }
 
-    // small-query fast path: one posting-block fetch + driver-side exact
-    // scoring (identical formula/ordering; Bm25Spec asserts equivalence)
+    // small-query fast path: posting-cache fetch (zero jobs when warm) +
+    // driver-side exact scoring (identical formula/ordering; Bm25Spec
+    // asserts equivalence). Gated on `prune` so `prune = false` keeps its
+    // contract of forcing the full distributed scoring (the oracle path);
+    // a sparse docid outside the pinned doclen array falls through too.
     val totalPostings = metas.map(_.count.toLong).sum
-    if (totalPostings <= smallQueryMaxPostings && docLensLocal.isDefined)
-      return topKLocal(present, idfs, avgdl, k)
+    if (prune && totalPostings <= smallQueryMaxPostings && docLensLocal.isDefined)
+      topKLocal(present, idfs, avgdl, k) match {
+        case Some(hits) => return hits
+        case None       => () // doclen miss: fall back to the distributed path
+      }
 
     // small posting sets: the 3-pass pruning costs more jobs than it saves
     if (!prune || metas.length <= 64)
@@ -131,62 +149,94 @@ class Bm25(index: GraftIndex, k1: Double = 1.2, b: Double = 0.75,
         contribUbs = Some(globalUb))
       .withColumn("optimistic", $"score" + lit(totalUb) - $"contrib_ub")
       .where($"optimistic" >= theta)
-    val candidates: Array[Int] = partial.select($"docid").as[Int].collect().sorted
-    if (candidates.isEmpty)
-      return fpScores // θ̂ pass already had the best k
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // the candidate count bounds what the driver may materialize: weak θ̂
+      // (all-common-term queries) can leave millions of survivors
+      val nCandidates = partial.count()
+      if (nCandidates == 0L)
+        return fpScores // θ̂ pass already had the best k
 
-    // phase B: exact rescoring of candidates; decode only intersecting blocks
-    val candSet = candidates
-    def intersects(m: BlockMeta): Boolean = {
-      val i = java.util.Arrays.binarySearch(candSet, m.minEx + 1)
-      val idx = if (i >= 0) i else -i - 1
-      idx < candSet.length && candSet(idx) <= m.maxDocid
-    }
-    val phaseB = metas.filter(intersects).map(m => (m.word, m.blockId)).toSet
-    val bCands = spark.sparkContext.broadcast(candSet)
-    val exact = score(phaseB, present, idfs, avgdl, docFilter = Some(bCands))
-    exact.orderBy(desc("score"), asc("docid")).limit(k).as[(Int, Double)].collect()
+      if (nCandidates <= maxCandidateCollect) {
+        val candSet: Array[Int] = partial.select($"docid").as[Int].collect().sorted
+        // phase B: exact rescoring; decode only blocks whose docid range
+        // (block-max skip metadata) intersects a candidate
+        def intersects(m: BlockMeta): Boolean = {
+          val i = java.util.Arrays.binarySearch(candSet, m.minEx + 1)
+          val idx = if (i >= 0) i else -i - 1
+          idx < candSet.length && candSet(idx) <= m.maxDocid
+        }
+        val phaseB = metas.filter(intersects).map(m => (m.word, m.blockId)).toSet
+        val bCands = spark.sparkContext.broadcast(candSet)
+        val exact = score(phaseB, present, idfs, avgdl, docFilter = Some(bCands))
+        exact.orderBy(desc("score"), asc("docid")).limit(k).as[(Int, Double)].collect()
+      } else {
+        // too many candidates for the driver: phase B stays distributed —
+        // decode every surviving-term block and semi-join the candidate set
+        val candDf = partial.select($"docid")
+        val exact = score(metas.map(m => (m.word, m.blockId)).toSet, present, idfs,
+          avgdl, docFilterDf = Some(candDf))
+        exact.orderBy(desc("score"), asc("docid")).limit(k).as[(Int, Double)].collect()
+      }
+    } finally partial.unpersist(false)
   }
 
-  /** Small-query path: fetch the terms' posting-block bytes (one pruned
-    * scan), decode and score in-process against the pinned doclen array. */
+  /** Small-query path: postings through the word-keyed LRU cache (zero jobs
+    * when warm, one pruned scan per cold miss batch), scored in-process
+    * against the pinned doclen array. Returns None on a doclen miss (sparse
+    * docid not in the pinned array) — the caller then rescores distributed. */
   private def topKLocal(terms: Seq[String], idfs: Map[String, Double],
-      avgdl: Double, k: Int): Array[(Int, Double)] = {
+      avgdl: Double, k: Int): Option[Array[(Int, Double)]] = {
     val lens = docLensLocal.get
     val del = index.deletedDocids
-    val rows = index.postingBlocks
-      .where($"word".isin(terms: _*))
-      .select($"word", $"bytes").as[(String, Array[Byte])].collect()
+    val cache = index.postingCache
+    val postings = cache.get(terms)
     val acc = new java.util.HashMap[Integer, java.lang.Double]()
-    rows.foreach { case (word, bytes) =>
+    terms.foreach { word =>
       val idfw = idfs(word)
-      PostingBlocks.decode(bytes).foreach { case (docid, tf) =>
+      val ps = postings(word)
+      var i = 0
+      while (i < ps.length) {
+        val docid = cache.docidOf(ps(i))
+        val tf = cache.tfOf(ps(i))
         if (!del.contains(docid)) {
-          val dl = if (docid < lens.length) lens(docid) else 0
+          if (docid >= lens.length || lens(docid) < 0)
+            return None // sparse docid: pinned doclens can't score it
+          val dl = lens(docid)
           val s = idfw * (tf * (k1 + 1)) / (tf + k1 * (1 - b + b * dl / avgdl))
           val prev = acc.get(docid)
           acc.put(docid, if (prev == null) s else prev + s)
         }
+        i += 1
       }
     }
     import scala.jdk.CollectionConverters._
-    acc.entrySet().asScala.toArray
+    Some(acc.entrySet().asScala.toArray
       .map(e => (e.getKey.intValue(), e.getValue.doubleValue()))
       .sortBy { case (docid, s) => (-s, docid) }
-      .take(k)
+      .take(k))
   }
 
   /** Decode + score the given blocks: flatMap decode → join doclen →
-    * partial-aggregated per-doc sums (map-side combine → TakeOrdered). */
+    * partial-aggregated per-doc sums (map-side combine → TakeOrdered).
+    * `contribUbs` (phase A) emits each posting's word upper bound straight
+    * from the decode loop — no per-row UDF in the hot path. `docFilter`
+    * prunes decoded postings against a broadcast sorted array (bounded
+    * candidate sets); `docFilterDf` semi-joins instead (unbounded sets). */
   private def score(
       blocks: Set[(String, Int)],
       terms: Seq[String],
       idfs: Map[String, Double],
       avgdl: Double,
       contribUbs: Option[Map[String, Double]] = None,
-      docFilter: Option[org.apache.spark.broadcast.Broadcast[Array[Int]]] = None): DataFrame = {
+      docFilter: Option[org.apache.spark.broadcast.Broadcast[Array[Int]]] = None,
+      docFilterDf: Option[DataFrame] = None): DataFrame = {
     val bBlocks = spark.sparkContext.broadcast(blocks)
     val bIdfs = spark.sparkContext.broadcast(idfs)
+    // contrib_ub = Σ globalUb(word) over the doc's contributing terms (same
+    // ub definition as the pruning bound — optimistic(d) stays a true upper
+    // bound of the doc's full score)
+    val bGub = spark.sparkContext.broadcast(contribUbs.getOrElse(Map.empty))
     val kk1 = k1; val bb = b
     val bDeleted = spark.sparkContext.broadcast(
       graft.core.Bitmaps.cboSerialize(index.deletedDocids))
@@ -199,29 +249,29 @@ class Bm25(index: GraftIndex, k1: Double = 1.2, b: Double = 0.75,
         val del = graft.core.Bitmaps.cboDeserialize(bDeleted.value)
         val filt = docFilter.map(_.value)
         val idfs = bIdfs.value
+        val gub = bGub.value
         val blocks = bBlocks.value
         rows.filter(r => blocks.contains((r._1, r._2))).flatMap { case (word, _, bytes) =>
           val idfw = idfs(word)
+          val wub = gub.getOrElse(word, 0.0)
           PostingBlocks.decode(bytes).iterator
             .filter { case (docid, _) =>
               !del.contains(docid) &&
                 filt.forall(a => java.util.Arrays.binarySearch(a, docid) >= 0) }
-            .map { case (docid, tf) => (docid, word, idfw, tf) }
+            .map { case (docid, tf) => (docid, idfw, tf, wub) }
         }
       }
-      .toDF("docid", "word", "idf", "tf")
-    val withS = contrib.join(index.docStats, Seq("docid"))
+      .toDF("docid", "idf", "tf", "wub")
+    val filtered = docFilterDf match {
+      case Some(fd) => contrib.join(fd, Seq("docid"), "left_semi")
+      case None     => contrib
+    }
+    val withS = filtered.join(index.docStats, Seq("docid"))
       .withColumn("s", $"idf" * ($"tf" * lit(kk1 + 1)) /
         ($"tf" + lit(kk1) * (lit(1 - bb) + lit(bb) * $"doclen" / lit(avgdl))))
     contribUbs match {
-      case Some(gub) =>
-        // contrib_ub = Σ globalUb(word) over the doc's contributing terms
-        // (same ub definition as the pruning bound — optimistic(d) stays a
-        // true upper bound of the doc's full score)
-        val bGub = spark.sparkContext.broadcast(gub)
-        val ubCol = udf((w: String) => bGub.value(w))
-        withS.withColumn("wub", ubCol($"word"))
-          .groupBy($"docid")
+      case Some(_) =>
+        withS.groupBy($"docid")
           .agg(sum($"s").as("score"), sum($"wub").as("contrib_ub"))
       case None =>
         withS.groupBy($"docid").agg(sum($"s").as("score"))

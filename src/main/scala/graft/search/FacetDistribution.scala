@@ -32,14 +32,23 @@ class FacetDistribution(index: GraftIndex) {
         base.where(graft.functions.GraftFunctions.bitmap_contains(
           lit(Bitmaps.cboSerialize(bm)), $"docid"))
     }
+    // `maxValuesPerFacet` is enforced INSIDE the plan: the rank-limit filter
+    // triggers Spark's WindowGroupLimit (a partial per-field top-N runs
+    // map-side before the shuffle), so a 10^8-distinct-value facet ships at
+    // most fields × max rows to the driver — never the full value list.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"field").orderBy($"norm")
     val rows = filtered
       .groupBy($"field", $"norm")
       .agg(countDistinct($"docid").as("count"), first($"orig").as("orig"))
+      .withColumn("rn__", row_number().over(w))
+      .where($"rn__" <= maxValuesPerFacet)
       .orderBy($"field", $"norm")
+      .select($"field", $"norm", $"count", $"orig")
       .as[(String, String, Long, String)]
       .collect()
     val grouped = rows.groupBy(_._1).map { case (f, vs) =>
-      f -> vs.sortBy(_._2).take(maxValuesPerFacet).map(v => (v._4, v._3)).toSeq
+      f -> vs.sortBy(_._2).map(v => (v._4, v._3)).toSeq
     }
     facets.map(f => f -> grouped.getOrElse(f, Seq.empty)).toMap
   }

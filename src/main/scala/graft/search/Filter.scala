@@ -197,10 +197,39 @@ object FilterEvaluator {
         both.distinct()
       case FGeoRadius(lat, lng, radius) =>
         // distributed haversine over the (docid, lat, lng) projection —
-        // replaces the reference's driver-side R-tree (filter.rs:349-387)
-        val lats = index.facetNumbers.where($"field" === "_geo.lat")
+        // replaces the reference's driver-side R-tree (filter.rs:349-387).
+        // A bounding box prunes BEFORE the exact haversine: the facet table
+        // is range-partitioned + sorted by (field, value), so the lat/lng
+        // band predicates push down to parquet footer min/max — the pruning
+        // role of the R-tree. Bounds are provably sound from the haversine
+        // formula itself: c ≥ |Δφ| and sin(c/2) ≥ cos(φmax)·sin(|Δλ|/2),
+        // so distance ≤ r implies |Δφ| ≤ r/R and
+        // |Δλ| ≤ 2·asin(sin(r/2R)/cos(φmax)). The lng band is skipped when
+        // it would cross a pole or wrap the antimeridian.
+        val EarthR = 6371000.0 // same constant as GeoMath.haversine
+        val cr = radius / EarthR
+        val dLat = math.toDegrees(cr)
+        val latLo = lat - dLat
+        val latHi = lat + dLat
+        val lats = index.facetNumbers
+          .where($"field" === "_geo.lat" && $"value" >= latLo && $"value" <= latHi)
           .select($"docid", $"value".as("glat"))
-        val lngs = index.facetNumbers.where($"field" === "_geo.lng")
+        val cosMin = math.cos(math.toRadians(math.max(math.abs(latLo), math.abs(latHi))))
+        val sinHalf = math.sin(math.min(cr / 2, math.Pi / 2))
+        val lngBand: Option[(Double, Double)] =
+          if (latHi >= 89.0 || latLo <= -89.0 || cosMin <= 1e-9) None
+          else {
+            val x = sinHalf / cosMin
+            if (x >= 1.0) None
+            else {
+              val dLng = math.toDegrees(2 * math.asin(x))
+              val lo = lng - dLng; val hi = lng + dLng
+              if (lo < -180.0 || hi > 180.0) None else Some((lo, hi))
+            }
+          }
+        val lngs0 = index.facetNumbers.where($"field" === "_geo.lng")
+        val lngs = lngBand
+          .fold(lngs0) { case (lo, hi) => lngs0.where($"value" >= lo && $"value" <= hi) }
           .select($"docid", $"value".as("glng"))
         lats.join(lngs, Seq("docid"))
           .where(graft.functions.GraftFunctions.haversine(

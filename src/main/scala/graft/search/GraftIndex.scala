@@ -29,6 +29,9 @@ class GraftIndex(val spark: SparkSession, val dir: String, val settings: IndexSe
   lazy val documents: DataFrame = table(T.Documents)
   lazy val docWordPositions: DataFrame = table(T.DocWordPositions)
   lazy val wordDocids: DataFrame = table(T.WordDocids)
+  lazy val exactWordDocids: DataFrame = table(T.ExactWordDocids)
+  lazy val wordPrefixDocids: DataFrame = table(T.WordPrefixDocids)
+  lazy val exactWordPrefixDocids: DataFrame = table(T.ExactWordPrefixDocids)
   lazy val termDict: DataFrame = table(T.TermDict).cache()
   lazy val pairProx: DataFrame = table(T.WordPairProximityDocids)
   lazy val facetNumbers: DataFrame = table(T.DocFacetNumbers)
@@ -67,6 +70,28 @@ class GraftIndex(val spark: SparkSession, val dir: String, val settings: IndexSe
       .getOrElse(new RoaringBitmap())
   }
 
+  // ------------------------------------------------------- serving caches
+
+  /** Driver-side LRU of decoded postings for the BM25 small-query path —
+    * warm queries launch zero jobs (see [[PostingCache]]). */
+  lazy val postingCache: PostingCache = new PostingCache(this)
+
+  /** Driver-side LRU of forward-index rows for the small-query rank path. */
+  lazy val dwpCache: DwpCache = new DwpCache(this)
+
+  /** (docid, fid) → word_count pinned driver-side for the small-query
+    * exactness rank — gated by row count (LongMap of ≤ 8M entries ≈ 200 MB);
+    * web-scale indexes keep the distributed semi-join instead. */
+  lazy val fidWordCountsLocal: Option[scala.collection.mutable.LongMap[Int]] =
+    if (docFidWordCounts.count() > 8000000L) None
+    else {
+      val m = scala.collection.mutable.LongMap.empty[Int]
+      docFidWordCounts.select($"docid", $"fid", $"word_count")
+        .as[(Int, Int, Int)].collect()
+        .foreach { case (d, f, wc) => m.update((d.toLong << 16) | f.toLong, wc) }
+      Some(m)
+    }
+
   // -------------------------------------------------------- planner probes
 
   /** docids bitmap of one word (word_docids point read). */
@@ -74,14 +99,46 @@ class GraftIndex(val spark: SparkSession, val dir: String, val settings: IndexSe
     wordDocids.where($"word" === word).select($"docids").as[Array[Byte]]
       .collect().headOption.map(Bitmaps.cboDeserialize)
 
-  def wordDocumentsCount(word: String): Long =
-    wordDocids.where($"word" === word).select($"df").as[Long]
-      .collect().headOption.getOrElse(0L)
+  /** df lookup: zero jobs when the dictionary is pinned driver-side. */
+  private lazy val dfLocal: Option[java.util.HashMap[String, java.lang.Long]] =
+    termDictLocalFull.map { dict =>
+      val m = new java.util.HashMap[String, java.lang.Long](dict.length * 2)
+      dict.foreach { case (w, _, df) => m.put(w, df) }
+      m
+    }
 
-  /** Batched pair frequency probe for `split_best_frequency`: one filter
-    * for all splits of all query words instead of per-pair reads. */
+  def wordDocumentsCount(word: String): Long = dfLocal match {
+    case Some(m) => Option(m.get(word)).map(_.longValue()).getOrElse(0L)
+    case None =>
+      wordDocids.where($"word" === word).select($"df").as[Long]
+        .collect().headOption.getOrElse(0L)
+  }
+
+  /** LRU of (w1, w2) → prox-1 pair frequency: warm/repeated queries probe
+    * word splits without launching a job (the reference's equivalent read
+    * hits LMDB in-process, search/mod.rs:136-242). */
+  private val pairFreqCache =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[(String, String), java.lang.Long](1024, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[(String, String), java.lang.Long]): Boolean =
+          size() > 65536
+      })
+
+  /** Batched pair frequency probe for `split_best_frequency`, LRU-cached:
+    * one filter for all UNCACHED splits instead of per-pair reads. */
   def pairFrequencies(pairs: Seq[(String, String)]): Map[(String, String), Long] = {
     if (pairs.isEmpty) return Map.empty
+    val (hits, misses) = pairs.distinct.partition(pairFreqCache.containsKey)
+    val fetched: Map[(String, String), Long] =
+      if (misses.isEmpty) Map.empty else fetchPairFrequencies(misses)
+    misses.foreach(p => pairFreqCache.put(p, java.lang.Long.valueOf(fetched.getOrElse(p, 0L))))
+    hits.map(p => p -> pairFreqCache.get(p).longValue()).toMap ++
+      misses.map(p => p -> fetched.getOrElse(p, 0L)).toMap
+  }
+
+  private def fetchPairFrequencies(
+      pairs: Seq[(String, String)]): Map[(String, String), Long] = {
     val keys = pairs.map { case (l, r) => s"$l\u0000$r" }
     pairProx.where($"prox" === 1 &&
         concat_ws("\u0000", $"w1", $"w2").isin(keys: _*))
@@ -179,6 +236,90 @@ class GraftIndex(val spark: SparkSession, val dir: String, val settings: IndexSe
     val exactFids = settings.exactAttributes
       .flatMap(f => settings.searchableFields.zipWithIndex.toMap.get(f))
     Ranker.Derivations(map, exactFids)
+  }
+
+  // --------------------------------------------- bitmap candidate resolver
+
+  /** One (key → bitmap) batch read off a bitmap-valued posting table. */
+  private def bitmapRows(df: DataFrame, keys: Seq[String],
+      keyCol: String = "word"): Map[String, RoaringBitmap] =
+    if (keys.isEmpty) Map.empty
+    else df.where(col(keyCol).isin(keys: _*)).select(col(keyCol), col("docids"))
+      .as[(String, Array[Byte])].collect()
+      .map { case (k, b) => k -> Bitmaps.cboDeserialize(b) }.toMap
+
+  /** Resolve a (phrase-free) query tree to its candidate bitmap with posting
+    * point reads ONLY — `resolve_query_tree` over `word_docids` /
+    * `word_prefix_docids` (`milli/src/search/criteria/mod.rs:458-505,
+    * 590-637`). A prefix in the prefix dictionary costs ONE pre-unioned
+    * bitmap row (+ its exact split) instead of scanning every extension's
+    * posting rows; prefixes outside the dictionary (< threshold extensions,
+    * or longer than the dict's max length) fall back to one footer-pruned
+    * range aggregation on the word-sorted tables. Zero-typo words union the
+    * exact-attribute split; typo'd derivations read only the tolerant split
+    * (query_docids semantics). Returns None when the tree contains a Phrase
+    * (positions needed — caller takes the scan path). */
+  def resolveTreeBitmap(tree: QueryTree.Op, der: Ranker.Derivations): Option[RoaringBitmap] = {
+    import QueryTree._
+    def hasPhrase(op: Op): Boolean = op match {
+      case And(cs)    => cs.exists(hasPhrase)
+      case Or(_, cs)  => cs.exists(hasPhrase)
+      case _: Phrase  => true
+      case _: Query   => false
+    }
+    if (hasPhrase(tree)) return None
+
+    // gather leaf needs: enumerated derivation words (0-typo also read the
+    // exact split) + prefix ranges
+    val leaves = {
+      def go(op: Op): Seq[Query] = op match {
+        case And(cs)    => cs.flatMap(go)
+        case Or(_, cs)  => cs.flatMap(go)
+        case q: Query   => Seq(q)
+        case _: Phrase  => Nil
+      }
+      go(tree)
+    }
+    val enumerated: Seq[(String, Int)] = leaves.flatMap { q =>
+      der.map.getOrElse((q.kind.word, q.prefix, q.kind.typo), Nil)
+    }
+    val allWords = enumerated.map(_._1).distinct
+    val zeroWords = enumerated.collect { case (w, 0) => w }.distinct
+    val prefixes = leaves.collect { case Query(true, k) => k.word }.distinct
+
+    val wd = bitmapRows(wordDocids, allWords)
+    val ewd = bitmapRows(exactWordDocids, zeroWords)
+    val pfx = bitmapRows(wordPrefixDocids, prefixes, "prefix")
+    val epfx = bitmapRows(exactWordPrefixDocids, prefixes, "prefix")
+    // dictionary-miss prefixes: one distributed range-union each (bounded
+    // result: a single bitmap row reaches the driver)
+    val missingPfx = prefixes.filterNot(pfx.contains).map { p =>
+      val merged = wordDocids.where($"word".startsWith(p)).select($"docids")
+        .unionAll(exactWordDocids.where($"word".startsWith(p)).select($"docids"))
+        .agg(graft.functions.GraftFunctions.bitmap_union_agg($"docids").as("d"))
+        .select($"d").as[Array[Byte]].collect()
+      p -> merged.headOption.flatMap(Option(_)).map(Bitmaps.cboDeserialize)
+        .getOrElse(new RoaringBitmap())
+    }.toMap
+
+    def eval(op: Op): RoaringBitmap = op match {
+      case And(cs)   => cs.map(eval).reduce(RoaringBitmap.and)
+      case Or(_, cs) => cs.map(eval).reduce(RoaringBitmap.or)
+      case Query(prefix, kind) =>
+        val acc = new RoaringBitmap()
+        if (prefix) {
+          pfx.get(kind.word).foreach(acc.or)
+          epfx.get(kind.word).foreach(acc.or)
+          missingPfx.get(kind.word).foreach(acc.or)
+        }
+        der.map.getOrElse((kind.word, prefix, kind.typo), Nil).foreach { case (w, typo) =>
+          wd.get(w).foreach(acc.or)
+          if (typo == 0) ewd.get(w).foreach(acc.or)
+        }
+        acc
+      case _: Phrase => new RoaringBitmap() // unreachable (hasPhrase gate)
+    }
+    Some(eval(tree))
   }
 
   /** Query context for the tree builder. */

@@ -108,7 +108,6 @@ object QueryTree {
 
     val parts = scala.collection.mutable.ArrayBuffer.empty[Part]
     var phrase = Vector.newBuilder[Option[String]]
-    var phraseNonEmpty = false
     var quoted = false
     var k = 0
     var break = false
@@ -121,7 +120,6 @@ object QueryTree {
           if (w.nonEmpty) {
             if (quoted) {
               phrase += (if (stopWords.contains(w)) None else Some(w))
-              phraseNonEmpty = true
             } else if (k + 1 < tokens.length) {
               if (!stopWords.contains(w)) parts += PWord(w, prefix = false)
             } else {
@@ -133,10 +131,11 @@ object QueryTree {
           val quoteCount = text.count(_ == '"')
           if (quoteCount % 2 != 0) quoted = !quoted
           if (quoteCount > 0 || text.exists(HardSeps.contains)) {
+            // all-stop-word phrases are dropped, exactly like the reference
+            // (query_tree.rs:832-835 `phrase.iter().any(|w| w.is_some())`)
             val p = phrase.result()
             if (p.exists(_.isDefined)) parts += PPhrase(p)
             phrase = Vector.newBuilder[Option[String]]
-            phraseNonEmpty = false
           }
         }
         k += 1

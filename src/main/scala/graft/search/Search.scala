@@ -197,6 +197,22 @@ class Search(index: GraftIndex,
     val exactParts = Ranker.exactParts(parts, ctx.synonyms)
     val searchableFids = settings.searchableFields.indices
 
+    // no-rank fast path (criteria empty, no sort/distinct): resolve the
+    // query tree with bitmap algebra over word_docids / word_prefix_docids
+    // point reads — ONE pre-unioned row per prefix instead of scanning every
+    // extension's posting rows (milli criteria/mod.rs:590-637). Trees with
+    // phrases need positions and fall through; maxLocalPostings == 0 pins
+    // the distributed scan path (tests / forced-distributed callers).
+    if (criteria.isEmpty && req.sortCriteria.isEmpty && distinctField.isEmpty &&
+        maxLocalPostings > 0) {
+      index.resolveTreeBitmap(tree, derivations) match {
+        case Some(cand) =>
+          cand.andNot(deleted)
+          return finishBitmapCandidates(cand, filterDf, req)
+        case None => ()
+      }
+    }
+
     // driver-side small-query path: when the pinned dictionary proves the
     // scan touches few posting rows (and no sort-ish criterion / distinct
     // needs facet joins), collect those rows once and rank in-process —
@@ -286,10 +302,14 @@ class Search(index: GraftIndex,
     (in ++ pref).reduceOption(_ || _).getOrElse(lit(false))
   }
 
-  /** Small-query path: one pruned collect of the matching posting rows
-    * (plus one for word counts when exactness is active, one for the
-    * filter), then the SAME rank vector + ordering in-process. Only
-    * reachable when the pinned dictionary bounds the scan size. */
+  /** Small-query path: pruned posting rows through the forward-index LRU
+    * cache (zero jobs when warm), then the SAME rank vector + ordering
+    * in-process. Only reachable when the pinned dictionary bounds the scan
+    * size. The filter NEVER collects its full candidate set: it is
+    * semi-joined against the (≤ maxLocalPostings) query candidates, so the
+    * driver materializes at most that many filter survivors. Word counts
+    * come from the pinned (docid,fid)→wc map when the index is small enough,
+    * else a candidate-bounded semi-join. */
   private def executeQueryLocal(
       branches: Vector[QueryTree.Op],
       derivations: Ranker.Derivations,
@@ -301,28 +321,41 @@ class Search(index: GraftIndex,
       deleted: RoaringBitmap,
       criteria: Seq[Criterion],
       req: SearchRequest): SearchResult = {
-    val filterBm: Option[RoaringBitmap] =
-      filterDf.map(fd => Bitmaps.fromInts(fd.select($"docid").as[Int].collect()))
-    val rows = index.docWordPositions
-      .where(wordPredicate(relevantWords, prefixWords))
-      .select($"docid", $"word", $"positions")
-      .as[(Int, String, Array[Int])].collect()
+    val (wRows, pRows) = index.dwpCache.get(relevantWords, prefixWords)
     val byDoc = scala.collection.mutable.LinkedHashMap
       .empty[Int, scala.collection.mutable.HashMap[String, Array[Int]]]
-    rows.foreach { case (d, w, ps) =>
-      if (!deleted.contains(d) && filterBm.forall(_.contains(d)))
+    (wRows.valuesIterator ++ pRows.valuesIterator).flatten.foreach { case (d, w, ps) =>
+      if (!deleted.contains(d))
         byDoc.getOrElseUpdate(d,
           scala.collection.mutable.HashMap.empty[String, Array[Int]]).update(w, ps)
     }
-    val fwc: Map[Int, Map[Int, Int]] =
-      if (!criteria.contains(Criterion.Exactness) || byDoc.isEmpty) Map.empty
-      else {
+    // filter semi-join against the bounded candidate set: one job, collect
+    // bounded by |byDoc| — a broad filter over 10^9 docs never reaches the
+    // driver (ADVICE r2: the old path collected the whole filter set)
+    filterDf.foreach { fd =>
+      if (byDoc.nonEmpty) {
         val candDf = spark.createDataset(byDoc.keys.toSeq).toDF("docid")
-        index.docFidWordCounts
-          .join(broadcast(candDf), Seq("docid"), "left_semi")
-          .select($"docid", $"fid", $"word_count")
-          .as[(Int, Int, Int)].collect()
-          .groupBy(_._1).map { case (d, rs) => d -> rs.map(r => r._2 -> r._3).toMap }
+        val survivors = fd.join(broadcast(candDf), Seq("docid"), "left_semi")
+          .select($"docid").as[Int].collect().toSet
+        byDoc.filterInPlace((d, _) => survivors.contains(d))
+      }
+    }
+    val needFwc = criteria.contains(Criterion.Exactness) && byDoc.nonEmpty
+    val fwc: Map[Int, Map[Int, Int]] =
+      if (!needFwc) Map.empty
+      else index.fidWordCountsLocal match {
+        case Some(lm) =>
+          byDoc.keysIterator.map { d =>
+            d -> searchableFids.flatMap(f =>
+              lm.get((d.toLong << 16) | f.toLong).map(f -> _)).toMap
+          }.toMap
+        case None =>
+          val candDf = spark.createDataset(byDoc.keys.toSeq).toDF("docid")
+          index.docFidWordCounts
+            .join(broadcast(candDf), Seq("docid"), "left_semi")
+            .select($"docid", $"fid", $"word_count")
+            .as[(Int, Int, Int)].collect()
+            .groupBy(_._1).map { case (d, rs) => d -> rs.map(r => r._2 -> r._3).toMap }
       }
     val ranked = byDoc.iterator.flatMap { case (docid, pos) =>
       val doc = Ranker.DocData(pos.toMap, fwc.getOrElse(docid, Map.empty))
@@ -357,6 +390,36 @@ class Search(index: GraftIndex,
     SearchResult(
       sorted.iterator.map(_._1).slice(req.offset, req.offset + req.limit).toSeq,
       ranked.length.toLong)
+  }
+
+  /** Finish a bitmap-resolved no-rank query: ascending-docid page + count.
+    * Without a filter this is zero jobs (roaring iteration); with one, the
+    * candidate bitmap rides along as a foldable `bitmap_contains` literal
+    * (deserialized once per task) and only the ≤ offset+limit page plus one
+    * count come back — the driver never materializes the filter set. */
+  private def finishBitmapCandidates(
+      cand: RoaringBitmap,
+      filterDf: Option[DataFrame],
+      req: SearchRequest): SearchResult = {
+    val take = req.offset + req.limit
+    filterDf match {
+      case None =>
+        val ids = Vector.newBuilder[Int]
+        val it = cand.iterator()
+        var i = 0
+        while (it.hasNext && i < take) { ids += it.next().intValue(); i += 1 }
+        SearchResult(ids.result().drop(req.offset), cand.getLongCardinality)
+      case Some(fd) =>
+        val filtered = fd.where(graft.functions.GraftFunctions.bitmap_contains(
+          lit(Bitmaps.cboSerialize(cand)), $"docid"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val total = if (req.exhaustive) filtered.count() else -1L
+          val page = filtered.orderBy($"docid").limit(take)
+            .select($"docid").as[Int].collect()
+          SearchResult(page.toSeq.drop(req.offset), total)
+        } finally filtered.unpersist(false)
+    }
   }
 
   // -------------------------------------------------------------- helpers

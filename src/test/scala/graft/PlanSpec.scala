@@ -82,6 +82,26 @@ class PlanSpec extends AnyFunSuite with Matchers {
     p.toLowerCase should include("join")
   }
 
+  test("facet level ranks: no per-field Window node; grouping stays exact") {
+    graft.functions.GraftFunctions.registerAll(spark)
+    val input = spark.range(300)
+      .selectExpr("concat('f', cast(id % 3 as string)) as field",
+        "cast(id as double) as bound", "cast(id as int) as docid")
+    val df = graft.index.IndexBuilder.buildFacetLevels(spark, input)
+    // rank assignment is range-partition + zipWithIndex + broadcast join —
+    // a per-field Window would single-task high-cardinality facets
+    df.queryExecution.analyzed.toString should not include "windowspecdefinition"
+    val rows = df.select("field", "level", "bound", "group_size").collect()
+    // 100 values/field: level0=100, level1=25 (groups of 4), level2=7, stop
+    rows.count(r => r.getString(0) == "f0" && r.getInt(1) == 0) shouldBe 100
+    rows.count(r => r.getString(0) == "f0" && r.getInt(1) == 1) shouldBe 25
+    rows.count(r => r.getString(0) == "f0" && r.getInt(1) == 2) shouldBe 7
+    // level-1 bounds are each group's LEFT bound: field f0 holds 0,3,6,…,297
+    val l1 = rows.filter(r => r.getString(0) == "f0" && r.getInt(1) == 1)
+      .map(_.getDouble(2)).sorted.toSeq
+    l1 shouldBe (0 until 25).map(g => (g * 4 * 3).toDouble)
+  }
+
   test("posting-block metadata reads prune the bytes column") {
     val dir = java.nio.file.Files.createTempDirectory("graft-plan").toString
     val settings = graft.index.IndexSettings(searchableFields = Seq("text"))

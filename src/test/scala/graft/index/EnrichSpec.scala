@@ -42,6 +42,14 @@ class EnrichSpec extends AnyFunSuite with Matchers {
       Enrich.validate(dup, Some("id"))).getMessage should include("duplicate document ids")
   }
 
+  test("configured primary key absent from the batch throws (MissingDocumentId)") {
+    val df = Seq(("a", "t")).toDF("id", "text")
+    (the[IllegalArgumentException] thrownBy
+      Enrich.validate(df, Some("uid"))).getMessage should include("missing document id")
+    // discovery still works when nothing is configured
+    Enrich.resolvePrimaryKey(df, None) shouldBe "id"
+  }
+
   test("geo: lat/lng must be present together, numeric and finite") {
     val cols = Seq("id", "_geo.lat", "_geo.lng")
     val ok = Seq[(String, Option[String], Option[String])](

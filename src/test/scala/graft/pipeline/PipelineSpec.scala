@@ -101,6 +101,25 @@ class PipelineSpec extends AnyFunSuite with Matchers {
     r.getAs[Double]("score") should be > 0.5
   }
 
+  test("LSH megabucket cap: a planted giant bucket is dropped, pairs stay bounded") {
+    import spark.implicits._
+    // 3000 byte-identical docs → every band bucket is one 3000-member
+    // megabucket → uncapped pair count would be ~4.5M; the cap drops it
+    val clones = (0L until 3000L).map(i => (i, "lorem ipsum dolor sit amet " * 5))
+      .toDF("doc_id", "text")
+    val sh = Dedup.shingles(clones, "doc_id", "text")
+    val sig = Dedup.minhash(sh, numHashes = 16)
+    val capped = Dedup.lshCandidatePairs(sig, bands = 4, rows = 4, maxBucket = 100)
+    capped.count() shouldBe 0L // all buckets over the cap → dropped + logged
+    // sane corpora (buckets under the cap) are unaffected by the default cap
+    val normal = Dedup.lshCandidatePairs(
+      Dedup.minhash(Dedup.shingles(docs, "doc_id", "text"), 16), 4, 4)
+    val uncapped = Dedup.lshCandidatePairs(
+      Dedup.minhash(Dedup.shingles(docs, "doc_id", "text"), 16), 4, 4,
+      maxBucket = Int.MaxValue)
+    normal.count() shouldBe uncapped.count()
+  }
+
   test("multimodal: per-partition decode plumbing is deterministic") {
     val items = Multimodal.syntheticItems(spark, docs.limit(50), "doc_id", "text")
     val f1 = Multimodal.extractFeatures(spark, items).collect().sortBy(_.id)

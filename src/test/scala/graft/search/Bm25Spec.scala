@@ -53,4 +53,46 @@ class Bm25Spec extends AnyFunSuite with Matchers {
   test("unknown terms yield empty results") {
     new Bm25(index).topK(Seq("zzzznotaword"), 5) shouldBe empty
   }
+
+  test("bounded phase A: all-common-terms query rescoring via distributed semi-join") {
+    // maxCandidateCollect = 1 forces the semi-join branch (candidates > cap)
+    // on a weak-θ̂ all-common-terms query; result must stay exact
+    val capped = new Bm25(index, smallQueryMaxPostings = 0, maxCandidateCollect = 1)
+    val full = new Bm25(index, smallQueryMaxPostings = 0)
+    for (terms <- Seq(Seq("the", "w0", "w1"), Seq("the", "w100"))) {
+      val a = capped.topK(terms, 10, prune = true)
+      val b = full.topK(terms, 10, prune = false)
+      a.map(_._1).toSeq shouldBe b.map(_._1).toSeq
+      a.zip(b).foreach { case ((_, x), (_, y)) => x shouldBe y +- 1e-9 }
+    }
+  }
+
+  test("prune=false forces full scoring even under the small-query threshold") {
+    // the fast path is gated on prune: an oracle caller using prune=false
+    // must reach the distributed full-scoring computation
+    val bm25 = new Bm25(index) // default small-query threshold active
+    val viaOracle = bm25.topK(Seq("w3", "w17"), 10, prune = false)
+    val viaFast = bm25.topK(Seq("w3", "w17"), 10)
+    viaFast.map(_._1).toSeq shouldBe viaOracle.map(_._1).toSeq
+  }
+
+  test("sparse docids: driver fast path scores correctly (no dense-id assumption)") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-bm25-sparse").toString
+    val settings = IndexSettings(searchableFields = Seq("text"))
+    // caller-assigned sparse docids (EngineQueries-style): id gaps of 17
+    val docs = WebPages.generate(spark, 400)
+      .withColumn("docid", org.apache.spark.sql.functions.col("docid") * 17 + 5)
+    new IndexBuilder(spark, settings).build(docs, dir, resume = false)
+    val idx = GraftIndex(spark, dir, settings)
+    val fast = new Bm25(idx)
+    val dist = new Bm25(idx, smallQueryMaxPostings = 0)
+    for (terms <- Seq(Seq("w0"), Seq("the", "w10"))) {
+      val a = fast.topK(terms, 10)
+      val b = dist.topK(terms, 10, prune = false)
+      a.map(_._1).toSeq shouldBe b.map(_._1).toSeq
+      a.zip(b).foreach { case ((_, x), (_, y)) => x shouldBe y +- 1e-9 }
+    }
+  }
 }
