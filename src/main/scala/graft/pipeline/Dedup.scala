@@ -17,13 +17,24 @@ object Dedup {
   def md5long(c: Column): Column = conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
   /** Exact duplicates by content hash: (hash, cnt, keep_doc = min docid,
-    * members). O(n) with one shuffle on the hash. */
-  def exactDuplicates(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.select(col(idCol).as("docid"), md5(col(textCol)).as("h"))
-      .groupBy("h")
-      .agg(count(lit(1)).as("cnt"), min("docid").as("keep_doc"),
-        sort_array(collect_list("docid")).as("members"))
+    * members). O(n) with one shuffle on the hash. `members` is a BOUNDED
+    * sample (first `maxMembers` in docid order) — a degenerate corpus where
+    * one hash covers 10^8 docs must not materialize them in one row; `cnt`
+    * carries the true group size and `exactDropIds` streams the full set. */
+  def exactDuplicates(docs: DataFrame, idCol: String, textCol: String,
+      maxMembers: Int = 100): DataFrame = {
+    val hashed = docs.select(col(idCol).as("docid"), md5(col(textCol)).as("h"))
+    val stats = hashed.groupBy("h")
+      .agg(count(lit(1)).as("cnt"), min("docid").as("keep_doc"))
       .where(col("cnt") > 1)
+    // rank-limit filter → WindowGroupLimit: the per-hash sample is bounded
+    // MAP-SIDE, so no aggregation buffer ever holds a whole megagroup
+    val w = Window.partitionBy("h").orderBy("docid")
+    val sample = hashed.withColumn("rn__", row_number().over(w))
+      .where(col("rn__") <= maxMembers)
+      .groupBy("h").agg(sort_array(collect_list("docid")).as("members"))
+    stats.join(sample, Seq("h"))
+  }
 
   /** The ids to DROP under keep-first exact dedup (left-anti these away). */
   def exactDropIds(docs: DataFrame, idCol: String, textCol: String): DataFrame = {

@@ -87,14 +87,27 @@ class Bm25(index: GraftIndex, k1: Double = 1.2, b: Double = 0.75,
     val qterms = terms.distinct
     if (qterms.isEmpty) return Array.empty
 
-    val dfs: Map[String, Long] = index.termDict
-      .where($"word".isin(qterms: _*)).select($"word", $"df")
-      .as[(String, Long)].collect().toMap
+    // df through the pinned dictionary: zero jobs on a warm serving handle
+    // (term_dict df = posting entries per word, so it is also the exact
+    // small-query postings bound — no block-metadata job needed to gate)
+    val dfs: Map[String, Long] = index.dfsFor(qterms)
     val present = qterms.filter(dfs.contains)
     if (present.isEmpty) return Array.empty
     val idfs: Map[String, Double] = present.map(w => w -> idf(dfs(w))).toMap
 
-    // block metadata only (bytes column pruned away)
+    // small-query fast path: posting-cache fetch (zero jobs when warm) +
+    // driver-side exact scoring (identical formula/ordering; Bm25Spec
+    // asserts equivalence). Gated on `prune` so `prune = false` keeps its
+    // contract of forcing the full distributed scoring (the oracle path);
+    // a sparse docid outside the pinned doclen array falls through too.
+    val totalPostings = present.map(dfs).sum
+    if (prune && totalPostings <= smallQueryMaxPostings && docLensLocal.isDefined)
+      topKLocal(present, idfs, avgdl, k) match {
+        case Some(hits) => return hits
+        case None       => () // doclen miss: fall back to the distributed path
+      }
+
+    // block metadata only (bytes column pruned away) — distributed path only
     val rawMetas = index.postingBlocks
       .where($"word".isin(present: _*))
       .select($"word", $"block_id", $"max_docid", $"max_tf", $"count")
@@ -109,18 +122,6 @@ class Bm25(index: GraftIndex, k1: Double = 1.2, b: Double = 0.75,
           m
         }
     }
-
-    // small-query fast path: posting-cache fetch (zero jobs when warm) +
-    // driver-side exact scoring (identical formula/ordering; Bm25Spec
-    // asserts equivalence). Gated on `prune` so `prune = false` keeps its
-    // contract of forcing the full distributed scoring (the oracle path);
-    // a sparse docid outside the pinned doclen array falls through too.
-    val totalPostings = metas.map(_.count.toLong).sum
-    if (prune && totalPostings <= smallQueryMaxPostings && docLensLocal.isDefined)
-      topKLocal(present, idfs, avgdl, k) match {
-        case Some(hits) => return hits
-        case None       => () // doclen miss: fall back to the distributed path
-      }
 
     // small posting sets: the 3-pass pruning costs more jobs than it saves
     if (!prune || metas.length <= 64)

@@ -48,7 +48,8 @@ class GraftIndex(val spark: SparkSession, val dir: String, val settings: IndexSe
     * Cheap to skip — everything works uncached, just with parquet reads. */
   def warm(): Unit = {
     Seq(docWordPositions, docFidWordCounts, docStats, postingBlocks, termDict,
-      facetStrings, facetNumbers, pairProx, wordDocids)
+      facetStrings, facetNumbers, pairProx, wordDocids, exactWordDocids,
+      wordPrefixDocids, exactWordPrefixDocids)
       .foreach { df => df.cache(); df.count() }
   }
 
@@ -114,6 +115,18 @@ class GraftIndex(val spark: SparkSession, val dir: String, val settings: IndexSe
         .collect().headOption.getOrElse(0L)
   }
 
+  /** Batched df probe (term_dict df = posting entries per word): ZERO jobs
+    * when the dictionary is pinned driver-side; one pruned scan otherwise.
+    * Absent words are absent from the result. */
+  def dfsFor(words: Seq[String]): Map[String, Long] = dfLocal match {
+    case Some(m) =>
+      words.flatMap(w => Option(m.get(w)).map(v => w -> v.longValue())).toMap
+    case None =>
+      if (words.isEmpty) Map.empty
+      else termDict.where($"word".isin(words: _*)).select($"word", $"df".cast("long"))
+        .as[(String, Long)].collect().toMap
+  }
+
   /** LRU of (w1, w2) → prox-1 pair frequency: warm/repeated queries probe
     * word splits without launching a job (the reference's equivalent read
     * hits LMDB in-process, search/mod.rs:136-242). */
@@ -174,18 +187,45 @@ class GraftIndex(val spark: SparkSession, val dir: String, val settings: IndexSe
   private lazy val termDictLocal: Option[Array[(String, Boolean)]] =
     termDictLocalFull.map(_.map { case (w, eo, _) => (w, eo) })
 
+  /** Sorted pinned dictionary + df prefix sums: prefix ranges answer in
+    * O(log n) instead of an O(n) scan per query (2M-word dictionaries would
+    * otherwise pay ~tens of ms of driver CPU per serving query). */
+  private lazy val dictIndex: Option[(Array[String], Array[Long])] =
+    termDictLocalFull.map { dict =>
+      val sorted = dict.sortBy(_._1)
+      val words = sorted.map(_._1)
+      val cum = new Array[Long](words.length + 1)
+      var i = 0
+      while (i < words.length) { cum(i + 1) = cum(i) + sorted(i)._3; i += 1 }
+      (words, cum)
+    }
+
+  /** insertion point of `key` in the sorted array (first index ≥ key). */
+  private def lowerBound(ws: Array[String], key: String): Int = {
+    var lo = 0
+    var hi = ws.length
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (ws(mid).compareTo(key) < 0) lo = mid + 1 else hi = mid
+    }
+    lo
+  }
+
   /** Estimated posting rows a query scan will touch: Σ df over the exact /
-    * derived words + Σ df over every dictionary word extending a prefix.
+    * derived words + Σ df over every dictionary word extending a prefix
+    * (binary search + prefix sums; a word matched both ways may count
+    * twice — the estimate is a conservative UPPER bound for the gate).
     * None when the dictionary is too big to pin (web scale) — callers then
     * always take the distributed path. */
   def estimatePostings(words: Seq[String], prefixes: Seq[String]): Option[Long] =
-    termDictLocalFull.map { dict =>
-      val wanted = words.toSet
-      var sum = 0L
-      dict.foreach { case (w, _, df) =>
-        if (wanted.contains(w) || prefixes.exists(w.startsWith)) sum += df
-      }
-      sum
+    dictIndex.map { case (ws, cum) =>
+      val m = dfLocal.get
+      val wordSum = words.iterator
+        .map(w => Option(m.get(w)).map(_.longValue()).getOrElse(0L)).sum
+      val prefSum = prefixes.iterator.map { p =>
+        cum(lowerBound(ws, p + Character.MAX_VALUE)) - cum(lowerBound(ws, p))
+      }.sum
+      wordSum + prefSum
     }
 
   def derivations(keys: Set[(String, Boolean, Int)]): Ranker.Derivations = {

@@ -55,9 +55,12 @@ final class PostingCache(index: GraftIndex, maxBytes: Long = 256L << 20) {
         lru.put(w, ps)
         bytes += entryBytes(ps)
       }
-      evict()
     }
-    words.distinct.map(w => w -> lru.get(w)).toMap
+    // snapshot BEFORE evicting so an over-budget batch can't evict its own
+    // entries out from under the caller
+    val out = words.distinct.map(w => w -> lru.get(w)).toMap
+    evict()
+    out
   }
 
   @inline def docidOf(packed: Long): Int = (packed >>> 32).toInt
@@ -112,9 +115,11 @@ final class DwpCache(index: GraftIndex, maxBytes: Long = 256L << 20) {
         val a = rows.filter(_._2.startsWith(p))
         lru.put("p:" + p, a); bytes += entryBytes(a)
       }
-      evict()
     }
-    (words.distinct.map(w => w -> lru.get("w:" + w)).toMap,
+    // snapshot before evicting (same rationale as PostingCache.get)
+    val out = (words.distinct.map(w => w -> lru.get("w:" + w)).toMap,
       prefixes.distinct.map(p => p -> lru.get("p:" + p)).toMap)
+    evict()
+    out
   }
 }

@@ -218,8 +218,14 @@ class Search(index: GraftIndex,
     // needs facet joins), collect those rows once and rank in-process —
     // the adaptive twin of milli's in-process execution. Web-scale
     // dictionaries return None here and always rank distributed.
+    // sort-ish = facet joins needed: Asc/Desc always; the Sort criterion
+    // only when the request actually carries query-time sort entries (a
+    // criteria list containing `sort` with no sortCriteria is a no-op —
+    // milli's default list includes it, and those queries must still be
+    // eligible for the driver path)
     val sortish = criteria.exists {
-      case Criterion.Sort | Criterion.Asc(_) | Criterion.Desc(_) => true
+      case Criterion.Asc(_) | Criterion.Desc(_) => true
+      case Criterion.Sort => req.sortCriteria.nonEmpty
       case _ => false
     }
     val smallEnough = index.estimatePostings(relevantWords, prefixWords)
@@ -340,25 +346,51 @@ class Search(index: GraftIndex,
         byDoc.filterInPlace((d, _) => survivors.contains(d))
       }
     }
-    val needFwc = criteria.contains(Criterion.Exactness) && byDoc.nonEmpty
+    // Lazy words-bucket drain (milli's criterion iterator stops at `limit`,
+    // criteria/words.rs:31-106): pass 1 computes only the words bucket per
+    // doc (cheap boolean matching); when the FIRST active criterion is
+    // Words, only docs in the leading buckets covering offset+limit get the
+    // full rank vector (typo/proximity/attribute/exactness) — a common-word
+    // query over 10^5 local candidates ranks a few hundred docs, not all.
+    val take = req.offset + req.limit
+    val bucketed: Array[scala.collection.mutable.ArrayBuffer[Int]] =
+      Array.fill(branches.length)(scala.collection.mutable.ArrayBuffer.empty[Int])
+    byDoc.foreach { case (docid, pos) =>
+      val doc = Ranker.DocData(pos.toMap, Map.empty) // matching needs no fwc
+      val bi = branches.indexWhere(b => Ranker.matches(b, doc, derivations))
+      if (bi >= 0) bucketed(bi) += docid
+    }
+    val totalCandidates = bucketed.iterator.map(_.length.toLong).sum
+    val wordsFirst = criteria.headOption.contains(Criterion.Words)
+    val chosen: Seq[Int] =
+      if (!wordsFirst) bucketed.iterator.flatten.toSeq
+      else {
+        val acc = Vector.newBuilder[Int]
+        var n = 0
+        bucketed.iterator.takeWhile(_ => n < take).foreach { b =>
+          acc ++= b; n += b.length
+        }
+        acc.result()
+      }
+    val needFwc = criteria.contains(Criterion.Exactness) && chosen.nonEmpty
     val fwc: Map[Int, Map[Int, Int]] =
       if (!needFwc) Map.empty
       else index.fidWordCountsLocal match {
         case Some(lm) =>
-          byDoc.keysIterator.map { d =>
+          chosen.iterator.map { d =>
             d -> searchableFids.flatMap(f =>
               lm.get((d.toLong << 16) | f.toLong).map(f -> _)).toMap
           }.toMap
         case None =>
-          val candDf = spark.createDataset(byDoc.keys.toSeq).toDF("docid")
+          val candDf = spark.createDataset(chosen).toDF("docid")
           index.docFidWordCounts
             .join(broadcast(candDf), Seq("docid"), "left_semi")
             .select($"docid", $"fid", $"word_count")
             .as[(Int, Int, Int)].collect()
             .groupBy(_._1).map { case (d, rs) => d -> rs.map(r => r._2 -> r._3).toMap }
       }
-    val ranked = byDoc.iterator.flatMap { case (docid, pos) =>
-      val doc = Ranker.DocData(pos.toMap, fwc.getOrElse(docid, Map.empty))
+    val ranked = chosen.iterator.flatMap { docid =>
+      val doc = Ranker.DocData(byDoc(docid).toMap, fwc.getOrElse(docid, Map.empty))
       Ranker.rankVector(doc, branches, derivations, exactParts, searchableFids)
         .map(v => (docid, v))
     }.toArray
@@ -389,7 +421,7 @@ class Search(index: GraftIndex,
     val sorted = ranked.sorted(ord)
     SearchResult(
       sorted.iterator.map(_._1).slice(req.offset, req.offset + req.limit).toSeq,
-      ranked.length.toLong)
+      totalCandidates)
   }
 
   /** Finish a bitmap-resolved no-rank query: ascending-docid page + count.
