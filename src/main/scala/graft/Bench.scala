@@ -153,6 +153,24 @@ object Bench {
     val bm25Times: Seq[Double] = (0 until 5).flatMap { _ =>
       ladder.map(q => timed(bm25.topK(q, 20))._2)
     }
+    // multi-client throughput: N concurrent serving clients over the SAME
+    // warmed handle (the driver-side caches are synchronized fetch-through;
+    // scoring runs outside the locks) — the single-box stand-in for a
+    // serving tier answering concurrent users
+    val mtClients = sys.env.getOrElse("SPARK_GRAFT_MT_CLIENTS", "8").toInt
+    val mtIters = 10
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(mtClients)
+    val (_, mtWall) = timed {
+      val futs = (0 until mtClients).map { c =>
+        pool.submit(new Runnable {
+          override def run(): Unit =
+            (0 until mtIters).foreach(_ => ladder.foreach(q => bm25.topK(q, 20)))
+        })
+      }
+      futs.foreach(_.get())
+    }
+    pool.shutdown()
+    val bm25QpsMt = mtClients.toLong * mtIters * ladder.length / mtWall
     // milli-rank serving: same wrapper; threshold sized so the ladder's
     // common-word queries stay on the driver path like milli would
     val search = new Search(index, maxLocalPostings = 1L << 18)
@@ -164,6 +182,19 @@ object Bench {
       milliQueries.map(q => timed(search.execute(
         SearchRequest(query = Some(q), limit = 20, exhaustive = false)))._2)
     }
+    val pool2 = java.util.concurrent.Executors.newFixedThreadPool(mtClients)
+    val (_, mtWall2) = timed {
+      val futs = (0 until mtClients).map { _ =>
+        pool2.submit(new Runnable {
+          override def run(): Unit = (0 until mtIters).foreach(_ =>
+            milliQueries.foreach(q => search.execute(
+              SearchRequest(query = Some(q), limit = 20, exhaustive = false))))
+        })
+      }
+      futs.foreach(_.get())
+    }
+    pool2.shutdown()
+    val milliQpsMt = mtClients.toLong * mtIters * milliQueries.length / mtWall2
     spark.stop()
     val loadEnd = loadavg()
 
@@ -182,9 +213,11 @@ object Bench {
         s""","search":{"bm25_p50_ms":${f(pct(bm25Times, 0.5) * 1000)},""" +
         s""""bm25_p99_ms":${f(pct(bm25Times, 0.99) * 1000)},""" +
         s""""bm25_qps":${f(bm25Times.length / bm25Times.sum)},""" +
+        s""""bm25_qps_mt${mtClients}":${f(bm25QpsMt)},""" +
         s""""bm25_cold_p50_ms":${f(pct(bm25Cold, 0.5) * 1000)},""" +
         s""""milli_rank_p50_ms":${f(pct(milliTimes, 0.5) * 1000)},""" +
         s""""milli_rank_p99_ms":${f(pct(milliTimes, 0.99) * 1000)},""" +
+        s""""milli_rank_qps_mt${mtClients}":${f(milliQpsMt)},""" +
         s""""milli_rank_cold_p50_ms":${f(pct(milliCold, 0.5) * 1000)}}}"""
     println(json)
   }

@@ -80,6 +80,11 @@ class GraftIndex(val spark: SparkSession, val dir: String, val settings: IndexSe
   /** Driver-side LRU of forward-index rows for the small-query rank path. */
   lazy val dwpCache: DwpCache = new DwpCache(this)
 
+  /** Driver-side presence-aware LRU of candidate bitmaps (word / prefix
+    * docids point reads + dict-miss prefix range unions) — warm bitmap
+    * candidate resolution runs zero Spark jobs. */
+  lazy val bitmapCache: BitmapCache = new BitmapCache()
+
   /** (docid, fid) → word_count pinned driver-side for the small-query
     * exactness rank — gated by row count (LongMap of ≤ 8M entries ≈ 200 MB);
     * web-scale indexes keep the distributed semi-join instead. */
@@ -327,20 +332,26 @@ class GraftIndex(val spark: SparkSession, val dir: String, val settings: IndexSe
     val zeroWords = enumerated.collect { case (w, 0) => w }.distinct
     val prefixes = leaves.collect { case Query(true, k) => k.word }.distinct
 
-    val wd = bitmapRows(wordDocids, allWords)
-    val ewd = bitmapRows(exactWordDocids, zeroWords)
-    val pfx = bitmapRows(wordPrefixDocids, prefixes, "prefix")
-    val epfx = bitmapRows(exactWordPrefixDocids, prefixes, "prefix")
+    // all point reads go through the presence-aware bitmap LRU: warm
+    // queries resolve with zero Spark jobs (cold misses batch into one
+    // pruned fetch per table)
+    val wd = bitmapCache.get("w", allWords)(ks => bitmapRows(wordDocids, ks))
+    val ewd = bitmapCache.get("e", zeroWords)(ks => bitmapRows(exactWordDocids, ks))
+    val pfx = bitmapCache.get("p", prefixes)(ks => bitmapRows(wordPrefixDocids, ks, "prefix"))
+    val epfx = bitmapCache.get("q", prefixes)(ks => bitmapRows(exactWordPrefixDocids, ks, "prefix"))
     // dictionary-miss prefixes: one distributed range-union each (bounded
-    // result: a single bitmap row reaches the driver)
-    val missingPfx = prefixes.filterNot(pfx.contains).map { p =>
-      val merged = wordDocids.where($"word".startsWith(p)).select($"docids")
-        .unionAll(exactWordDocids.where($"word".startsWith(p)).select($"docids"))
-        .agg(graft.functions.GraftFunctions.bitmap_union_agg($"docids").as("d"))
-        .select($"d").as[Array[Byte]].collect()
-      p -> merged.headOption.flatMap(Option(_)).map(Bitmaps.cboDeserialize)
-        .getOrElse(new RoaringBitmap())
-    }.toMap
+    // result: a single bitmap row reaches the driver), LRU-cached too
+    val missingPfx: Map[String, Option[RoaringBitmap]] =
+      bitmapCache.get("r", prefixes.filter(p => pfx(p).isEmpty)) { ks =>
+        ks.map { p =>
+          val merged = wordDocids.where($"word".startsWith(p)).select($"docids")
+            .unionAll(exactWordDocids.where($"word".startsWith(p)).select($"docids"))
+            .agg(graft.functions.GraftFunctions.bitmap_union_agg($"docids").as("d"))
+            .select($"d").as[Array[Byte]].collect()
+          p -> merged.headOption.flatMap(Option(_)).map(Bitmaps.cboDeserialize)
+            .getOrElse(new RoaringBitmap())
+        }.toMap
+      }
 
     def eval(op: Op): RoaringBitmap = op match {
       case And(cs)   => cs.map(eval).reduce(RoaringBitmap.and)
@@ -348,13 +359,13 @@ class GraftIndex(val spark: SparkSession, val dir: String, val settings: IndexSe
       case Query(prefix, kind) =>
         val acc = new RoaringBitmap()
         if (prefix) {
-          pfx.get(kind.word).foreach(acc.or)
-          epfx.get(kind.word).foreach(acc.or)
-          missingPfx.get(kind.word).foreach(acc.or)
+          pfx.get(kind.word).flatten.foreach(acc.or)
+          epfx.get(kind.word).flatten.foreach(acc.or)
+          missingPfx.get(kind.word).flatten.foreach(acc.or)
         }
         der.map.getOrElse((kind.word, prefix, kind.typo), Nil).foreach { case (w, typo) =>
-          wd.get(w).foreach(acc.or)
-          if (typo == 0) ewd.get(w).foreach(acc.or)
+          wd.get(w).flatten.foreach(acc.or)
+          if (typo == 0) ewd.get(w).flatten.foreach(acc.or)
         }
         acc
       case _: Phrase => new RoaringBitmap() // unreachable (hasPhrase gate)

@@ -67,6 +67,68 @@ final class PostingCache(index: GraftIndex, maxBytes: Long = 256L << 20) {
   @inline def tfOf(packed: Long): Int = packed.toInt
 }
 
+/** Driver-side LRU cache of candidate bitmaps keyed by `<ns>:<key>` —
+  * `word_docids` / `exact_word_docids` / `word_prefix_docids` /
+  * `exact_word_prefix_docids` point reads (ns `w`/`e`/`p`/`q`) plus
+  * dictionary-miss prefix range unions (ns `r`). PRESENCE-AWARE: a key
+  * absent from its table caches as Absent so `resolveTreeBitmap` can still
+  * distinguish "prefix not in the prefix dict" (→ range-union fallback)
+  * from "not fetched yet". Warm no-rank/count queries and the bitmap-
+  * bucketed rank pass run zero Spark jobs (the reference's equivalent reads
+  * hit LMDB in-process, `milli/src/search/mod.rs:136-242`). */
+final class BitmapCache(maxBytes: Long = 128L << 20) {
+  import org.roaringbitmap.RoaringBitmap
+
+  private object Absent
+  private val lru = new java.util.LinkedHashMap[String, AnyRef](256, 0.75f, true)
+  private var bytes = 0L
+
+  @inline private def entryBytes(v: AnyRef): Long = v match {
+    case bm: RoaringBitmap => 64L + bm.getSizeInBytes
+    case _                 => 64L
+  }
+
+  private def evict(): Unit = {
+    val it = lru.entrySet().iterator()
+    while (bytes > maxBytes && it.hasNext) {
+      val e = it.next()
+      bytes -= entryBytes(e.getValue)
+      it.remove()
+    }
+  }
+
+  /** Fetch-through lookup: `fetch` is called ONCE with the uncached keys and
+    * returns bitmaps for those present in the table; the rest cache as
+    * Absent. Result maps every requested key to Some(bitmap) | None(absent).
+    * Returned bitmaps are SHARED — callers must not mutate them. */
+  def get(ns: String, keys: Seq[String])(
+      fetch: Seq[String] => Map[String, RoaringBitmap]): Map[String, Option[RoaringBitmap]] =
+    synchronized {
+      val distinct = keys.distinct
+      val missing = distinct.filterNot(k => lru.containsKey(ns + ":" + k))
+      if (missing.nonEmpty) {
+        val fetched = fetch(missing)
+        missing.foreach { k =>
+          val v: AnyRef = fetched.get(k) match {
+            case Some(bm) => bm
+            case None     => Absent
+          }
+          lru.put(ns + ":" + k, v)
+          bytes += entryBytes(v)
+        }
+      }
+      // snapshot before evicting (same rationale as PostingCache.get)
+      val out = distinct.map { k =>
+        k -> (lru.get(ns + ":" + k) match {
+          case bm: RoaringBitmap => Some(bm)
+          case _                 => None
+        })
+      }.toMap
+      evict()
+      out
+    }
+}
+
 /** Driver-side LRU cache of forward-index rows (docid, word, positions) for
   * the small-query rank path, keyed by exact word (`w:foo`) or prefix range
   * (`p:fo`) — the serving twin of the pruned `doc_word_positions` scans.

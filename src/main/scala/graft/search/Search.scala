@@ -327,51 +327,116 @@ class Search(index: GraftIndex,
       deleted: RoaringBitmap,
       criteria: Seq[Criterion],
       req: SearchRequest): SearchResult = {
-    val (wRows, pRows) = index.dwpCache.get(relevantWords, prefixWords)
-    val byDoc = scala.collection.mutable.LinkedHashMap
-      .empty[Int, scala.collection.mutable.HashMap[String, Array[Int]]]
-    (wRows.valuesIterator ++ pRows.valuesIterator).flatten.foreach { case (d, w, ps) =>
-      if (!deleted.contains(d))
-        byDoc.getOrElseUpdate(d,
-          scala.collection.mutable.HashMap.empty[String, Array[Int]]).update(w, ps)
-    }
-    // filter semi-join against the bounded candidate set: one job, collect
-    // bounded by |byDoc| — a broad filter over 10^9 docs never reaches the
-    // driver (ADVICE r2: the old path collected the whole filter set)
-    filterDf.foreach { fd =>
-      if (byDoc.nonEmpty) {
-        val candDf = spark.createDataset(byDoc.keys.toSeq).toDF("docid")
-        val survivors = fd.join(broadcast(candDf), Seq("docid"), "left_semi")
-          .select($"docid").as[Int].collect().toSet
-        byDoc.filterInPlace((d, _) => survivors.contains(d))
-      }
-    }
     // Lazy words-bucket drain (milli's criterion iterator stops at `limit`,
-    // criteria/words.rs:31-106): pass 1 computes only the words bucket per
-    // doc (cheap boolean matching); when the FIRST active criterion is
-    // Words, only docs in the leading buckets covering offset+limit get the
-    // full rank vector (typo/proximity/attribute/exactness) — a common-word
-    // query over 10^5 local candidates ranks a few hundred docs, not all.
+    // criteria/words.rs:31-106): pass 1 computes only BUCKET MEMBERSHIP per
+    // candidate; when the FIRST active criterion is Words, only docs in the
+    // leading buckets covering offset+limit get the full rank vector
+    // (typo/proximity/attribute/exactness) — a common-word query over 10^5
+    // local candidates ranks a few hundred docs, not all.
+    //
+    // Pass 1 itself is BITMAP ALGEBRA whenever the branches are phrase-free:
+    // per-branch candidate bitmaps off the cached word/prefix docids tables
+    // (zero jobs warm — the same resolver the no-rank fast path uses), so
+    // DocData maps are built ONLY for the docs actually ranked. Branches
+    // with phrases need positions and fall back to per-doc matching.
     val take = req.offset + req.limit
-    val bucketed: Array[scala.collection.mutable.ArrayBuffer[Int]] =
-      Array.fill(branches.length)(scala.collection.mutable.ArrayBuffer.empty[Int])
-    byDoc.foreach { case (docid, pos) =>
-      val doc = Ranker.DocData(pos.toMap, Map.empty) // matching needs no fwc
-      val bi = branches.indexWhere(b => Ranker.matches(b, doc, derivations))
-      if (bi >= 0) bucketed(bi) += docid
-    }
-    val totalCandidates = bucketed.iterator.map(_.length.toLong).sum
     val wordsFirst = criteria.headOption.contains(Criterion.Words)
-    val chosen: Seq[Int] =
-      if (!wordsFirst) bucketed.iterator.flatten.toSeq
-      else {
-        val acc = Vector.newBuilder[Int]
-        var n = 0
-        bucketed.iterator.takeWhile(_ => n < take).foreach { b =>
-          acc ++= b; n += b.length
+    val branchBms: Option[Vector[RoaringBitmap]] = {
+      val bms = branches.map(b => index.resolveTreeBitmap(b, derivations))
+      if (bms.contains(None)) None else Some(bms.map(_.get))
+    }
+
+    val (byDoc, totalCandidates, chosen) = branchBms match {
+      case Some(bms) =>
+        // disjoint buckets: bucket i = docs whose FIRST matching branch is i
+        // (indexWhere semantics), tombstones out
+        val seen = new RoaringBitmap()
+        val buckets = bms.map { bm =>
+          val b = RoaringBitmap.andNot(bm, seen)
+          b.andNot(deleted)
+          seen.or(bm)
+          b
         }
-        acc.result()
-      }
+        // filter semi-join against the bounded candidate union: one job,
+        // collect bounded by the union's cardinality (≤ maxLocalPostings) —
+        // a broad filter over 10^9 docs never reaches the driver
+        filterDf.foreach { fd =>
+          val union = buckets.reduce((a, b) => RoaringBitmap.or(a, b))
+          if (!union.isEmpty) {
+            val candDf = spark.createDataset(union.toArray.toSeq).toDF("docid")
+            val survivors = fd.join(broadcast(candDf), Seq("docid"), "left_semi")
+              .select($"docid").as[Int].collect()
+            val survBm = Bitmaps.fromInts(survivors)
+            buckets.foreach(_.and(survBm))
+          }
+        }
+        val total = buckets.iterator.map(_.getLongCardinality).sum
+        val chosenIds: Seq[Int] = {
+          val acc = Vector.newBuilder[Int]
+          var n = 0L
+          val bit = buckets.iterator
+          while (bit.hasNext && (!wordsFirst || n < take)) {
+            val b = bit.next()
+            val it = b.getIntIterator
+            while (it.hasNext) acc += it.next()
+            n += b.getLongCardinality
+          }
+          acc.result()
+        }
+        // positions ONLY for the ranked docs: the cached word-keyed rows are
+        // filtered by membership (one int-contains per row, no per-doc map
+        // for unranked candidates)
+        val chosenBm = Bitmaps.fromInts(chosenIds.toArray)
+        val (wRows, pRows) = index.dwpCache.get(relevantWords, prefixWords)
+        val m = scala.collection.mutable.HashMap
+          .empty[Int, scala.collection.mutable.HashMap[String, Array[Int]]]
+        (wRows.valuesIterator ++ pRows.valuesIterator).flatten.foreach { case (d, w, ps) =>
+          if (chosenBm.contains(d))
+            m.getOrElseUpdate(d,
+              scala.collection.mutable.HashMap.empty[String, Array[Int]]).update(w, ps)
+        }
+        (m, total, chosenIds)
+
+      case None =>
+        // phrase fallback: per-doc boolean matching over every candidate row
+        val (wRows, pRows) = index.dwpCache.get(relevantWords, prefixWords)
+        val m = scala.collection.mutable.LinkedHashMap
+          .empty[Int, scala.collection.mutable.HashMap[String, Array[Int]]]
+        (wRows.valuesIterator ++ pRows.valuesIterator).flatten.foreach { case (d, w, ps) =>
+          if (!deleted.contains(d))
+            m.getOrElseUpdate(d,
+              scala.collection.mutable.HashMap.empty[String, Array[Int]]).update(w, ps)
+        }
+        // filter semi-join against the bounded candidate set (never a full
+        // filter collect — ADVICE r2)
+        filterDf.foreach { fd =>
+          if (m.nonEmpty) {
+            val candDf = spark.createDataset(m.keys.toSeq).toDF("docid")
+            val survivors = fd.join(broadcast(candDf), Seq("docid"), "left_semi")
+              .select($"docid").as[Int].collect().toSet
+            m.filterInPlace((d, _) => survivors.contains(d))
+          }
+        }
+        val bucketed: Array[scala.collection.mutable.ArrayBuffer[Int]] =
+          Array.fill(branches.length)(scala.collection.mutable.ArrayBuffer.empty[Int])
+        m.foreach { case (docid, pos) =>
+          val doc = Ranker.DocData(pos.toMap, Map.empty) // matching needs no fwc
+          val bi = branches.indexWhere(b => Ranker.matches(b, doc, derivations))
+          if (bi >= 0) bucketed(bi) += docid
+        }
+        val total = bucketed.iterator.map(_.length.toLong).sum
+        val chosenIds: Seq[Int] =
+          if (!wordsFirst) bucketed.iterator.flatten.toSeq
+          else {
+            val acc = Vector.newBuilder[Int]
+            var n = 0
+            bucketed.iterator.takeWhile(_ => n < take).foreach { b =>
+              acc ++= b; n += b.length
+            }
+            acc.result()
+          }
+        (m, total, chosenIds)
+    }
     val needFwc = criteria.contains(Criterion.Exactness) && chosen.nonEmpty
     val fwc: Map[Int, Map[Int, Int]] =
       if (!needFwc) Map.empty

@@ -1,0 +1,88 @@
+package graft.search
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+import org.roaringbitmap.RoaringBitmap
+
+import graft.TestSpark
+import graft.index.{IndexBuilder, IndexSettings}
+import graft.webgen.WebPages
+
+/** The small-query RANKED local path resolves its words-bucket membership
+  * (pass 1) with per-branch bitmap algebra off the cached word/prefix
+  * docids tables — this spec pins it rank-identical to the forced
+  * distributed path across criteria, typos, prefixes, filters and phrase
+  * fallback, and pins the BitmapCache's presence-aware fetch-once
+  * semantics. */
+class LocalRankBitmapSpec extends AnyFunSuite with Matchers {
+
+  private lazy val spark = TestSpark.spark
+  private lazy val stg = IndexSettings(
+    searchableFields = Seq("text"), filterableFields = Set("lang"))
+  private lazy val dir: String = {
+    val d = java.nio.file.Files.createTempDirectory("graft-localrank").toString
+    val docs = WebPages.generate(spark, 2000)
+    new IndexBuilder(spark, stg).build(docs, d, resume = false)
+    d
+  }
+  private lazy val index = GraftIndex(spark, dir, stg)
+
+  private def compare(q: String, filter: Option[String] = None,
+      typos: Boolean = true, limit: Int = 30, offset: Int = 0): Unit = {
+    val req = SearchRequest(query = Some(q), filter = filter, limit = limit,
+      offset = offset, authorizeTypos = typos)
+    val local = new Search(index).execute(req)
+    val dist = new Search(index, maxLocalPostings = 0).execute(req)
+    withClue(s"query=$q filter=$filter typos=$typos: ") {
+      local.documentsIds shouldBe dist.documentsIds
+      local.candidates shouldBe dist.candidates
+      local.candidates should be > 0L
+    }
+  }
+
+  test("common-word ranked query (lazy bucket drain over bitmap buckets)") {
+    compare("the w100 ")
+  }
+
+  test("prefix + typo ranked query") {
+    compare("w25") // trailing prefix with derivations
+  }
+
+  test("multi-word with rare term") {
+    compare("w3 w17 ")
+  }
+
+  test("ranked query with filter (semi-join against the bucket union)") {
+    compare("w1 ", filter = Some("lang = en"))
+    compare("the w100 ", filter = Some("lang != en"))
+  }
+
+  test("phrase query falls back to per-doc matching and still agrees") {
+    compare("\"the w100\" ")
+  }
+
+  test("pagination within and beyond the first bucket") {
+    compare("the w100 ", offset = 10, limit = 15)
+  }
+
+  test("bitmap cache is presence-aware and fetches each key once") {
+    val cache = new BitmapCache()
+    var calls = 0
+    def fetch(keys: Seq[String]): Map[String, RoaringBitmap] = {
+      calls += 1
+      keys.filter(_.startsWith("hit")).map(k => k -> RoaringBitmap.bitmapOf(1, 2)).toMap
+    }
+    val r1 = cache.get("w", Seq("hit1", "miss1"))(fetch)
+    r1("hit1").map(_.getCardinality) shouldBe Some(2)
+    r1("miss1") shouldBe None
+    calls shouldBe 1
+    // second lookup: both keys (present AND absent) served from cache
+    val r2 = cache.get("w", Seq("hit1", "miss1"))(fetch)
+    r2("hit1").isDefined shouldBe true
+    r2("miss1") shouldBe None
+    calls shouldBe 1
+    // different namespace refetches
+    cache.get("p", Seq("hit1"))(fetch)
+    calls shouldBe 2
+  }
+}
