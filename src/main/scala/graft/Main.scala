@@ -153,6 +153,51 @@ object Main {
         .collect()
       println(s"[graft] closed sessions for top users:")
       out.foreach(r => println(s"[graft]   user=${r.get(0)} closed=${r.get(1)} events=${r.get(2)}"))
+    case "serve" :: dir :: rest =>
+      // long-lived serving loop: ONE warmed index handle whose driver-side
+      // caches (postings, forward rows, candidate bitmaps, dicts, doclens)
+      // answer warm small queries without launching Spark jobs — the
+      // serving-tier twin of milli's LMDB-resident reads. Lines from stdin:
+      //   <query text>            milli-rank search (top 20)
+      //   bm25:<t1,t2,...>        BM25 top 20
+      //   filter:<dsl>|<query>    filtered milli-rank search
+      //   :quit                   exit
+      val settings = graft.index.SettingsIO.load(dir).getOrElse(
+        IndexSettings(searchableFields =
+          rest.headOption.map(_.split(',').toSeq).getOrElse(Seq("text"))))
+      val index = GraftIndex(spark, dir, settings)
+      index.warm()
+      val search = new Search(index)
+      val bm25 = new graft.search.Bm25(index)
+      println("[graft] serving (warm); '<query>' | 'bm25:t1,t2' | 'filter:<dsl>|<q>' | ':quit'")
+      Iterator.continually(scala.io.StdIn.readLine())
+        .takeWhile(l => l != null && l.trim != ":quit")
+        .map(_.trim).filter(_.nonEmpty)
+        .foreach { line =>
+          val t0 = System.nanoTime()
+          try {
+            if (line.startsWith("bm25:")) {
+              val top = bm25.topK(line.stripPrefix("bm25:").split(',').toSeq
+                .map(_.trim).filter(_.nonEmpty), 20)
+              val ms = (System.nanoTime() - t0) / 1e6
+              println(f"[graft] $ms%.1f ms  top=${top.map(_._1).mkString(",")}")
+            } else {
+              val (filter, q) =
+                if (line.startsWith("filter:")) {
+                  val body = line.stripPrefix("filter:")
+                  val i = body.indexOf('|')
+                  (Some(body.take(i).trim), body.drop(i + 1).trim)
+                } else (None, line)
+              val r = search.execute(SearchRequest(query = Some(q).filter(_.nonEmpty),
+                filter = filter, limit = 20, exhaustive = false))
+              val ms = (System.nanoTime() - t0) / 1e6
+              println(f"[graft] $ms%.1f ms  candidates=${r.candidates} " +
+                s"ids=${r.documentsIds.mkString(",")}")
+            }
+          } catch {
+            case e: Exception => println(s"[graft] error: ${e.getMessage}")
+          }
+        }
     case "gen" :: dir :: n :: Nil =>
       graft.webgen.WebPages.generate(spark, n.toLong)
         .write.mode("overwrite").parquet(dir)
@@ -173,6 +218,7 @@ object Main {
           |  graft.Main index  <docsParquet> <indexDir> <searchableCols> [filterableCols]
           |  graft.Main search <indexDir> <searchableCols> <query> [filter]
           |  graft.Main bm25   <indexDir> <searchableCols> <terms,comma> <k>
+          |  graft.Main serve  <indexDir> [searchableCols]   (stdin query loop)
           |  graft.Main gen    <outParquetDir> <nDocs>""".stripMargin)
       sys.exit(2)
   }

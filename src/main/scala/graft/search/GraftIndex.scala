@@ -233,7 +233,31 @@ class GraftIndex(val spark: SparkSession, val dir: String, val settings: IndexSe
       wordSum + prefSum
     }
 
+  /** LRU of (word, prefix, maxTypo) → derivation list. The dictionary is
+    * immutable per handle, so derivation lists are too; warm queries skip
+    * the band scan + OSA DP entirely (the reference keeps its FST in
+    * memory for the same reason — mod.rs:362-442). */
+  private val derivationCache =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[(String, Boolean, Int), Seq[(String, Int)]](256, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[(String, Boolean, Int), Seq[(String, Int)]]): Boolean =
+          size() > 65536
+      })
+
   def derivations(keys: Set[(String, Boolean, Int)]): Ranker.Derivations = {
+    val hits = scala.collection.mutable.HashMap.empty[(String, Boolean, Int), Seq[(String, Int)]]
+    keys.foreach { k =>
+      val v = derivationCache.get(k)
+      if (v != null) hits.update(k, v)
+    }
+    val uncached = keys.filterNot(hits.contains)
+    val computed = derivationsUncached(uncached)
+    uncached.foreach(k => derivationCache.put(k, computed.map.getOrElse(k, Nil)))
+    Ranker.Derivations(hits.toMap ++ computed.map, computed.exactFids)
+  }
+
+  private def derivationsUncached(keys: Set[(String, Boolean, Int)]): Ranker.Derivations = {
     // Plain prefix EXTENSIONS are NEVER enumerated against the dictionary:
     // the read path resolves them with a parquet StartsWith predicate on
     // the word-sorted posting tables + per-doc startsWith

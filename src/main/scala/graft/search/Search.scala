@@ -597,8 +597,8 @@ class Search(index: GraftIndex,
       req: SearchRequest,
       candidates: Long): SearchResult = {
     val take = req.offset + req.limit
-    val (deduped, candidatesN) = distinctField match {
-      case None => (ranked, candidates)
+    val (deduped, candidatesN, persisted) = distinctField match {
+      case None => (ranked, candidates, None)
       case Some(f) =>
         val strs = index.facetStrings.where($"field" === f)
           .groupBy($"docid").agg(min($"norm").as("distinct__v"))
@@ -606,15 +606,20 @@ class Search(index: GraftIndex,
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(coalesce($"distinct__v", concat(lit("\u0000nodist\u0000"), $"docid")))
           .orderBy(sortCols: _*)
+        // count + top-k are two actions over the same windowed plan: persist
+        // so the dedup window runs once
         val d = withV.withColumn("rn__", row_number().over(w)).where($"rn__" === 1)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         // candidate count after distinct-dedup (facet_distinct.rs semantics:
         // excluded duplicates leave the candidate set)
-        (d, d.count())
+        (d, d.count(), Some(d))
     }
-    // TakeOrderedAndProject: orderBy + limit never materializes a full sort
-    val rows = deduped.orderBy(sortCols: _*).select($"docid").limit(take).collect()
-    SearchResult(
-      rows.toSeq.drop(req.offset).map(_.getInt(0)),
-      candidatesN)
+    try {
+      // TakeOrderedAndProject: orderBy + limit never materializes a full sort
+      val rows = deduped.orderBy(sortCols: _*).select($"docid").limit(take).collect()
+      SearchResult(
+        rows.toSeq.drop(req.offset).map(_.getInt(0)),
+        candidatesN)
+    } finally persisted.foreach(_.unpersist(false))
   }
 }

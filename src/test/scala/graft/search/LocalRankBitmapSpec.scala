@@ -65,6 +65,29 @@ class LocalRankBitmapSpec extends AnyFunSuite with Matchers {
     compare("the w100 ", offset = 10, limit = 15)
   }
 
+  test("warm ranked + bm25 queries launch ZERO Spark jobs") {
+    val search = new Search(index)
+    val bm25 = new Bm25(index)
+    val reqs = Seq(
+      SearchRequest(query = Some("the w100 "), limit = 20),
+      SearchRequest(query = Some("w3 w17 "), limit = 20))
+    // warm every cache path once
+    reqs.foreach(search.execute)
+    bm25.topK(Seq("w3", "w17"), 20)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      reqs.foreach(search.execute)
+      bm25.topK(Seq("w3", "w17"), 20)
+      Thread.sleep(2000) // listener bus is async
+      jobs.get() shouldBe 0
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("bitmap cache is presence-aware and fetches each key once") {
     val cache = new BitmapCache()
     var calls = 0
