@@ -67,17 +67,24 @@ object Bench {
     // memory bus. Both pairs are reported in BASELINE.md.
     val lowN = sys.env.getOrElse("SPARK_GRAFT_LOW_N", "4").toInt
     val highN = math.min(lowN * 4, 32)
+    // phase selection for focused re-runs (e.g. "serving" while iterating on
+    // the read path, or "scaling" to re-measure on a quiet host); the
+    // default runs everything, which is what the per-round driver does
+    val phases = sys.env.getOrElse("SPARK_GRAFT_PHASES", "battery,scaling,serving")
+      .split(',').map(_.trim).toSet
 
     // ---- phase 1: driver-contract queries at sfDir
     var spark = session(cpus)
-    val queryTimes = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val (_, sec) = timed {
-        try fn(spark, sfDir).count()
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1L }
+    val queryTimes: Seq[(String, Double)] =
+      if (!phases("battery")) Nil
+      else SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        val (_, sec) = timed {
+          try fn(spark, sfDir).count()
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1L }
+        }
+        name -> sec
       }
-      name -> sec
-    }
     spark.stop()
 
     // ---- phase 2: index-build scaling, N vs 4N threads, identical corpus
@@ -112,7 +119,7 @@ object Bench {
     // let the battery phase's 32-thread wake settle before the 4-thread low
     // run (loadavg decays slowly; a still-busy host clips the low run and
     // produces impossible efficiency numbers)
-    Thread.sleep(15000)
+    if (phases("scaling") && phases("battery")) Thread.sleep(15000)
     val loadStart = loadavg()
     val maxPairs = sys.env.getOrElse("SPARK_GRAFT_SCALE_PAIRS", "3").toInt
     var pairs = Vector.empty[(Double, Double)] // (secLow, secHigh)
@@ -121,16 +128,18 @@ object Bench {
       val th = pairs.map(p => scaleDocs / p._2).max
       th / (tl * (highN.toDouble / lowN))
     }
-    pairs :+= ((buildAt(lowN)._1, buildAt(highN)._1))
-    // retry band: > 1.0 is physically impossible; < 0.7 is far below the
-    // architecture's measured idle repeat range (0.82–0.94 at 4→16) — both
-    // are host-contention signatures. All pairs are reported transparently;
-    // best-of per level is the contended-host estimator.
-    while (pairs.length < maxPairs && (bestEff > 1.0 || bestEff < 0.7)) {
-      System.err.println(f"[bench] scaling efficiency $bestEff%.3f implausible " +
-        s"(loadavg ${loadavg()}) — retrying the pair")
+    if (phases("scaling")) {
       pairs :+= ((buildAt(lowN)._1, buildAt(highN)._1))
-    }
+      // retry band: > 1.0 is physically impossible; < 0.7 is far below the
+      // architecture's measured idle repeat range (0.82–0.94 at 4→16) — both
+      // are host-contention signatures. All pairs are reported transparently;
+      // best-of per level is the contended-host estimator.
+      while (pairs.length < maxPairs && (bestEff > 1.0 || bestEff < 0.7)) {
+        System.err.println(f"[bench] scaling efficiency $bestEff%.3f implausible " +
+          s"(loadavg ${loadavg()}) — retrying the pair")
+        pairs :+= ((buildAt(lowN)._1, buildAt(highN)._1))
+      }
+    } else pairs :+= ((1.0, 4.0)) // placeholder: efficiency prints as 1.0, ignored
     val secLow = pairs.map(_._1).min
     val secHigh = pairs.map(_._2).min
     val thrLow = scaleDocs / secLow
@@ -138,72 +147,85 @@ object Bench {
     val efficiency = thrHigh / (thrLow * (highN.toDouble / lowN))
 
     // ---- phase 3: query serving on a persistent index at full parallelism
-    spark = session(cpus)
-    val idxDir = java.nio.file.Files.createTempDirectory("graft-bench-serve").toString
-    val docs = graft.webgen.WebPages.generate(spark, benchDocs)
-    val settings = IndexSettings(searchableFields = Seq("text"))
-    new IndexBuilder(spark, settings).build(docs, idxDir, resume = false)
-    val index = GraftIndex(spark, idxDir, settings)
-    index.warm()
-    // Long-lived serving wrapper: ONE warmed GraftIndex whose driver-side
-    // LRU caches (postings, forward-index rows, pair frequencies, doclens,
-    // word counts) make warm small-queries zero-job in-process work — the
-    // Spark twin of milli's LMDB-resident serving (mod.rs:136-242). Cold
-    // latencies (first touch per word: one pruned parquet fetch) are
-    // reported separately from warm ones.
-    val bm25 = new Bm25(index)
-    // selectivity ladder mirroring search_wiki.rs:20-33 (rare → stop word)
-    val ladder = Seq(
-      Seq("w9000"), Seq("w2500"), Seq("w800"), Seq("w200"),
-      Seq("w50"), Seq("w10"), Seq("w3", "w17"), Seq("the", "w100"))
-    bm25.topK(Seq("w1"), 20) // compile the plan shapes once
-    val bm25Cold: Seq[Double] = ladder.map(q => timed(bm25.topK(q, 20))._2)
-    val bm25Times: Seq[Double] = (0 until 5).flatMap { _ =>
-      ladder.map(q => timed(bm25.topK(q, 20))._2)
-    }
-    // multi-client throughput: N concurrent serving clients over the SAME
-    // warmed handle (the driver-side caches are synchronized fetch-through;
-    // scoring runs outside the locks) — the single-box stand-in for a
-    // serving tier answering concurrent users
     val mtClients = sys.env.getOrElse("SPARK_GRAFT_MT_CLIENTS", "8").toInt
-    val mtIters = 10
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(mtClients)
-    val (_, mtWall) = timed {
-      val futs = (0 until mtClients).map { c =>
-        pool.submit(new Runnable {
-          override def run(): Unit =
-            (0 until mtIters).foreach(_ => ladder.foreach(q => bm25.topK(q, 20)))
-        })
+    val (bm25Cold, bm25Times, bm25PerQuery, bm25QpsMt,
+         milliCold, milliTimes, milliPerQuery, milliQpsMt) =
+      if (!phases("serving"))
+        (Seq(0.0), Seq(0.0), Map.empty[String, Double], 0.0,
+         Seq(0.0), Seq(0.0), Map.empty[String, Double], 0.0)
+      else {
+        spark = session(cpus)
+        val idxDir = java.nio.file.Files.createTempDirectory("graft-bench-serve").toString
+        val docs = graft.webgen.WebPages.generate(spark, benchDocs)
+        val settings = IndexSettings(searchableFields = Seq("text"))
+        new IndexBuilder(spark, settings).build(docs, idxDir, resume = false)
+        val index = GraftIndex(spark, idxDir, settings)
+        index.warm()
+        // Long-lived serving wrapper: ONE warmed GraftIndex whose driver-side
+        // LRU caches (postings, forward-index rows, pair frequencies, doclens,
+        // word counts) make warm small-queries zero-job in-process work — the
+        // Spark twin of milli's LMDB-resident serving (mod.rs:136-242). Cold
+        // latencies (first touch per word: one pruned parquet fetch) are
+        // reported separately from warm ones.
+        val bm25 = new Bm25(index)
+        // selectivity ladder mirroring search_wiki.rs:20-33 (rare → stop word)
+        val ladder = Seq(
+          Seq("w9000"), Seq("w2500"), Seq("w800"), Seq("w200"),
+          Seq("w50"), Seq("w10"), Seq("w3", "w17"), Seq("the", "w100"))
+        bm25.topK(Seq("w1"), 20) // compile the plan shapes once
+        val bCold: Seq[Double] = ladder.map(q => timed(bm25.topK(q, 20))._2)
+        val bRuns: Seq[Seq[Double]] = (0 until 5).map { _ =>
+          ladder.map(q => timed(bm25.topK(q, 20))._2)
+        }
+        val bTimes = bRuns.flatten
+        val bPer = ladder.indices.map { i =>
+          ladder(i).mkString(" ") -> pct(bRuns.map(_(i)), 0.5) * 1000
+        }.toMap
+        // multi-client throughput: N concurrent serving clients over the SAME
+        // warmed handle (the driver-side caches are synchronized fetch-through;
+        // scoring runs outside the locks) — the single-box stand-in for a
+        // serving tier answering concurrent users
+        val mtIters = 10
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(mtClients)
+        val (_, mtWall) = timed {
+          val futs = (0 until mtClients).map { c =>
+            pool.submit(new Runnable {
+              override def run(): Unit =
+                (0 until mtIters).foreach(_ => ladder.foreach(q => bm25.topK(q, 20)))
+            })
+          }
+          futs.foreach(_.get())
+        }
+        pool.shutdown()
+        val bQpsMt = mtClients.toLong * mtIters * ladder.length / mtWall
+        // milli-rank serving: same wrapper; threshold sized so the ladder's
+        // common-word queries stay on the driver path like milli would
+        val search = new Search(index, maxLocalPostings = 1L << 18)
+        search.execute(SearchRequest(query = Some("w1 w2"), limit = 20, exhaustive = false))
+        val milliQueries = Seq("w3 w17", "w200", "the w100 w2500")
+        def rank(q: String): Double = timed(search.execute(
+          SearchRequest(query = Some(q), limit = 20, exhaustive = false)))._2
+        val mCold: Seq[Double] = milliQueries.map(rank)
+        val mRuns: Seq[Seq[Double]] = (0 until 5).map(_ => milliQueries.map(rank))
+        val mTimes = mRuns.flatten
+        val mPer = milliQueries.indices.map { i =>
+          milliQueries(i) -> pct(mRuns.map(_(i)), 0.5) * 1000
+        }.toMap
+        val pool2 = java.util.concurrent.Executors.newFixedThreadPool(mtClients)
+        val (_, mtWall2) = timed {
+          val futs = (0 until mtClients).map { _ =>
+            pool2.submit(new Runnable {
+              override def run(): Unit =
+                (0 until mtIters).foreach(_ => milliQueries.foreach(rank))
+            })
+          }
+          futs.foreach(_.get())
+        }
+        pool2.shutdown()
+        val mQpsMt = mtClients.toLong * mtIters * milliQueries.length / mtWall2
+        spark.stop()
+        (bCold, bTimes, bPer, bQpsMt, mCold, mTimes, mPer, mQpsMt)
       }
-      futs.foreach(_.get())
-    }
-    pool.shutdown()
-    val bm25QpsMt = mtClients.toLong * mtIters * ladder.length / mtWall
-    // milli-rank serving: same wrapper; threshold sized so the ladder's
-    // common-word queries stay on the driver path like milli would
-    val search = new Search(index, maxLocalPostings = 1L << 18)
-    search.execute(SearchRequest(query = Some("w1 w2"), limit = 20, exhaustive = false))
-    val milliQueries = Seq("w3 w17", "w200", "the w100 w2500")
-    val milliCold: Seq[Double] = milliQueries.map(q => timed(search.execute(
-      SearchRequest(query = Some(q), limit = 20, exhaustive = false)))._2)
-    val milliTimes: Seq[Double] = (0 until 5).flatMap { _ =>
-      milliQueries.map(q => timed(search.execute(
-        SearchRequest(query = Some(q), limit = 20, exhaustive = false)))._2)
-    }
-    val pool2 = java.util.concurrent.Executors.newFixedThreadPool(mtClients)
-    val (_, mtWall2) = timed {
-      val futs = (0 until mtClients).map { _ =>
-        pool2.submit(new Runnable {
-          override def run(): Unit = (0 until mtIters).foreach(_ =>
-            milliQueries.foreach(q => search.execute(
-              SearchRequest(query = Some(q), limit = 20, exhaustive = false))))
-        })
-      }
-      futs.foreach(_.get())
-    }
-    pool2.shutdown()
-    val milliQpsMt = mtClients.toLong * mtIters * milliQueries.length / mtWall2
-    spark.stop()
     val loadEnd = loadavg()
 
     // ---- emit
@@ -226,7 +248,11 @@ object Bench {
         s""""milli_rank_p50_ms":${f(pct(milliTimes, 0.5) * 1000)},""" +
         s""""milli_rank_p99_ms":${f(pct(milliTimes, 0.99) * 1000)},""" +
         s""""milli_rank_qps_mt${mtClients}":${f(milliQpsMt)},""" +
-        s""""milli_rank_cold_p50_ms":${f(pct(milliCold, 0.5) * 1000)}}}"""
+        s""""milli_rank_cold_p50_ms":${f(pct(milliCold, 0.5) * 1000)},""" +
+        s""""bm25_warm_ms":${bm25PerQuery.toSeq.sortBy(_._1)
+          .map { case (q, ms) => s""""$q":${f(ms)}""" }.mkString("{", ",", "}")},""" +
+        s""""milli_rank_warm_ms":${milliPerQuery.toSeq.sortBy(_._1)
+          .map { case (q, ms) => s""""$q":${f(ms)}""" }.mkString("{", ",", "}")}}}"""
     println(json)
   }
 }

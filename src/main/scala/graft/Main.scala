@@ -165,15 +165,34 @@ object Main {
       val settings = graft.index.SettingsIO.load(dir).getOrElse(
         IndexSettings(searchableFields =
           rest.headOption.map(_.split(',').toSeq).getOrElse(Seq("text"))))
-      val index = GraftIndex(spark, dir, settings)
+      // handle rotation: the driver-side caches are pinned to one index
+      // version, so a new manifest (concurrent addDocuments / delete)
+      // rotates in a fresh warmed handle — the Spark twin of LMDB read-txn
+      // renewal across write commits
+      val manifestFile = new java.io.File(s"$dir/_graft_manifest.jsonl")
+      var manifestStamp = manifestFile.lastModified()
+      var index = GraftIndex(spark, dir, settings)
       index.warm()
-      val search = new Search(index)
-      val bm25 = new graft.search.Bm25(index)
+      val mlp = sys.env.get("SPARK_GRAFT_MAX_LOCAL_POSTINGS").map(_.toLong)
+        .getOrElse(graft.search.Search.DefaultMaxLocalPostings)
+      var search = new Search(index, mlp)
+      var bm25 = new graft.search.Bm25(index)
       println("[graft] serving (warm); '<query>' | 'bm25:t1,t2' | 'filter:<dsl>|<q>' | ':quit'")
       Iterator.continually(scala.io.StdIn.readLine())
         .takeWhile(l => l != null && l.trim != ":quit")
         .map(_.trim).filter(_.nonEmpty)
         .foreach { line =>
+          val stamp = manifestFile.lastModified()
+          if (stamp != manifestStamp) {
+            manifestStamp = stamp
+            index.close()
+            index = GraftIndex(spark, dir,
+              graft.index.SettingsIO.load(dir).getOrElse(settings))
+            index.warm()
+            search = new Search(index, mlp)
+            bm25 = new graft.search.Bm25(index)
+            println("[graft] index updated — rotated to a fresh warmed handle")
+          }
           val t0 = System.nanoTime()
           try {
             if (line.startsWith("bm25:")) {

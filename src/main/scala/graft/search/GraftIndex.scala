@@ -53,6 +53,15 @@ class GraftIndex(val spark: SparkSession, val dir: String, val settings: IndexSe
       .foreach { df => df.cache(); df.count() }
   }
 
+  /** Release executor-cached tables — call when rotating a serving handle
+    * to a fresh index version, or the old version's cache blocks leak. */
+  def close(): Unit = {
+    Seq(docWordPositions, docFidWordCounts, docStats, postingBlocks, termDict,
+      facetStrings, facetNumbers, pairProx, wordDocids, exactWordDocids,
+      wordPrefixDocids, exactWordPrefixDocids)
+      .foreach(df => df.unpersist(false))
+  }
+
   /** All docids as a bitmap (milli `documents_ids`, index.rs:259-266).
     * Driver-side full materialization — tests/tools only; the read path
     * uses distributed anti-joins against `documents` instead. */

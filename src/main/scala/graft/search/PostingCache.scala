@@ -155,8 +155,7 @@ final class DwpCache(index: GraftIndex, maxBytes: Long = 256L << 20) {
   }
 
   /** Rows for every exact word and every prefix, fetched through one pruned
-    * scan per miss batch. Values keep the index's doc-contiguous row order
-    * (rank paths only need per-doc grouping; final order is re-sorted). */
+    * scan per miss batch. Values are docid-sorted (binary-searchable). */
   def get(words: Seq[String], prefixes: Seq[String])
       : (Map[String, Array[(Int, String, Array[Int])]],
          Map[String, Array[(Int, String, Array[Int])]]) = synchronized {
@@ -169,12 +168,14 @@ final class DwpCache(index: GraftIndex, maxBytes: Long = 256L << 20) {
       val rows = index.docWordPositions.where(predicate)
         .select(col("docid"), col("word"), col("positions"))
         .as[(Int, String, Array[Int])].collect()
+      // entries are docid-SORTED (collect() order is per-partition only):
+      // the rank path binary-searches each array by docid
       missW.foreach { w =>
-        val a = rows.filter(_._2 == w)
+        val a = rows.filter(_._2 == w).sortBy(_._1)
         lru.put("w:" + w, a); bytes += entryBytes(a)
       }
       missP.foreach { p =>
-        val a = rows.filter(_._2.startsWith(p))
+        val a = rows.filter(_._2.startsWith(p)).sortBy(_._1)
         lru.put("p:" + p, a); bytes += entryBytes(a)
       }
     }

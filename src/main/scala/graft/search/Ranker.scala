@@ -60,8 +60,10 @@ object Ranker extends Serializable {
     def matching(doc: DocData, word: String, prefix: Boolean, maxTypo: Int): Seq[(String, Int)] = {
       val enumerated = map.getOrElse((word, prefix, maxTypo), Nil)
       if (!prefix) enumerated
-      else (doc.positions.keysIterator.filter(_.startsWith(word))
-        .map((_, 0)).toVector ++ enumerated).sortBy(_._1)
+      // NOT sorted: every consumer reduces with min/exists or re-sorts
+      // positions itself, and this runs once per (doc, leaf, criterion)
+      else doc.positions.keysIterator.filter(_.startsWith(word))
+        .map((_, 0)).toVector ++ enumerated
     }
 
     /** do the doc's positions of `w` satisfy the typo/exact-field rule? */
@@ -89,18 +91,34 @@ object Ranker extends Serializable {
       branches: IndexedSeq[Op],
       der: Derivations,
       exactParts: Seq[ExactPart],
-      searchableFids: Seq[Int]): Option[(Int, Int, Int, Long, Int)] = {
+      searchableFids: Seq[Int],
+      /** pre-flattened trees per branch — pass them to avoid re-flattening
+        * per candidate (hot path); None recomputes */
+      flats: Option[IndexedSeq[Flat]] = None): Option[(Int, Int, Int, Long, Int)] = {
     val wordsBucket = branches.indexWhere(b => matches(b, doc, der))
     if (wordsBucket < 0) None
     else {
       val branch = branches(wordsBucket)
-      Some((wordsBucket,
-        minTypos(branch, doc, der).getOrElse(Int.MaxValue),
-        proximityBucket(branch, doc, der),
-        attributeRank(flattenQueryTree(branch), doc, der),
-        exactnessRank(exactParts, doc, searchableFids)))
+      val flat = flats.map(_(wordsBucket)).getOrElse(flattenQueryTree(branch))
+      Some(rankVectorAt(doc, branch, wordsBucket, der, exactParts, searchableFids, flat))
     }
   }
+
+  /** Rank vector when the words bucket is already known (the bitmap-bucketed
+    * local drain) — skips the per-doc branch matching entirely. */
+  def rankVectorAt(
+      doc: DocData,
+      branch: Op,
+      wordsBucket: Int,
+      der: Derivations,
+      exactParts: Seq[ExactPart],
+      searchableFids: Seq[Int],
+      flat: Flat): (Int, Int, Int, Long, Int) =
+    (wordsBucket,
+      minTypos(branch, doc, der).getOrElse(Int.MaxValue),
+      proximityBucket(branch, doc, der),
+      attributeRank(flat, doc, der),
+      exactnessRank(exactParts, doc, searchableFids))
 
   // ---------------------------------------------------------------- match
 

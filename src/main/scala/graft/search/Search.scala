@@ -80,6 +80,51 @@ final case class SearchResult(
 object Search {
   /** default bound for the small-query driver path. */
   val DefaultMaxLocalPostings: Long = 1L << 17
+
+  /** SPARK_GRAFT_TRACE=1 prints local-path stage timings to stderr. */
+  private[search] val trace: Boolean =
+    sys.env.get("SPARK_GRAFT_TRACE").contains("1")
+
+  /** Shared CPU pool for the local rank drain (daemon threads; the pool is
+    * bounded so concurrent serving clients share the cores fairly). */
+  private lazy val rankPool: java.util.concurrent.ExecutorService = {
+    val n = math.max(2, Runtime.getRuntime.availableProcessors() - 1)
+    java.util.concurrent.Executors.newFixedThreadPool(n,
+      (r: Runnable) => { val t = new Thread(r, "graft-rank"); t.setDaemon(true); t })
+  }
+
+  /** Parallel indexed map: small inputs run inline; large ones fan out in
+    * contiguous slices over [[rankPool]] (each worker fills its own slice —
+    * no shared mutable state beyond the result array). */
+  private[search] def parMap[A: scala.reflect.ClassTag](n: Int)(f: Int => A): Array[A] = {
+    val out = new Array[A](n)
+    if (n < 2048) {
+      var i = 0
+      while (i < n) { out(i) = f(i); i += 1 }
+    } else {
+      val slices = math.max(2, Runtime.getRuntime.availableProcessors() - 1)
+      val step = (n + slices - 1) / slices
+      val futs = (0 until slices).map { s =>
+        rankPool.submit(new Runnable {
+          override def run(): Unit = {
+            var i = s * step
+            val end = math.min(n, i + step)
+            while (i < end) { out(i) = f(i); i += 1 }
+          }
+        })
+      }
+      futs.foreach(_.get())
+    }
+    out
+  }
+  @inline private[search] def traced[A](label: => String)(f: => A): A =
+    if (!trace) f
+    else {
+      val t0 = System.nanoTime()
+      val a = f
+      System.err.println(f"[graft-trace] $label ${(System.nanoTime() - t0) / 1e6}%.2f ms")
+      a
+    }
 }
 
 class Search(index: GraftIndex,
@@ -170,19 +215,23 @@ class Search(index: GraftIndex,
       req: SearchRequest): SearchResult = {
 
     // 1. primitive query + tree (driver)
-    val parts = QueryTree.primitiveQuery(q, settings.stopWords, req.wordsLimit)
+    val parts = Search.traced("primitive-query") {
+      QueryTree.primitiveQuery(q, settings.stopWords, req.wordsLimit)
+    }
     if (parts.isEmpty)
       return executeNoQuery(criteria, filterDf, deleted, distinctField, req)
     val queryWords = parts.collect { case PWord(w, _) => w }
-    val ctx = index.primedQueryContext(queryWords)
-    val tree = QueryTree.build(ctx, req.strategy, req.authorizeTypos, parts).get
+    val ctx = Search.traced("prime-ctx") { index.primedQueryContext(queryWords) }
+    val tree = Search.traced("tree-build") {
+      QueryTree.build(ctx, req.strategy, req.authorizeTypos, parts).get
+    }
     val branches = QueryTree.wordsBranches(tree)
 
     // 2. derivations for every key of every branch (one term_dict scan);
     // 0-typo prefix keys stay un-enumerated and become scan range
     // predicates below
     val allKeys = branches.flatMap(Ranker.derivationKeys).toSet
-    val derivations = index.derivations(allKeys)
+    val derivations = Search.traced("derivations") { index.derivations(allKeys) }
     val relevantWords: Seq[String] =
       (derivations.map.values.flatten.map(_._1) ++
         allKeys.collect { case (w, false, 0) => w }).toSeq.distinct
@@ -238,6 +287,8 @@ class Search(index: GraftIndex,
     val bDerivations = spark.sparkContext.broadcast(derivations)
     val bExactParts = spark.sparkContext.broadcast(exactParts.toVector)
     val bFids = spark.sparkContext.broadcast(searchableFids.toVector)
+    val bFlats = spark.sparkContext.broadcast(
+      branches.toVector.map(Ranker.flattenQueryTree))
 
     // 3. per-candidate rank vector job. doc_word_positions is written
     // doc-contiguous (extractDwp) and the word IN-filter preserves row
@@ -280,7 +331,7 @@ class Search(index: GraftIndex,
         val fwc = Option(fwcOrNull).getOrElse(Map.empty[Int, Int])
         val doc = Ranker.DocData(positions, fwc)
         Ranker.rankVector(doc, bBranches.value, bDerivations.value,
-            bExactParts.value, bFids.value)
+            bExactParts.value, bFids.value, Some(bFlats.value))
           .map { case (w, t, p, a, e) => (docid, w, t, p, a, e) }
           .iterator
       }
@@ -341,12 +392,35 @@ class Search(index: GraftIndex,
     // with phrases need positions and fall back to per-doc matching.
     val take = req.offset + req.limit
     val wordsFirst = criteria.headOption.contains(Criterion.Words)
-    val branchBms: Option[Vector[RoaringBitmap]] = {
+    val flats: Vector[Ranker.Flat] = branches.map(Ranker.flattenQueryTree)
+    val needFwc = criteria.contains(Criterion.Exactness)
+    val branchBms: Option[Vector[RoaringBitmap]] = Search.traced("branch-bitmaps") {
       val bms = branches.map(b => index.resolveTreeBitmap(b, derivations))
       if (bms.contains(None)) None else Some(bms.map(_.get))
     }
 
-    val (byDoc, totalCandidates, chosen) = branchBms match {
+    /** fid → word_count map for one doc (exactness input). */
+    def fwcFor(fetched: Map[Int, Map[Int, Int]])(d: Int): Map[Int, Int] =
+      if (!needFwc) Map.empty
+      else index.fidWordCountsLocal match {
+        case Some(lm) =>
+          searchableFids.flatMap(f =>
+            lm.get((d.toLong << 16) | f.toLong).map(f -> _)).toMap
+        case None => fetched.getOrElse(d, Map.empty)
+      }
+    /** candidate-bounded semi-join fetch when the wc map isn't pinned. */
+    def fetchFwc(ids: Seq[Int]): Map[Int, Map[Int, Int]] =
+      if (!needFwc || ids.isEmpty || index.fidWordCountsLocal.isDefined) Map.empty
+      else {
+        val candDf = spark.createDataset(ids).toDF("docid")
+        index.docFidWordCounts
+          .join(broadcast(candDf), Seq("docid"), "left_semi")
+          .select($"docid", $"fid", $"word_count")
+          .as[(Int, Int, Int)].collect()
+          .groupBy(_._1).map { case (d, rs) => d -> rs.map(r => r._2 -> r._3).toMap }
+      }
+
+    val (totalCandidates, ranked) = branchBms match {
       case Some(bms) =>
         // disjoint buckets: bucket i = docs whose FIRST matching branch is i
         // (indexWhere semantics), tombstones out
@@ -371,31 +445,55 @@ class Search(index: GraftIndex,
           }
         }
         val total = buckets.iterator.map(_.getLongCardinality).sum
-        val chosenIds: Seq[Int] = {
-          val acc = Vector.newBuilder[Int]
-          var n = 0L
-          val bit = buckets.iterator
-          while (bit.hasNext && (!wordsFirst || n < take)) {
-            val b = bit.next()
-            val it = b.getIntIterator
-            while (it.hasNext) acc += it.next()
-            n += b.getLongCardinality
+        // lazy drain: whole leading buckets until offset+limit is covered
+        val chosenIds = scala.collection.mutable.ArrayBuffer.empty[Int]
+        val chosenBuckets = scala.collection.mutable.ArrayBuffer.empty[Int]
+        var drained = 0L
+        var bIdx = 0
+        while (bIdx < buckets.length && (!wordsFirst || drained < take)) {
+          val b = buckets(bIdx)
+          val it = b.getIntIterator
+          while (it.hasNext) { chosenIds += it.next(); chosenBuckets += bIdx }
+          drained += b.getLongCardinality
+          bIdx += 1
+        }
+        val (wRows, pRows) = Search.traced("dwp-fetch") {
+          index.dwpCache.get(relevantWords, prefixWords)
+        }
+        val arrays = (wRows.valuesIterator ++ pRows.valuesIterator).toArray
+        val fetched = fetchFwc(chosenIds.toSeq)
+        val fwcOf = fwcFor(fetched) _
+        // positions ONLY for the ranked docs: each cached row array is
+        // docid-sorted (DwpCache sorts at fill), so per chosen doc we
+        // binary-search each array — O(|chosen| · arrays · log rows),
+        // independent of the total cached row count — build its DocData
+        // inline and rank it with the KNOWN bucket (no per-doc branch
+        // matching, no intermediate candidate-wide map); the drain is
+        // embarrassingly parallel and large drains fan out over the
+        // driver's cores
+        val out = Search.traced(s"rank(${chosenIds.length} docs)") {
+          Search.parMap(chosenIds.length) { i =>
+            val d = chosenIds(i)
+            val pos = scala.collection.mutable.HashMap.empty[String, Array[Int]]
+            arrays.foreach { a =>
+              var lo = 0
+              var hi = a.length
+              while (lo < hi) { // first row with docid >= d
+                val mid = (lo + hi) >>> 1
+                if (a(mid)._1 < d) lo = mid + 1 else hi = mid
+              }
+              while (lo < a.length && a(lo)._1 == d) {
+                pos.update(a(lo)._2, a(lo)._3)
+                lo += 1
+              }
+            }
+            val bi = chosenBuckets(i)
+            val doc = Ranker.DocData(pos.toMap, fwcOf(d))
+            d -> Ranker.rankVectorAt(doc, branches(bi), bi, derivations,
+              exactParts, searchableFids, flats(bi))
           }
-          acc.result()
         }
-        // positions ONLY for the ranked docs: the cached word-keyed rows are
-        // filtered by membership (one int-contains per row, no per-doc map
-        // for unranked candidates)
-        val chosenBm = Bitmaps.fromInts(chosenIds.toArray)
-        val (wRows, pRows) = index.dwpCache.get(relevantWords, prefixWords)
-        val m = scala.collection.mutable.HashMap
-          .empty[Int, scala.collection.mutable.HashMap[String, Array[Int]]]
-        (wRows.valuesIterator ++ pRows.valuesIterator).flatten.foreach { case (d, w, ps) =>
-          if (chosenBm.contains(d))
-            m.getOrElseUpdate(d,
-              scala.collection.mutable.HashMap.empty[String, Array[Int]]).update(w, ps)
-        }
-        (m, total, chosenIds)
+        (total, out)
 
       case None =>
         // phrase fallback: per-doc boolean matching over every candidate row
@@ -435,39 +533,25 @@ class Search(index: GraftIndex,
             }
             acc.result()
           }
-        (m, total, chosenIds)
+        val fetched = fetchFwc(chosenIds)
+        val fwcOf = fwcFor(fetched) _
+        val out = chosenIds.iterator.flatMap { docid =>
+          val doc = Ranker.DocData(m(docid).toMap, fwcOf(docid))
+          Ranker.rankVector(doc, branches, derivations, exactParts,
+              searchableFids, Some(flats))
+            .map(v => (docid, v))
+        }.toArray
+        (total, out)
     }
-    val needFwc = criteria.contains(Criterion.Exactness) && chosen.nonEmpty
-    val fwc: Map[Int, Map[Int, Int]] =
-      if (!needFwc) Map.empty
-      else index.fidWordCountsLocal match {
-        case Some(lm) =>
-          chosen.iterator.map { d =>
-            d -> searchableFids.flatMap(f =>
-              lm.get((d.toLong << 16) | f.toLong).map(f -> _)).toMap
-          }.toMap
-        case None =>
-          val candDf = spark.createDataset(chosen).toDF("docid")
-          index.docFidWordCounts
-            .join(broadcast(candDf), Seq("docid"), "left_semi")
-            .select($"docid", $"fid", $"word_count")
-            .as[(Int, Int, Int)].collect()
-            .groupBy(_._1).map { case (d, rs) => d -> rs.map(r => r._2 -> r._3).toMap }
-      }
-    val ranked = chosen.iterator.flatMap { docid =>
-      val doc = Ranker.DocData(byDoc(docid).toMap, fwc.getOrElse(docid, Map.empty))
-      Ranker.rankVector(doc, branches, derivations, exactParts, searchableFids)
-        .map(v => (docid, v))
-    }.toArray
     // lexicographic order over the criteria that are active, then docid —
     // identical to the distributed sortCols
-    val orderIdx: Seq[Int] = criteria.collect {
+    val orderIdx: Array[Int] = criteria.collect {
       case Criterion.Words => 0
       case Criterion.Typo => 1
       case Criterion.Proximity => 2
       case Criterion.Attribute => 3
       case Criterion.Exactness => 4
-    }
+    }.toArray
     @inline def sel(v: (Int, Int, Int, Long, Int), i: Int): Long = i match {
       case 0 => v._1; case 1 => v._2; case 2 => v._3; case 3 => v._4; case _ => v._5
     }
@@ -483,9 +567,26 @@ class Search(index: GraftIndex,
         Integer.compare(a._1, b._1)
       }
     }
-    val sorted = ranked.sorted(ord)
+    // bounded top-k selection instead of a full sort: a size-(offset+limit)
+    // max-heap over the rank order — O(n) peek comparisons for the common
+    // case (most candidates never displace the heap head)
+    val k = req.offset + req.limit
+    val page = Search.traced(s"topk(${ranked.length})") {
+      if (k == 0) Array.empty[(Int, (Int, Int, Int, Long, Int))]
+      else if (ranked.length <= math.max(k * 4, 64)) ranked.sorted(ord)
+      else {
+        val heap = new java.util.PriorityQueue[(Int, (Int, Int, Int, Long, Int))](
+          k + 1, ord.reverse)
+        ranked.foreach { r =>
+          if (heap.size < k) heap.offer(r)
+          else if (ord.lt(r, heap.peek())) { heap.poll(); heap.offer(r) }
+        }
+        val arr = heap.toArray(Array.empty[(Int, (Int, Int, Int, Long, Int))])
+        arr.sorted(ord)
+      }
+    }
     SearchResult(
-      sorted.iterator.map(_._1).slice(req.offset, req.offset + req.limit).toSeq,
+      page.iterator.map(_._1).slice(req.offset, req.offset + req.limit).toSeq,
       totalCandidates)
   }
 
