@@ -11,6 +11,10 @@ object Bm25 {
     * hash accumulation. */
   final val DenseAccMax: Int = 1 << 22
   private[search] val accTl = new ThreadLocal[Array[Double]]()
+  /** reusable touched-docid scratch (avoids ~100k-int buffer churn per
+    * query — at 8 concurrent clients that is ~1 GB/s of young-gen garbage,
+    * which throttles multi-client throughput via GC pauses). */
+  private[search] val touchedTl = new ThreadLocal[Array[Int]]()
 }
 
 /** BM25 top-k over the FOR-compressed posting-block table with block-max
@@ -212,7 +216,17 @@ class Bm25(index: GraftIndex, k1: Double = 1.2, b: Double = 0.75,
         acc = new Array[Double](lens.length)
         Bm25.accTl.set(acc)
       }
-      val touched = new scala.collection.mutable.ArrayBuffer[Int](1024)
+      var touched = Bm25.touchedTl.get()
+      if (touched == null) { touched = new Array[Int](4096); Bm25.touchedTl.set(touched) }
+      var nTouched = 0
+      @inline def touch(d: Int): Unit = {
+        if (nTouched == touched.length) {
+          touched = java.util.Arrays.copyOf(touched, touched.length * 2)
+          Bm25.touchedTl.set(touched)
+        }
+        touched(nTouched) = d
+        nTouched += 1
+      }
       try {
         terms.foreach { word =>
           val idfw = idfs(word)
@@ -226,7 +240,7 @@ class Bm25(index: GraftIndex, k1: Double = 1.2, b: Double = 0.75,
                 return None // sparse docid: pinned doclens can't score it
               val dl = lens(docid)
               val s = idfw * (tf * (k1 + 1)) / (tf + k1 * (1 - b + b * dl / avgdl))
-              if (acc(docid) == 0.0) touched += docid
+              if (acc(docid) == 0.0) touch(docid)
               acc(docid) += s
             }
             i += 1
@@ -242,15 +256,18 @@ class Bm25(index: GraftIndex, k1: Double = 1.2, b: Double = 0.75,
         }
         val heap = new java.util.PriorityQueue[Integer](k + 1,
           (x: Integer, y: Integer) => ord.compare(y.intValue(), x.intValue()))
-        touched.foreach { d =>
+        var ti = 0
+        while (ti < nTouched) {
+          val d = touched(ti)
           if (heap.size < k) heap.offer(d)
           else if (ord.lt(d, heap.peek().intValue())) { heap.poll(); heap.offer(d) }
+          ti += 1
         }
         import scala.jdk.CollectionConverters._
         Some(heap.asScala.toArray.map(_.intValue()).sorted(ord).map(d => (d, accRef(d))))
       } finally {
         var i = 0
-        while (i < touched.length) { acc(touched(i)) = 0.0; i += 1 }
+        while (i < nTouched) { acc(touched(i)) = 0.0; i += 1 }
       }
     } else {
       val acc = new java.util.HashMap[Integer, java.lang.Double]()
