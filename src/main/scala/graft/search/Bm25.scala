@@ -200,6 +200,7 @@ class Bm25(index: GraftIndex, k1: Double = 1.2, b: Double = 0.75,
     * docid not in the pinned array) — the caller then rescores distributed. */
   private def topKLocal(terms: Seq[String], idfs: Map[String, Double],
       avgdl: Double, k: Int): Option[Array[(Int, Double)]] = {
+    if (k <= 0) return Some(Array.empty)
     val lens = docLensLocal.get
     val del = index.deletedDocids
     val cache = index.postingCache

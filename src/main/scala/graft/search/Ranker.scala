@@ -28,12 +28,14 @@ import QueryTree._
   */
 object Ranker extends Serializable {
 
-  /** Everything the evaluator knows about one candidate document. */
+  /** Everything the evaluator knows about one candidate document.
+    * Fields are `collection.Map` so the hot local rank path can pass its
+    * per-doc builder maps without an immutable copy per candidate. */
   final case class DocData(
       /** matched word → sorted absolute positions */
-      positions: Map[String, Array[Int]],
+      positions: scala.collection.Map[String, Array[Int]],
       /** fid → word count (last relative position + 1) */
-      fidWordCounts: Map[Int, Int])
+      fidWordCounts: scala.collection.Map[Int, Int])
 
   /** Dictionary-side derivation oracle, precomputed on the driver for every
     * (word, isPrefix, maxTypo) key appearing in the query tree and

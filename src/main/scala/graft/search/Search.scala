@@ -488,7 +488,7 @@ class Search(index: GraftIndex,
               }
             }
             val bi = chosenBuckets(i)
-            val doc = Ranker.DocData(pos.toMap, fwcOf(d))
+            val doc = Ranker.DocData(pos, fwcOf(d))
             d -> Ranker.rankVectorAt(doc, branches(bi), bi, derivations,
               exactParts, searchableFids, flats(bi))
           }
@@ -518,7 +518,7 @@ class Search(index: GraftIndex,
         val bucketed: Array[scala.collection.mutable.ArrayBuffer[Int]] =
           Array.fill(branches.length)(scala.collection.mutable.ArrayBuffer.empty[Int])
         m.foreach { case (docid, pos) =>
-          val doc = Ranker.DocData(pos.toMap, Map.empty) // matching needs no fwc
+          val doc = Ranker.DocData(pos, Map.empty) // matching needs no fwc
           val bi = branches.indexWhere(b => Ranker.matches(b, doc, derivations))
           if (bi >= 0) bucketed(bi) += docid
         }
@@ -536,7 +536,7 @@ class Search(index: GraftIndex,
         val fetched = fetchFwc(chosenIds)
         val fwcOf = fwcFor(fetched) _
         val out = chosenIds.iterator.flatMap { docid =>
-          val doc = Ranker.DocData(m(docid).toMap, fwcOf(docid))
+          val doc = Ranker.DocData(m(docid), fwcOf(docid))
           Ranker.rankVector(doc, branches, derivations, exactParts,
               searchableFids, Some(flats))
             .map(v => (docid, v))
