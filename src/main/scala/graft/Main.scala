@@ -173,6 +173,10 @@ object Main {
       var manifestStamp = manifestFile.lastModified()
       var index = GraftIndex(spark, dir, settings)
       index.warm()
+      // pre-populate the serving caches for the dictionary head (Zipf:
+      // most traffic); SPARK_GRAFT_PREWARM=0 disables
+      val prewarm = sys.env.get("SPARK_GRAFT_PREWARM").map(_.toInt).getOrElse(256)
+      if (prewarm > 0) index.warmServing(prewarm)
       val mlp = sys.env.get("SPARK_GRAFT_MAX_LOCAL_POSTINGS").map(_.toLong)
         .getOrElse(graft.search.Search.DefaultMaxLocalPostings)
       var search = new Search(index, mlp)
@@ -189,6 +193,7 @@ object Main {
             index = GraftIndex(spark, dir,
               graft.index.SettingsIO.load(dir).getOrElse(settings))
             index.warm()
+            if (prewarm > 0) index.warmServing(prewarm)
             search = new Search(index, mlp)
             bm25 = new graft.search.Bm25(index)
             println("[graft] index updated — rotated to a fresh warmed handle")

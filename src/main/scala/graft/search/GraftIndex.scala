@@ -53,6 +53,25 @@ class GraftIndex(val spark: SparkSession, val dir: String, val settings: IndexSe
       .foreach { df => df.cache(); df.count() }
   }
 
+  /** Pre-populate the driver-side serving caches for the `topN` highest-df
+    * dictionary words (the Zipf head carries most query traffic): postings,
+    * forward rows, and candidate bitmaps, each fetched in one batch. Cache
+    * byte budgets still bound memory — an over-large head simply evicts.
+    * Zero effect on correctness; first-touch latency for head words drops
+    * from a pruned-scan round trip to cache-hit cost. */
+  def warmServing(topN: Int = 256): Unit = {
+    val head: Seq[String] = termDictLocalFull match {
+      case Some(dict) => dict.sortBy(-_._3).take(topN).map(_._1).toSeq
+      case None =>
+        termDict.orderBy(col("df").desc).limit(topN)
+          .select(col("word")).collect().map(_.getString(0)).toSeq
+    }
+    if (head.isEmpty) return
+    postingCache.get(head)
+    dwpCache.get(head, Nil)
+    bitmapCache.get("w", head)(ks => bitmapRows(wordDocids, ks))
+  }
+
   /** Release executor-cached tables — call when rotating a serving handle
     * to a fresh index version, or the old version's cache blocks leak. */
   def close(): Unit = {

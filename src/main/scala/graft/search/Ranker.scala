@@ -45,9 +45,24 @@ object Ranker extends Serializable {
     * criteria/mod.rs:590-637 — typo'd lookups skip exact_word_docids). */
   final case class Derivations(
       map: Map[(String, Boolean, Int), Seq[(String, Int)]],
-      exactFids: Set[Int] = Set.empty) {
+      exactFids: Set[Int] = Set.empty,
+      /** true when prefix keys in `map` are ALREADY resolved against one
+        * document's positions (see [[resolveFor]]) — `matching` then skips
+        * the per-call extension scan. */
+      prefixResolved: Boolean = false) {
     def apply(word: String, prefix: Boolean, maxTypo: Int): Seq[(String, Int)] =
       map.getOrElse((word, prefix, maxTypo), Nil)
+
+    /** Per-document view with every given prefix key's matching list
+      * computed ONCE — the rank vector consults each leaf from ~5 criteria,
+      * and the prefix path is the allocating one (hot local drain). */
+    def resolveFor(doc: DocData, prefixKeys: Seq[(String, Boolean, Int)]): Derivations =
+      if (prefixKeys.isEmpty || prefixResolved) this
+      else copy(
+        map = map ++ prefixKeys.iterator.map { case k @ (w, p, t) =>
+          k -> matching(doc, w, p, t)
+        },
+        prefixResolved = true)
 
     /** The doc's words matching a derivation key, with typo counts.
       * PREFIX extensions (0 typos) are resolved per-document — `startsWith`
@@ -61,9 +76,9 @@ object Ranker extends Serializable {
       * enumerated (GraftIndex.derivations excludes plain extensions). */
     def matching(doc: DocData, word: String, prefix: Boolean, maxTypo: Int): Seq[(String, Int)] = {
       val enumerated = map.getOrElse((word, prefix, maxTypo), Nil)
-      if (!prefix) enumerated
+      if (!prefix || prefixResolved) enumerated
       // NOT sorted: every consumer reduces with min/exists or re-sorts
-      // positions itself, and this runs once per (doc, leaf, criterion)
+      // positions itself
       else doc.positions.keysIterator.filter(_.startsWith(word))
         .map((_, 0)).toVector ++ enumerated
     }
@@ -115,12 +130,17 @@ object Ranker extends Serializable {
       der: Derivations,
       exactParts: Seq[ExactPart],
       searchableFids: Seq[Int],
-      flat: Flat): (Int, Int, Int, Long, Int) =
+      flat: Flat,
+      /** the branch's prefix derivation keys (precomputed per branch) —
+        * resolved against this doc ONCE instead of once per criterion */
+      prefixKeys: Seq[(String, Boolean, Int)] = Nil): (Int, Int, Int, Long, Int) = {
+    val d = der.resolveFor(doc, prefixKeys)
     (wordsBucket,
-      minTypos(branch, doc, der).getOrElse(Int.MaxValue),
-      proximityBucket(branch, doc, der),
-      attributeRank(flat, doc, der),
+      minTypos(branch, doc, d).getOrElse(Int.MaxValue),
+      proximityBucket(branch, doc, d),
+      attributeRank(flat, doc, d),
       exactnessRank(exactParts, doc, searchableFids))
+  }
 
   // ---------------------------------------------------------------- match
 

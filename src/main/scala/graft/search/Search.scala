@@ -393,6 +393,8 @@ class Search(index: GraftIndex,
     val take = req.offset + req.limit
     val wordsFirst = criteria.headOption.contains(Criterion.Words)
     val flats: Vector[Ranker.Flat] = branches.map(Ranker.flattenQueryTree)
+    val branchPrefixKeys: Vector[Seq[(String, Boolean, Int)]] =
+      branches.map(b => Ranker.derivationKeys(b).filter(_._2).toSeq)
     val needFwc = criteria.contains(Criterion.Exactness)
     val branchBms: Option[Vector[RoaringBitmap]] = Search.traced("branch-bitmaps") {
       val bms = branches.map(b => index.resolveTreeBitmap(b, derivations))
@@ -490,7 +492,7 @@ class Search(index: GraftIndex,
             val bi = chosenBuckets(i)
             val doc = Ranker.DocData(pos, fwcOf(d))
             d -> Ranker.rankVectorAt(doc, branches(bi), bi, derivations,
-              exactParts, searchableFids, flats(bi))
+              exactParts, searchableFids, flats(bi), branchPrefixKeys(bi))
           }
         }
         (total, out)
