@@ -242,7 +242,7 @@ object Bench {
         s""""loadavg_start":${f(loadStart)},"loadavg_end":${f(loadEnd)}}""" +
         s""","search":{"bm25_p50_ms":${f(pct(bm25Times, 0.5) * 1000)},""" +
         s""""bm25_p99_ms":${f(pct(bm25Times, 0.99) * 1000)},""" +
-        s""""bm25_qps":${f(bm25Times.length / bm25Times.sum)},""" +
+        s""""bm25_qps":${f(if (bm25Times.sum > 0) bm25Times.length / bm25Times.sum else 0.0)},""" +
         s""""bm25_qps_mt${mtClients}":${f(bm25QpsMt)},""" +
         s""""bm25_cold_p50_ms":${f(pct(bm25Cold, 0.5) * 1000)},""" +
         s""""milli_rank_p50_ms":${f(pct(milliTimes, 0.5) * 1000)},""" +
