@@ -1,0 +1,85 @@
+package graft.search
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.TestSpark
+import graft.index.{IndexBuilder, IndexSettings}
+import graft.webgen.WebPages
+
+/** Randomized (seeded) parity harness: for a broad sample of query shapes
+  * — word counts, rare/common mix, trailing prefixes, typos on/off, quoted
+  * phrases, filters, pagination — the driver-side local path must return
+  * EXACTLY the distributed path's ids and counts, and the BM25 fast path
+  * must equal forced full scoring. This is the breadth net behind the
+  * fixture matrix: any future drain/cache optimization that diverges on an
+  * untested shape trips here first. */
+class RandomQueryParitySpec extends AnyFunSuite with Matchers {
+
+  private lazy val spark = TestSpark.spark
+  private lazy val stg = IndexSettings(
+    searchableFields = Seq("text"), filterableFields = Set("lang"))
+  private lazy val dir: String = {
+    val d = java.nio.file.Files.createTempDirectory("graft-randparity").toString
+    new IndexBuilder(spark, stg).build(WebPages.generate(spark, 2500), d, resume = false)
+    d
+  }
+  private lazy val index = GraftIndex(spark, dir, stg)
+  private lazy val local = new Search(index)
+  private lazy val dist = new Search(index, maxLocalPostings = 0)
+
+  private val rng = new scala.util.Random(20260817L)
+
+  private def randomWord(): String = {
+    val r = rng.nextDouble()
+    if (r < 0.25) Seq("the", "and", "for")(rng.nextInt(3))          // stop layer
+    else if (r < 0.70) s"w${rng.nextInt(120)}"                       // common zipf head
+    else if (r < 0.90) s"w${200 + rng.nextInt(2000)}"                // mid
+    else s"w${5000 + rng.nextInt(40000)}"                            // rare/absent
+  }
+
+  private def randomQuery(): String = {
+    val n = 1 + rng.nextInt(3)
+    val words = Seq.fill(n)(randomWord())
+    val base =
+      if (n >= 2 && rng.nextDouble() < 0.20)
+        s""""${words.take(2).mkString(" ")}" ${words.drop(2).mkString(" ")}""".trim
+      else words.mkString(" ")
+    if (rng.nextDouble() < 0.5) base + " " else base // trailing space = no prefix
+  }
+
+  test("40 random queries: local path ≡ distributed path (ids + counts)") {
+    (1 to 40).foreach { i =>
+      val q = randomQuery()
+      val typos = rng.nextBoolean()
+      val filter =
+        if (rng.nextDouble() < 0.3)
+          Some(Seq("lang = en", "lang != en", "lang IN [fr, de]")(rng.nextInt(3)))
+        else None
+      val offset = if (rng.nextDouble() < 0.3) rng.nextInt(15) else 0
+      val req = SearchRequest(query = Some(q), filter = filter,
+        authorizeTypos = typos, offset = offset, limit = 20)
+      val a = local.execute(req)
+      val b = dist.execute(req)
+      withClue(s"#$i query=[$q] typos=$typos filter=$filter offset=$offset: ") {
+        a.documentsIds shouldBe b.documentsIds
+        a.candidates shouldBe b.candidates
+      }
+    }
+  }
+
+  test("15 random BM25 term sets: fast path ≡ full scoring") {
+    val bm25 = new Bm25(index)
+    (1 to 15).foreach { i =>
+      val terms = Seq.fill(1 + rng.nextInt(3))(randomWord()).distinct
+      val fast = bm25.topK(terms, 20)
+      val full = bm25.topK(terms, 20, prune = false)
+      withClue(s"#$i terms=$terms: ") {
+        fast.map(_._1).toSeq shouldBe full.map(_._1).toSeq
+        fast.zip(full).foreach { case ((_, sa), (_, sb)) =>
+          sa shouldBe (sb +- 1e-9)
+        }
+      }
+    }
+  }
+}
