@@ -400,7 +400,10 @@ object Queries {
     * hyperplane bucket — never all-pairs) verified with exact cosine ≥
     * 0.35. The embedding twin of the minhash→band→verify text pipeline. */
   def qDedupEmbedding(spark: SparkSession, dir: String): DataFrame = {
+    // persisted: the cap's logging count + the size join + both self-join
+    // sides otherwise recompute the hyperplane bucketing lineage
     val buckets = qAnnLsh(spark, dir) // (vec_id, bucket)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val e = tbl(spark, dir, "embeddings")
       .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
     val cos = udf((a: Seq[Double], b: Seq[Double]) => {

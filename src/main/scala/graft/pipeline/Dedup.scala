@@ -78,9 +78,13 @@ object Dedup {
     * only in one band) and the drop is logged — no silent truncation. */
   def lshCandidatePairs(sig: DataFrame, bands: Int, rows: Int,
       maxBucket: Int = 4096): DataFrame = {
+    // persisted: the size count (logging action), the size join and BOTH
+    // sides of the self-join otherwise each recompute the full
+    // shingle→minhash→posexplode lineage (measured +43% on the sf0.1 battery)
     val buckets = sig.select(col("docid"),
         posexplode(expr(s"transform(sequence(0, ${bands - 1}), b -> " +
           s"hash(slice(sig, b * $rows + 1, $rows)))")).as(Seq("band", "bucket")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = buckets.groupBy("band", "bucket").agg(count(lit(1)).as("bsz__"))
     val oversized = sizes.where(col("bsz__") > maxBucket).count()
     if (oversized > 0)
