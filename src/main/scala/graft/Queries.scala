@@ -366,7 +366,12 @@ object Queries {
 
   /** LSH bucket per vector: 8 sign bits against md5-derived hyperplanes —
     * the bucketed scale path for ANN (brute force within bucket). */
-  def qAnnLsh(spark: SparkSession, dir: String): DataFrame = {
+  def qAnnLsh(spark: SparkSession, dir: String): DataFrame =
+    annLshBuckets(spark, dir).orderBy("vec_id")
+
+  /** unsorted (vec_id, bucket) — internal consumers join/persist this and
+    * must not pay the oracle-only global sort. */
+  private def annLshBuckets(spark: SparkSession, dir: String): DataFrame = {
     // plane j component d = +1 if md5long("j_d") odd else -1 — deterministic
     // in both engines.
     val planes: Array[Array[Double]] = {
@@ -393,7 +398,6 @@ object Queries {
     tbl(spark, dir, "embeddings")
       .select(col("vec_id"),
         bucketOf(transform(col("embedding"), x => x.cast("double"))).as("bucket"))
-      .orderBy("vec_id")
   }
 
   /** embedding-cosine near-dup: LSH-bucketed candidate pairs (same 8-bit
@@ -401,8 +405,11 @@ object Queries {
     * 0.35. The embedding twin of the minhash→band→verify text pipeline. */
   def qDedupEmbedding(spark: SparkSession, dir: String): DataFrame = {
     // persisted: the cap's logging count + the size join + both self-join
-    // sides otherwise recompute the hyperplane bucketing lineage
-    val buckets = qAnnLsh(spark, dir) // (vec_id, bucket)
+    // sides otherwise recompute the hyperplane bucketing lineage. Uses the
+    // UNSORTED bucket set — persisting qAnnLsh would materialize its
+    // oracle-only global sort (persist is an optimizer barrier, so
+    // EliminateSorts could no longer drop it under the joins).
+    val buckets = annLshBuckets(spark, dir) // (vec_id, bucket)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val e = tbl(spark, dir, "embeddings")
       .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
