@@ -170,7 +170,10 @@ object Main {
       // rotates in a fresh warmed handle — the Spark twin of LMDB read-txn
       // renewal across write commits
       val manifestFile = new java.io.File(s"$dir/_graft_manifest.jsonl")
-      var manifestStamp = manifestFile.lastModified()
+      // same stamp formula as GraftIndex.checkFresh so serve-mode rotation
+      // and the handle's stale-guard can never disagree
+      def mStamp() = manifestFile.lastModified() ^ (manifestFile.length() << 20)
+      var manifestStamp = mStamp()
       var index = GraftIndex(spark, dir, settings)
       index.warm()
       // pre-populate the serving caches for the dictionary head (Zipf:
@@ -186,7 +189,7 @@ object Main {
         .takeWhile(l => l != null && l.trim != ":quit")
         .map(_.trim).filter(_.nonEmpty)
         .foreach { line =>
-          val stamp = manifestFile.lastModified()
+          val stamp = mStamp()
           if (stamp != manifestStamp) {
             manifestStamp = stamp
             index.close()

@@ -408,9 +408,12 @@ object Queries {
     // sides otherwise recompute the hyperplane bucketing lineage. Uses the
     // UNSORTED bucket set — persisting qAnnLsh would materialize its
     // oracle-only global sort (persist is an optimizer barrier, so
-    // EliminateSorts could no longer drop it under the joins).
-    val buckets = annLshBuckets(spark, dir) // (vec_id, bucket)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // EliminateSorts could no longer drop it under the joins). Routed
+    // through the session-keyed dfCache so repeated calls reuse ONE pinned
+    // copy instead of accumulating a new persist per call (ADVICE r3).
+    val buckets = cached(spark, dir, "annlsh-buckets") {
+      annLshBuckets(spark, dir) // (vec_id, bucket)
+    }
     val e = tbl(spark, dir, "embeddings")
       .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
     val cos = udf((a: Seq[Double], b: Seq[Double]) => {

@@ -85,6 +85,13 @@ object Manifest {
     new Manifest(m)
   }
 
+  /** Update lineage + VERSION BUMP: every committed update appends one line,
+    * so the manifest's (mtime, length) is a reliable index-version stamp —
+    * serving handles pin it at open (GraftIndex.checkFresh) and `Main serve`
+    * rotates on it. Also the audit trail of what changed the index when. */
+  def recordUpdate(dir: String, kind: String, detail: String): Unit =
+    append(dir, s"""{"table":"__update__","kind":"$kind","detail":"$detail"}""")
+
   private def append(dir: String, line: String): Unit = {
     Files.createDirectories(Paths.get(dir))
     Files.write(path(dir), (line + "\n").getBytes("UTF-8"),

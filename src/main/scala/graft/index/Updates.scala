@@ -44,6 +44,7 @@ class Updates(spark: SparkSession, settings: IndexSettings) {
     // write via temp + move for atomicity of the tiny tombstone table
     Seq(bytes).toDF("docids").coalesce(1)
       .write.mode("overwrite").parquet(deletedPath(dir))
+    Manifest.recordUpdate(dir, "soft_delete", s"n=${docids.length}")
     merged
   }
 
@@ -94,6 +95,7 @@ class Updates(spark: SparkSession, settings: IndexSettings) {
     // clear tombstone
     Seq(Bitmaps.cboSerialize(new RoaringBitmap())).toDF("docids").coalesce(1)
       .write.mode("overwrite").parquet(deletedPath(dir))
+    Manifest.recordUpdate(dir, "hard_delete", s"n=${deleted.getLongCardinality}")
   }
 
   /** Truncate the whole index (ClearDocuments, update/clear_documents.rs). */
@@ -192,6 +194,7 @@ class Updates(spark: SparkSession, settings: IndexSettings) {
     // for its own words, not the whole dictionary.
     new IndexBuilder(spark, settings)
       .refreshDerivedTablesIncremental(dir, delta, writeOver)
+    Manifest.recordUpdate(dir, "add_documents", s"replace=$replace")
   }
 
   /** Atomic-ish table replace: write to side dir then swap. */

@@ -13,6 +13,11 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** last persisted LSH bucket set per session — bounded-persist bookkeeping
+    * for [[lshCandidatePairs]] (one pinned copy per session, not per call). */
+  private val lastLshBuckets =
+    scala.collection.concurrent.TrieMap.empty[Int, DataFrame]
+
   /** 60-bit stable hash: first 15 hex chars of md5. */
   def md5long(c: Column): Column = conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
@@ -80,11 +85,16 @@ object Dedup {
       maxBucket: Int = 4096): DataFrame = {
     // persisted: the size count (logging action), the size join and BOTH
     // sides of the self-join otherwise each recompute the full
-    // shingle→minhash→posexplode lineage (measured +43% on the sf0.1 battery)
+    // shingle→minhash→posexplode lineage (measured +43% on the sf0.1
+    // battery). At most ONE bucket set stays pinned per session: a new call
+    // releases the previous call's copy (ADVICE r3 — the un-released persist
+    // otherwise accumulates a copy per invocation).
     val buckets = sig.select(col("docid"),
         posexplode(expr(s"transform(sequence(0, ${bands - 1}), b -> " +
           s"hash(slice(sig, b * $rows + 1, $rows)))")).as(Seq("band", "bucket")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    Dedup.lastLshBuckets.put(System.identityHashCode(sig.sparkSession), buckets)
+      .foreach(prev => if (prev ne buckets) prev.unpersist(false))
     val sizes = buckets.groupBy("band", "bucket").agg(count(lit(1)).as("bsz__"))
     val oversized = sizes.where(col("bsz__") > maxBucket).count()
     if (oversized > 0)

@@ -95,6 +95,7 @@ class Bm25(index: GraftIndex, k1: Double = 1.2, b: Double = 0.75,
 
   /** Exact top-k. `prune = false` forces full scoring (the oracle path). */
   def topK(terms: Seq[String], k: Int, prune: Boolean = true): Array[(Int, Double)] = {
+    index.checkFresh() // stale-handle guard: caches pin the opened version
     val (_, avgdl) = stats
     val qterms = terms.distinct
     if (qterms.isEmpty) return Array.empty
@@ -321,8 +322,22 @@ class Bm25(index: GraftIndex, k1: Double = 1.2, b: Double = 0.75,
     val kk1 = k1; val bb = b
     val bDeleted = spark.sparkContext.broadcast(
       graft.core.Bitmaps.cboSerialize(index.deletedDocids))
+    // IO half of block-max pruning: the surviving (word, block_id) set is
+    // pushed into the scan itself so parquet footer/page pruning skips the
+    // pruned blocks' `bytes` payloads — a stop-word term whose pruning keeps
+    // 50 of 10^5 blocks must not read 10^5 byte payloads. The JVM-side set
+    // filter below remains the exactness guard (and covers words whose id
+    // list exceeds the pushdown cap). Words with every block pruned vanish
+    // from the scan predicate entirely.
+    val blockIdsByWord: Map[String, Seq[Int]] =
+      blocks.groupBy(_._1).map { case (w, ws) => w -> ws.map(_._2).toSeq.sorted }
+    val MaxPushedIds = 4096
+    val scanPred = blockIdsByWord.toSeq.sortBy(_._1).map { case (w, ids) =>
+      if (ids.length > MaxPushedIds) $"word" === w
+      else $"word" === w && $"block_id".isin(ids: _*)
+    }.reduceOption(_ || _).getOrElse(lit(false))
     val contrib = index.postingBlocks
-      .where($"word".isin(terms: _*))
+      .where(scanPred)
       .select($"word", $"block_id", $"bytes")
       .as[(String, Int, Array[Byte])]
       .mapPartitions { rows =>

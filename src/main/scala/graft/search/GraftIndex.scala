@@ -24,6 +24,47 @@ class GraftIndex(val spark: SparkSession, val dir: String, val settings: IndexSe
 
   graft.functions.GraftFunctions.registerAll(spark)
 
+  // Spark pushes In-filters to parquet only up to this many values
+  // (default 10); the read path pushes surviving block-id / word lists far
+  // larger than that, and footer min/max checks are O(values · row-groups)
+  // — cheap. Raised once per session here, where every read-path scan runs.
+  spark.conf.set("spark.sql.parquet.pushdown.inFilterThreshold", "1024")
+
+  // ---- staleness guard: a read handle pins the index VERSION it opened.
+  // The serving caches (postings, bitmaps, forward rows, pinned dicts) are
+  // all keyed on this handle; after Updates.addDocuments / hardDelete they
+  // would silently serve stale results. The manifest file is rewritten by
+  // every committed update, so its (mtime, length) is the version stamp —
+  // query entry points re-stat it (throttled to one stat per 100 ms) and
+  // fail loudly on mismatch; callers then reopen the handle (`Main serve`
+  // rotates automatically on the same signal).
+  private def manifestStamp(): Long = {
+    val f = new java.io.File(s"$dir/_graft_manifest.jsonl")
+    if (!f.exists()) -1L else f.lastModified() ^ (f.length() << 20)
+  }
+  private val openedStamp: Long = manifestStamp()
+  @volatile private var lastFreshCheckNs: Long = 0L
+  @volatile private var staleDetected: Boolean = false
+
+  /** Throws when the index directory was updated after this handle opened
+    * (stale serving caches). The stat is throttled to one per 100 ms; a
+    * detected staleness POISONS the handle permanently (every subsequent
+    * query throws until the caller reopens). */
+  def checkFresh(): Unit = {
+    if (staleDetected) throw staleError()
+    val now = System.nanoTime()
+    if (now - lastFreshCheckNs < 100000000L) return
+    lastFreshCheckNs = now
+    if (manifestStamp() != openedStamp) {
+      staleDetected = true
+      throw staleError()
+    }
+  }
+
+  private def staleError() = new IllegalStateException(
+    s"index at $dir was updated after this handle opened; " +
+      "reopen GraftIndex (stale serving caches)")
+
   def table(name: String): DataFrame = spark.read.parquet(s"$dir/$name")
 
   lazy val documents: DataFrame = table(T.Documents)
@@ -345,6 +386,85 @@ class GraftIndex(val spark: SparkSession, val dir: String, val settings: IndexSe
       .as[(String, Array[Byte])].collect()
       .map { case (k, b) => k -> Bitmaps.cboDeserialize(b) }.toMap
 
+  /** One batch of leaf-level bitmap point reads for a query tree: the
+    * word / exact / prefix docids rows every leaf can touch, fetched once
+    * through the presence-aware LRU. Shared by [[resolveTreeBitmap]] and the
+    * (typo, proximity) cell drain ([[RankCells]]). */
+  private[search] final class LeafTables(
+      leaves: Seq[QueryTree.Query], der: Ranker.Derivations) {
+    private val enumerated: Seq[(String, Int)] = leaves.flatMap { q =>
+      der.map.getOrElse((q.kind.word, q.prefix, q.kind.typo), Nil)
+    }
+    private val allWords = enumerated.map(_._1).distinct
+    private val zeroWords = enumerated.collect { case (w, 0) => w }.distinct
+    private val prefixes = leaves.collect { case QueryTree.Query(true, k) => k.word }.distinct
+
+    val wd: Map[String, Option[RoaringBitmap]] =
+      bitmapCache.get("w", allWords)(ks => bitmapRows(wordDocids, ks))
+    val ewd: Map[String, Option[RoaringBitmap]] =
+      bitmapCache.get("e", zeroWords)(ks => bitmapRows(exactWordDocids, ks))
+    val pfx: Map[String, Option[RoaringBitmap]] =
+      bitmapCache.get("p", prefixes)(ks => bitmapRows(wordPrefixDocids, ks, "prefix"))
+    val epfx: Map[String, Option[RoaringBitmap]] =
+      bitmapCache.get("q", prefixes)(ks => bitmapRows(exactWordPrefixDocids, ks, "prefix"))
+    // dictionary-miss prefixes: one distributed range-union each (bounded
+    // result: a single bitmap row reaches the driver), LRU-cached too
+    val missingPfx: Map[String, Option[RoaringBitmap]] =
+      bitmapCache.get("r", prefixes.filter(p => pfx(p).isEmpty)) { ks =>
+        ks.map { p =>
+          val merged = wordDocids.where($"word".startsWith(p)).select($"docids")
+            .unionAll(exactWordDocids.where($"word".startsWith(p)).select($"docids"))
+            .agg(graft.functions.GraftFunctions.bitmap_union_agg($"docids").as("d"))
+            .select($"d").as[Array[Byte]].collect()
+          p -> merged.headOption.flatMap(Option(_)).map(Bitmaps.cboDeserialize)
+            .getOrElse(new RoaringBitmap())
+        }.toMap
+      }
+
+    /** Full candidate bitmap of one leaf (any typo count). */
+    def leafFull(q: QueryTree.Query): RoaringBitmap = leafTypoCum(q, Int.MaxValue)
+
+    /** Candidates of one leaf matching with ≤ `t` typos — prefix extensions
+      * are 0-typo, typo'd derivations read only the tolerant split, Exact
+      * kinds cost their original typo as a constant (minTypos semantics). */
+    def leafTypoCum(q: QueryTree.Query, t: Int): RoaringBitmap = {
+      val acc = new RoaringBitmap()
+      val constTypo = q.kind match {
+        case QueryTree.Exact(_, ot) => Some(ot)
+        case _                      => None
+      }
+      if (constTypo.exists(_ > t)) return acc
+      if (q.prefix) {
+        pfx.get(q.kind.word).flatten.foreach(acc.or)
+        epfx.get(q.kind.word).flatten.foreach(acc.or)
+        missingPfx.get(q.kind.word).flatten.foreach(acc.or)
+      }
+      der.map.getOrElse((q.kind.word, q.prefix, q.kind.typo), Nil).foreach {
+        case (w, typo) =>
+          // Exact kinds cost constTypo regardless of the derivation's typo
+          if (constTypo.isDefined || typo <= t) {
+            wd.get(w).flatten.foreach(acc.or)
+            if (typo == 0) ewd.get(w).flatten.foreach(acc.or)
+          }
+      }
+      acc
+    }
+  }
+
+  private[search] def leafTables(leaves: Seq[QueryTree.Query],
+      der: Ranker.Derivations): LeafTables = new LeafTables(leaves, der)
+
+  /** All Query leaves of a phrase-free subtree. */
+  private[search] def treeLeaves(op: QueryTree.Op): Seq[QueryTree.Query] = {
+    import QueryTree._
+    op match {
+      case And(cs)    => cs.flatMap(treeLeaves)
+      case Or(_, cs)  => cs.flatMap(treeLeaves)
+      case q: Query   => Seq(q)
+      case _: Phrase  => Nil
+    }
+  }
+
   /** Resolve a (phrase-free) query tree to its candidate bitmap with posting
     * point reads ONLY — `resolve_query_tree` over `word_docids` /
     * `word_prefix_docids` (`milli/src/search/criteria/mod.rs:458-505,
@@ -365,64 +485,74 @@ class GraftIndex(val spark: SparkSession, val dir: String, val settings: IndexSe
       case _: Query   => false
     }
     if (hasPhrase(tree)) return None
-
-    // gather leaf needs: enumerated derivation words (0-typo also read the
-    // exact split) + prefix ranges
-    val leaves = {
-      def go(op: Op): Seq[Query] = op match {
-        case And(cs)    => cs.flatMap(go)
-        case Or(_, cs)  => cs.flatMap(go)
-        case q: Query   => Seq(q)
-        case _: Phrase  => Nil
-      }
-      go(tree)
-    }
-    val enumerated: Seq[(String, Int)] = leaves.flatMap { q =>
-      der.map.getOrElse((q.kind.word, q.prefix, q.kind.typo), Nil)
-    }
-    val allWords = enumerated.map(_._1).distinct
-    val zeroWords = enumerated.collect { case (w, 0) => w }.distinct
-    val prefixes = leaves.collect { case Query(true, k) => k.word }.distinct
-
-    // all point reads go through the presence-aware bitmap LRU: warm
-    // queries resolve with zero Spark jobs (cold misses batch into one
-    // pruned fetch per table)
-    val wd = bitmapCache.get("w", allWords)(ks => bitmapRows(wordDocids, ks))
-    val ewd = bitmapCache.get("e", zeroWords)(ks => bitmapRows(exactWordDocids, ks))
-    val pfx = bitmapCache.get("p", prefixes)(ks => bitmapRows(wordPrefixDocids, ks, "prefix"))
-    val epfx = bitmapCache.get("q", prefixes)(ks => bitmapRows(exactWordPrefixDocids, ks, "prefix"))
-    // dictionary-miss prefixes: one distributed range-union each (bounded
-    // result: a single bitmap row reaches the driver), LRU-cached too
-    val missingPfx: Map[String, Option[RoaringBitmap]] =
-      bitmapCache.get("r", prefixes.filter(p => pfx(p).isEmpty)) { ks =>
-        ks.map { p =>
-          val merged = wordDocids.where($"word".startsWith(p)).select($"docids")
-            .unionAll(exactWordDocids.where($"word".startsWith(p)).select($"docids"))
-            .agg(graft.functions.GraftFunctions.bitmap_union_agg($"docids").as("d"))
-            .select($"d").as[Array[Byte]].collect()
-          p -> merged.headOption.flatMap(Option(_)).map(Bitmaps.cboDeserialize)
-            .getOrElse(new RoaringBitmap())
-        }.toMap
-      }
+    val lt = leafTables(treeLeaves(tree), der)
 
     def eval(op: Op): RoaringBitmap = op match {
       case And(cs)   => cs.map(eval).reduce(RoaringBitmap.and)
       case Or(_, cs) => cs.map(eval).reduce(RoaringBitmap.or)
-      case Query(prefix, kind) =>
-        val acc = new RoaringBitmap()
-        if (prefix) {
-          pfx.get(kind.word).flatten.foreach(acc.or)
-          epfx.get(kind.word).flatten.foreach(acc.or)
-          missingPfx.get(kind.word).flatten.foreach(acc.or)
-        }
-        der.map.getOrElse((kind.word, prefix, kind.typo), Nil).foreach { case (w, typo) =>
-          wd.get(w).flatten.foreach(acc.or)
-          if (typo == 0) ewd.get(w).flatten.foreach(acc.or)
-        }
-        acc
+      case q: Query  => lt.leafFull(q)
       case _: Phrase => new RoaringBitmap() // unreachable (hasPhrase gate)
     }
     Some(eval(tree))
+  }
+
+  // ------------------------------------------- pair-proximity point reads
+
+  /** Batched (w1, w2, prox) → docids point reads off the pair-proximity
+    * table — the Spark twin of milli's `word_pair_proximity_docids` LMDB
+    * gets (`criteria/mod.rs:203-220`). One pruned scan per miss batch
+    * (w1/w2 In-filters push to the (w1,w2,prox)-sorted footers); every
+    * (pair, prox) combination caches individually (Absent included), so
+    * warm proximity cell drains run zero Spark jobs. */
+  private[search] def pairProxBitmaps(pairs: Seq[(String, String)])
+      : Map[(String, String, Int), Option[RoaringBitmap]] = {
+    if (pairs.isEmpty) return Map.empty
+    val keys = pairs.distinct.flatMap { case (a, b) =>
+      (1 to 7).map(p => s"$a\u0000$b\u0000$p")
+    }
+    val got = bitmapCache.get("x", keys) { misses =>
+      val parts = misses.map(_.split('\u0000'))
+      val lefts = parts.map(_(0)).distinct
+      val rights = parts.map(_(1)).distinct
+      val missSet = misses.toSet
+      pairProx.where($"w1".isin(lefts: _*) && $"w2".isin(rights: _*))
+        .select($"w1", $"w2", $"prox", $"docids")
+        .as[(String, String, Int, Array[Byte])].collect()
+        .iterator
+        .map { case (a, b, p, bytes) => (s"$a\u0000$b\u0000$p", bytes) }
+        .filter(kv => missSet.contains(kv._1))
+        .map { case (k, bytes) => k -> Bitmaps.cboDeserialize(bytes) }
+        .toMap
+    }
+    got.map { case (k, v) =>
+      val Array(a, b, p) = k.split('\u0000')
+      (a, b, p.toInt) -> v
+    }
+  }
+
+  /** Prefix-side pair rows: ONE ranged aggregation per (word, prefix, side)
+    * over the pair table — Σ docids over every extension of the prefix,
+    * grouped by prox. EXACT for any prefix length/proximity, unlike the
+    * reference's prefix-pair databases which cap at len ≤ 2 / prox ≤ 4 and
+    * otherwise "disable" proximity for the prefix
+    * (`criteria/mod.rs:656-707`) — and it never enumerates the dictionary.
+    * `prefixIsRight`: rows (word, ext*) else (ext*, word). Cached per prox. */
+  private[search] def pairProxPrefixBitmaps(word: String, prefix: String,
+      prefixIsRight: Boolean): Map[Int, RoaringBitmap] = {
+    val side = if (prefixIsRight) "r" else "l"
+    val keys = (1 to 7).map(p => s"$word\u0000$prefix\u0000$side\u0000$p")
+    val got = bitmapCache.get("y", keys) { _ =>
+      val base =
+        if (prefixIsRight) pairProx.where($"w1" === word && $"w2".startsWith(prefix))
+        else pairProx.where($"w1".startsWith(prefix) && $"w2" === word)
+      base.groupBy($"prox")
+        .agg(graft.functions.GraftFunctions.bitmap_union_agg($"docids").as("d"))
+        .select($"prox", $"d").as[(Int, Array[Byte])].collect()
+        .iterator.map { case (p, bytes) =>
+          s"$word\u0000$prefix\u0000$side\u0000$p" -> Bitmaps.cboDeserialize(bytes)
+        }.toMap
+    }
+    got.collect { case (k, Some(bm)) => k.split('\u0000')(3).toInt -> bm }
   }
 
   /** Query context for the tree builder. */

@@ -35,32 +35,48 @@ final class PostingCache(index: GraftIndex, maxBytes: Long = 256L << 20) {
 
   /** Fetch-through: postings of every word, as (docid, tf) pairs packed in a
     * long (docid high, tf low) so the hot array is primitive. Misses are
-    * fetched in ONE pruned posting-block scan; absent words cache empty. */
-  def get(words: Seq[String]): Map[String, Array[Long]] = synchronized {
-    val missing = words.distinct.filterNot(lru.containsKey)
-    if (missing.nonEmpty) {
-      val rows = index.postingBlocks
-        .where(col("word").isin(missing: _*))
-        .select(col("word"), col("block_id"), col("bytes"))
-        .as[(String, Int, Array[Byte])].collect()
-      val byWord = rows.groupBy(_._1)
-      missing.foreach { w =>
-        val ps: Array[Long] = byWord.get(w) match {
-          case None => Array.empty[Long]
-          case Some(blocks) =>
-            blocks.sortBy(_._2).iterator.flatMap { case (_, _, bs) =>
-              graft.core.PostingBlocks.decode(bs).iterator
-            }.map { case (docid, tf) => (docid.toLong << 32) | (tf & 0xffffffffL) }.toArray
-        }
-        lru.put(w, ps)
-        bytes += entryBytes(ps)
+    * fetched in ONE pruned posting-block scan; absent words cache empty.
+    *
+    * The distributed fetch runs OUTSIDE the lock: one cold miss must not
+    * serialize every concurrent serving client behind a Spark job (two
+    * threads racing on the same word both fetch; the second install is
+    * dropped — standard fetch-through tolerance). */
+  def get(words: Seq[String]): Map[String, Array[Long]] = {
+    val distinct = words.distinct
+    val (hits, missing) = synchronized {
+      val h = Map.newBuilder[String, Array[Long]]
+      val m = Vector.newBuilder[String]
+      distinct.foreach { w =>
+        val v = lru.get(w) // refreshes LRU recency
+        if (v != null) h += (w -> v) else m += w
       }
+      (h.result(), m.result())
     }
-    // snapshot BEFORE evicting so an over-budget batch can't evict its own
-    // entries out from under the caller
-    val out = words.distinct.map(w => w -> lru.get(w)).toMap
-    evict()
-    out
+    if (missing.isEmpty) return hits
+    val rows = index.postingBlocks
+      .where(col("word").isin(missing: _*))
+      .select(col("word"), col("block_id"), col("bytes"))
+      .as[(String, Int, Array[Byte])].collect()
+    val byWord = rows.groupBy(_._1)
+    val fetched: Map[String, Array[Long]] = missing.iterator.map { w =>
+      val ps: Array[Long] = byWord.get(w) match {
+        case None => Array.empty[Long]
+        case Some(blocks) =>
+          blocks.sortBy(_._2).iterator.flatMap { case (_, _, bs) =>
+            graft.core.PostingBlocks.decode(bs).iterator
+          }.map { case (docid, tf) => (docid.toLong << 32) | (tf & 0xffffffffL) }.toArray
+      }
+      w -> ps
+    }.toMap
+    synchronized {
+      fetched.foreach { case (w, ps) =>
+        if (!lru.containsKey(w)) { lru.put(w, ps); bytes += entryBytes(ps) }
+      }
+      evict()
+      // values captured before evict() could run, so an over-budget batch
+      // (or a concurrent eviction) can't null out the caller's view
+      hits ++ fetched
+    }
   }
 
   @inline def docidOf(packed: Long): Int = (packed >>> 32).toInt
@@ -100,15 +116,31 @@ final class BitmapCache(maxBytes: Long = 128L << 20) {
   /** Fetch-through lookup: `fetch` is called ONCE with the uncached keys and
     * returns bitmaps for those present in the table; the rest cache as
     * Absent. Result maps every requested key to Some(bitmap) | None(absent).
-    * Returned bitmaps are SHARED — callers must not mutate them. */
+    * Returned bitmaps are SHARED — callers must not mutate them.
+    *
+    * `fetch` (a distributed job on a cold miss) runs OUTSIDE the lock so one
+    * cold query never serializes concurrent serving clients; racing threads
+    * may fetch the same key twice and the second install is dropped. */
   def get(ns: String, keys: Seq[String])(
-      fetch: Seq[String] => Map[String, RoaringBitmap]): Map[String, Option[RoaringBitmap]] =
+      fetch: Seq[String] => Map[String, RoaringBitmap]): Map[String, Option[RoaringBitmap]] = {
+    val distinct = keys.distinct
+    val (hits, missing) = synchronized {
+      val h = Map.newBuilder[String, Option[RoaringBitmap]]
+      val m = Vector.newBuilder[String]
+      distinct.foreach { k =>
+        lru.get(ns + ":" + k) match { // refreshes LRU recency
+          case null              => m += k
+          case bm: RoaringBitmap => h += (k -> Some(bm))
+          case _                 => h += (k -> None)
+        }
+      }
+      (h.result(), m.result())
+    }
+    if (missing.isEmpty) return hits
+    val fetched = fetch(missing)
     synchronized {
-      val distinct = keys.distinct
-      val missing = distinct.filterNot(k => lru.containsKey(ns + ":" + k))
-      if (missing.nonEmpty) {
-        val fetched = fetch(missing)
-        missing.foreach { k =>
+      missing.foreach { k =>
+        if (!lru.containsKey(ns + ":" + k)) {
           val v: AnyRef = fetched.get(k) match {
             case Some(bm) => bm
             case None     => Absent
@@ -117,16 +149,11 @@ final class BitmapCache(maxBytes: Long = 128L << 20) {
           bytes += entryBytes(v)
         }
       }
-      // snapshot before evicting (same rationale as PostingCache.get)
-      val out = distinct.map { k =>
-        k -> (lru.get(ns + ":" + k) match {
-          case bm: RoaringBitmap => Some(bm)
-          case _                 => None
-        })
-      }.toMap
       evict()
-      out
+      // values captured before evict(): the caller's view can't be nulled
+      hits ++ missing.map(k => k -> fetched.get(k))
     }
+  }
 }
 
 /** Driver-side LRU cache of forward-index rows (docid, word, positions) for
@@ -155,34 +182,49 @@ final class DwpCache(index: GraftIndex, maxBytes: Long = 256L << 20) {
   }
 
   /** Rows for every exact word and every prefix, fetched through one pruned
-    * scan per miss batch. Values are docid-sorted (binary-searchable). */
+    * scan per miss batch. Values are docid-sorted (binary-searchable).
+    * The scan runs OUTSIDE the lock (cold misses must not serialize
+    * concurrent serving clients; duplicate racing fetches tolerated). */
   def get(words: Seq[String], prefixes: Seq[String])
       : (Map[String, Array[(Int, String, Array[Int])]],
-         Map[String, Array[(Int, String, Array[Int])]]) = synchronized {
-    val missW = words.distinct.filterNot(w => lru.containsKey("w:" + w))
-    val missP = prefixes.distinct.filterNot(p => lru.containsKey("p:" + p))
-    if (missW.nonEmpty || missP.nonEmpty) {
-      val in = if (missW.nonEmpty) Seq(col("word").isin(missW: _*)) else Nil
-      val pref = missP.map(p => col("word").startsWith(p))
-      val predicate = (in ++ pref).reduce(_ || _)
-      val rows = index.docWordPositions.where(predicate)
-        .select(col("docid"), col("word"), col("positions"))
-        .as[(Int, String, Array[Int])].collect()
-      // entries are docid-SORTED (collect() order is per-partition only):
-      // the rank path binary-searches each array by docid
-      missW.foreach { w =>
-        val a = rows.filter(_._2 == w).sortBy(_._1)
-        lru.put("w:" + w, a); bytes += entryBytes(a)
+         Map[String, Array[(Int, String, Array[Int])]]) = {
+    type Rows = Array[(Int, String, Array[Int])]
+    val dw = words.distinct
+    val dp = prefixes.distinct
+    val (hitW, hitP, missW, missP) = synchronized {
+      val hw = Map.newBuilder[String, Rows]
+      val hp = Map.newBuilder[String, Rows]
+      val mw = Vector.newBuilder[String]
+      val mp = Vector.newBuilder[String]
+      dw.foreach { w =>
+        val v = lru.get("w:" + w); if (v != null) hw += (w -> v) else mw += w
       }
-      missP.foreach { p =>
-        val a = rows.filter(_._2.startsWith(p)).sortBy(_._1)
-        lru.put("p:" + p, a); bytes += entryBytes(a)
+      dp.foreach { p =>
+        val v = lru.get("p:" + p); if (v != null) hp += (p -> v) else mp += p
       }
+      (hw.result(), hp.result(), mw.result(), mp.result())
     }
-    // snapshot before evicting (same rationale as PostingCache.get)
-    val out = (words.distinct.map(w => w -> lru.get("w:" + w)).toMap,
-      prefixes.distinct.map(p => p -> lru.get("p:" + p)).toMap)
-    evict()
-    out
+    if (missW.isEmpty && missP.isEmpty) return (hitW, hitP)
+    val in = if (missW.nonEmpty) Seq(col("word").isin(missW: _*)) else Nil
+    val pref = missP.map(p => col("word").startsWith(p))
+    val predicate = (in ++ pref).reduce(_ || _)
+    val rows = index.docWordPositions.where(predicate)
+      .select(col("docid"), col("word"), col("positions"))
+      .as[(Int, String, Array[Int])].collect()
+    // entries are docid-SORTED (collect() order is per-partition only):
+    // the rank path binary-searches each array by docid
+    val fetchedW: Map[String, Rows] =
+      missW.iterator.map(w => w -> rows.filter(_._2 == w).sortBy(_._1)).toMap
+    val fetchedP: Map[String, Rows] =
+      missP.iterator.map(p => p -> rows.filter(_._2.startsWith(p)).sortBy(_._1)).toMap
+    synchronized {
+      (fetchedW.iterator.map { case (w, a) => ("w:" + w, a) } ++
+        fetchedP.iterator.map { case (p, a) => ("p:" + p, a) }).foreach {
+        case (k, a) =>
+          if (!lru.containsKey(k)) { lru.put(k, a); bytes += entryBytes(a) }
+      }
+      evict()
+      (hitW ++ fetchedW, hitP ++ fetchedP)
+    }
   }
 }

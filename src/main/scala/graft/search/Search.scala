@@ -137,6 +137,7 @@ class Search(index: GraftIndex,
   private val settings = index.settings
 
   def execute(req: SearchRequest): SearchResult = {
+    index.checkFresh() // stale-handle guard: caches pin the opened version
     val criteria: Seq[Criterion] =
       req.criteriaOverride.getOrElse(settings.criteria.map(Criterion.parse))
     val distinctField = req.distinctOverride.getOrElse(settings.distinctField)
@@ -302,8 +303,7 @@ class Search(index: GraftIndex,
     val dwp = applyFilter(
       index.docWordPositions.where(wordPredicate(relevantWords, prefixWords)),
       filterDf, deleted)
-    val wc = index.docFidWordCounts
-    val docData = dwp.select($"docid", $"word", $"positions")
+    val docData0 = dwp.select($"docid", $"word", $"positions")
       .as[(Int, String, Array[Int])]
       .mapPartitions { it =>
         val src = it.buffered
@@ -320,9 +320,24 @@ class Search(index: GraftIndex,
         }
       }
       .toDF("docid", "positions")
-      .join(wc.groupBy($"docid")
-          .agg(map_from_arrays(collect_list($"fid"), collect_list($"word_count")).as("fwc")),
-        Seq("docid"), "left")
+    // fid→word_count maps are ONLY an Exactness input: when the criteria
+    // don't rank by exactness the join is skipped outright (the local
+    // path's needFwc gate). When they do, doc_fid_word_counts is
+    // semi-joined against the candidates' docids BEFORE the per-doc map
+    // aggregation — without the bound, at 10^12 docs every ranked query
+    // would shuffle the whole (docid, fid, wc) table to build maps for a
+    // candidate set many orders of magnitude smaller (fetchFwc is the
+    // driver-path twin of this same bound).
+    val docData =
+      if (!criteria.contains(Criterion.Exactness))
+        docData0.withColumn("fwc", lit(null).cast("map<int,int>"))
+      else
+        docData0.join(
+          index.docFidWordCounts
+            .join(dwp.select($"docid").distinct(), Seq("docid"), "left_semi")
+            .groupBy($"docid")
+            .agg(map_from_arrays(collect_list($"fid"), collect_list($"word_count")).as("fwc")),
+          Seq("docid"), "left")
 
     val rankedRows = docData
       .select($"docid", $"positions", $"fwc")

@@ -54,6 +54,43 @@ class Bm25Spec extends AnyFunSuite with Matchers {
     new Bm25(index).topK(Seq("zzzznotaword"), 5) shouldBe empty
   }
 
+  test("surviving block ids are pushed into the posting scan (IO half of WAND)") {
+    val spark = TestSpark.spark
+    val plans = java.util.Collections.synchronizedList(new java.util.ArrayList[String]())
+    val l = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
+        plans.add(qe.executedPlan.toString)
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(l)
+    try {
+      // 3 stop words ⇒ > 64 block metas ⇒ the 3-pass pruned path runs;
+      // force the distributed branch so score() is what executes
+      val bm25 = new Bm25(index, smallQueryMaxPostings = 0)
+      val pruned = bm25.topK(Seq("the", "of", "and"), 10, prune = true)
+      val full = bm25.topK(Seq("the", "of", "and"), 10, prune = false)
+      pruned.map(_._1).toSeq shouldBe full.map(_._1).toSeq
+      val deadline = System.nanoTime() + 20000000000L
+      var last = -1
+      var stable = 0
+      while (System.nanoTime() < deadline && stable < 3) {
+        Thread.sleep(200)
+        val n = plans.size()
+        if (n == last) stable += 1 else { stable = 0; last = n }
+      }
+      import scala.jdk.CollectionConverters._
+      // at least one scoring scan (θ̂ / phase A / phase B) must carry the
+      // block_id predicate into PushedFilters — pruned blocks' bytes then
+      // never leave the parquet reader (row-group/page pruning)
+      val pushed = plans.asScala.filter(p =>
+        p.contains("PushedFilters") && p.contains("block_id") &&
+          (p.contains("In(block_id") || p.contains("EqualTo(block_id")))
+      pushed should not be empty
+    } finally spark.listenerManager.unregister(l)
+  }
+
   test("bounded phase A: all-common-terms query rescoring via distributed semi-join") {
     // maxCandidateCollect = 1 forces the semi-join branch (candidates > cap)
     // on a weak-θ̂ all-common-terms query; result must stay exact
