@@ -1,0 +1,278 @@
+package graft.search
+
+import org.roaringbitmap.RoaringBitmap
+
+import QueryTree._
+
+/** Bitmap (typo, proximity) CELL resolution for the serving rank drain —
+  * milli's criterion cascade re-expressed as set algebra so a large words
+  * bucket is subdivided BEFORE any per-document work:
+  *
+  *  - typo cells: the per-branch equivalent of the typo criterion's
+  *    mana-mdfs (`milli/src/search/criteria/typo.rs:240-325`) — docs whose
+  *    minimal total typo count is exactly t, built from word / exact-word /
+  *    prefix docids point reads stratified by derivation typo (And = DP
+  *    convolution over children, Or = min ⇒ cum union);
+  *  - proximity cells: the set-based proximity resolution
+  *    (`criteria/proximity.rs:185-347`): query bucket p unions pair rows
+  *    (left, right, prox ≤ p+1) ∪ (right, left, prox ≤ p) over every
+  *    derivation-word pair (`word_pair_overall_proximity_docids`,
+  *    `criteria/mod.rs:203-220`). Prefix sides use ONE ranged aggregation
+  *    per (word, prefix, side) over the pair table — exact for any prefix
+  *    length, where the reference caps its prefix-pair databases at
+  *    len ≤ 2 / prox ≤ 4 and degrades.
+  *
+  * EXACTNESS BAND: the index-time pair extractor sweeps a 7-entry window
+  * (`extract_word_pair_proximity_docids.rs:85-152`), so a stored proximity
+  * of 7 can under-report a true distance-7 pair when ≥ 6 distinct words sit
+  * between the occurrences; stored proximities ≤ 6 are always the true
+  * pair minimum (≤ 5 distinct words fit between). Query-side proximity
+  * p = stored − 1 (left-right) / stored (right-left), so cells are emitted
+  * for p = 0..5 ONLY and everything else lands in the remainder cell —
+  * which the caller ranks per-document (plane sweep), keeping the drain
+  * rank-identical to the per-doc ground truth while still bounding it.
+  *
+  * The caller ranks ONLY the docs of the drained cells with the full
+  * per-doc rank vector, so cell labels never enter the final order — cells
+  * just have to be sound (lexicographically monotone), which the p ≤ 5
+  * band + exact typo algebra guarantee.
+  */
+object RankCells {
+
+  /** Emitted-drain counter (observability for specs + tracing). */
+  val drains = new java.util.concurrent.atomic.AtomicLong()
+
+  /** max proximity with an exact cell; 6..7 fall into the remainder. */
+  private val MaxExactProx = 5
+
+  /** Derivation-pair fetch cap: beyond this many (left, right) word pairs
+    * the proximity dimension is dropped (typo cells still apply). */
+  private val MaxPairFetch = 1024
+
+  /** One drain cell: its docs plus the criterion values the cell PROVES —
+    * `typo` / `prox` are the exact per-doc rank components for every member
+    * (−1 = unknown, i.e. a remainder cell: the caller computes that
+    * component per-doc). Labeled docs skip the per-doc minTypos + plane
+    * sweep entirely — the dominant rank-stage cost on big cells. */
+  final case class Cell(docs: RoaringBitmap, typo: Int, prox: Int)
+
+  /** Disjoint drain cells of `bucket` for the given criterion dims (⊆
+    * {Typo, Proximity}, in criteria order), lexicographically rank-ordered,
+    * covering the whole bucket (remainder cells included), empties skipped.
+    * None when the branch shape doesn't support the FIRST dim (caller
+    * drains the whole bucket as before). */
+  def cellIterator(index: GraftIndex, branch: Op, der: Ranker.Derivations,
+      dims: Seq[Criterion], bucket: RoaringBitmap): Option[Iterator[Cell]] = {
+    if (dims.isEmpty || bucket.isEmpty) return None
+    val leaves = index.treeLeaves(branch)
+    if (leaves.isEmpty || hasPhrase(branch)) return None
+    val lt = index.leafTables(leaves, der)
+
+    // cells of one dim, paired with the component value each proves
+    // (the remainder appended by withRemainder gets −1 = unknown)
+    def dimCells(c: Criterion): Option[IndexedSeq[RoaringBitmap]] = c match {
+      case Criterion.Typo      => Some(cellsOf(typoCums(lt, der, branch)))
+      case Criterion.Proximity => proxCums(index, der, lt, branch).map(cellsOf)
+      case _                   => None
+    }
+    def labeled(c: Criterion, value: Int, inner: RoaringBitmap): Cell = c match {
+      case Criterion.Typo => Cell(inner, value, -1)
+      case _              => Cell(inner, -1, value)
+    }
+
+    val first = dimCells(dims.head) match {
+      case Some(cs) => cs
+      case None     => return None
+    }
+    val secondDim = dims.drop(1).headOption
+    val second = secondDim.flatMap(dimCells)
+    drains.incrementAndGet()
+    val outer = withRemainder(first, bucket) // index == label; last = unknown
+    def lbl(cells: IndexedSeq[RoaringBitmap], i: Int): Int =
+      if (i == cells.length - 1) -1 else i
+    Some(second match {
+      case None =>
+        outer.iterator.zipWithIndex
+          .map { case (o, i) => labeled(dims.head, lbl(outer, i), o) }
+          .filterNot(_.docs.isEmpty)
+      case Some(innerCells) =>
+        outer.iterator.zipWithIndex.flatMap { case (o, i) =>
+          val oLbl = lbl(outer, i)
+          val inner = withRemainder(innerCells, o)
+          inner.iterator.zipWithIndex.map { case (c, j) =>
+            val base = labeled(dims.head, oLbl, c)
+            val jLbl = lbl(inner, j)
+            secondDim.get match {
+              case Criterion.Typo => base.copy(typo = jLbl)
+              case _              => base.copy(prox = jLbl)
+            }
+          }
+        }.filterNot(_.docs.isEmpty)
+    })
+  }
+
+  private def hasPhrase(op: Op): Boolean = op match {
+    case And(cs)   => cs.exists(hasPhrase)
+    case Or(_, cs) => cs.exists(hasPhrase)
+    case _: Phrase => true
+    case _: Query  => false
+  }
+
+  /** cells + a final remainder, all intersected with `universe` (the drain
+    * invariant: emitted cells partition the universe). */
+  private def withRemainder(cells: IndexedSeq[RoaringBitmap],
+      universe: RoaringBitmap): IndexedSeq[RoaringBitmap] = {
+    val out = IndexedSeq.newBuilder[RoaringBitmap]
+    val covered = new RoaringBitmap()
+    cells.foreach { c =>
+      val x = RoaringBitmap.andNot(RoaringBitmap.and(c, universe), covered)
+      covered.or(x)
+      out += x
+    }
+    out += RoaringBitmap.andNot(universe, covered)
+    out.result()
+  }
+
+  /** cums (≤ t) → disjoint cells (= t). */
+  private def cellsOf(cums: IndexedSeq[RoaringBitmap]): IndexedSeq[RoaringBitmap] =
+    cums.zipWithIndex.map { case (c, i) =>
+      if (i == 0) c else RoaringBitmap.andNot(c, cums(i - 1))
+    }
+
+  // ------------------------------------------------------------- typo cells
+
+  private def maxTypo(op: Op): Int = op match {
+    case And(cs)                    => cs.map(maxTypo).sum
+    case Or(_, cs)                  => cs.map(maxTypo).max
+    case Query(_, Exact(_, ot))     => ot
+    case Query(_, Tolerant(_, b))   => b
+    case _: Phrase                  => 0 // unreachable (hasPhrase gate)
+  }
+
+  /** cum bitmaps (docs matching `op` with minimal total typos ≤ t) for
+    * t = 0..maxTypo(op) — minTypos semantics: And sums (DP convolution),
+    * Or takes the min (cum union), leaves stratify their derivations. */
+  private def typoCums(lt: GraftIndex#LeafTables, der: Ranker.Derivations,
+      op: Op): IndexedSeq[RoaringBitmap] = op match {
+    case q: Query =>
+      (0 to maxTypo(q)).map(t => lt.leafTypoCum(q, t))
+    case Or(_, cs) =>
+      val ccs = cs.map(typoCums(lt, der, _))
+      (0 to cs.map(maxTypo).max).map { t =>
+        val acc = new RoaringBitmap()
+        ccs.foreach(cc => acc.or(cc(math.min(t, cc.length - 1))))
+        acc
+      }
+    case And(cs) =>
+      cs.map(typoCums(lt, der, _)).reduce { (a, b) =>
+        val aCells = cellsOf(a)
+        val top = (a.length - 1) + (b.length - 1)
+        (0 to top).map { t =>
+          val acc = new RoaringBitmap()
+          var i = 0
+          while (i < a.length && i <= t) {
+            acc.or(RoaringBitmap.and(aCells(i), b(math.min(t - i, b.length - 1))))
+            i += 1
+          }
+          acc
+        }
+      }
+    case _: Phrase => IndexedSeq(new RoaringBitmap()) // unreachable
+  }
+
+  // -------------------------------------------------------- proximity cells
+
+  /** The flattened word material of one pair SIDE: enumerated derivation
+    * words + prefix ranges. An Or of leaves merges (per-doc sweep semantics:
+    * the group's positions are the union of the matched words' positions).
+    * None for And/Phrase children (not a flat side). */
+  private def sideWords(der: Ranker.Derivations,
+      op: Op): Option[(Seq[String], Seq[String])] = op match {
+    case Query(prefix, kind) =>
+      val en = der.map.getOrElse((kind.word, prefix, kind.typo), Nil)
+        .map(_._1).distinct
+      Some((en, if (prefix) Seq(kind.word) else Nil))
+    case Or(_, cs) =>
+      cs.foldLeft(Option((Seq.empty[String], Seq.empty[String]))) { (acc, c) =>
+        for ((ew, pw) <- acc; (cew, cpw) <- sideWords(der, c))
+          yield ((ew ++ cew).distinct, (pw ++ cpw).distinct)
+      }
+    case _ => None
+  }
+
+  /** cum bitmaps (query proximity ≤ p) for p = 0..MaxExactProx, or None
+    * when the branch shape isn't a flat 2-side And / leaf / Or-of-those. */
+  private def proxCums(index: GraftIndex, der: Ranker.Derivations,
+      lt: GraftIndex#LeafTables, op: Op): Option[IndexedSeq[RoaringBitmap]] =
+    op match {
+      case q: Query =>
+        // single group: every matching doc sweeps to proximity 0
+        val full = lt.leafFull(q)
+        Some(IndexedSeq.fill(MaxExactProx + 1)(full))
+      case Or(_, cs) =>
+        // min over matching children ⇒ cum union
+        val ccs = cs.map(proxCums(index, der, lt, _))
+        if (ccs.exists(_.isEmpty)) None
+        else Some((0 to MaxExactProx).map { p =>
+          val acc = new RoaringBitmap()
+          ccs.foreach(cc => acc.or(cc.get(p)))
+          acc
+        })
+      case And(Seq(l, r)) =>
+        for {
+          (lw, lp) <- sideWords(der, l)
+          (rw, rp) <- sideWords(der, r)
+          // two prefix sides would need a prefix×prefix range fetch — punt
+          if lp.isEmpty || rp.isEmpty
+          if lw.length.toLong * rw.length <= MaxPairFetch
+          // OVERLAPPING sides (a word matched by both, e.g. w123 both an
+          // exact right word and a 1-typo derivation of the left) make the
+          // reference plane sweep SHADOW cross pairs at shared positions
+          // (plane_sweep emits a config only when the leftmost group's next
+          // element passes the rightmost; an equal position suppresses the
+          // pair and then fails computeGroupsProximity) — the sweep then
+          // reports a WORSE proximity than the pair bitmaps. Our ground
+          // truth is the sweep (fixture-pinned), so cells must not claim
+          // these docs: drop the prox dim when the word material overlaps.
+          // Disjoint sides are provably shadow-free (a skipped pair always
+          // has a strictly tighter valid successor).
+          if !lw.exists(rw.contains)
+          if !lp.exists(p => rw.exists(_.startsWith(p)))
+          if !rp.exists(p => lw.exists(_.startsWith(p)))
+        } yield {
+          val pairs = (for (a <- lw; b <- rw) yield Seq((a, b), (b, a))).flatten
+          val rows = index.pairProxBitmaps(pairs)
+          // ranged prefix-side rows, fetched once per (word, prefix, side)
+          val fwdRanged = for (pfx <- rp; a <- lw)
+            yield index.pairProxPrefixBitmaps(a, pfx, prefixIsRight = true)
+          val revRanged = for (pfx <- rp; a <- lw)
+            yield index.pairProxPrefixBitmaps(a, pfx, prefixIsRight = false)
+          val fwdRangedL = for (pfx <- lp; b <- rw)
+            yield index.pairProxPrefixBitmaps(b, pfx, prefixIsRight = false)
+          val revRangedL = for (pfx <- lp; b <- rw)
+            yield index.pairProxPrefixBitmaps(b, pfx, prefixIsRight = true)
+          (0 to MaxExactProx).map { p =>
+            val acc = new RoaringBitmap()
+            // left-before-right: query p = stored − 1; right-before-left:
+            // query p = stored (word_pair_overall_proximity_docids,
+            // criteria/mod.rs:203-220 at prox = p + 1)
+            for (a <- lw; b <- rw) {
+              var q = 1
+              while (q <= p + 1) {
+                rows.get((a, b, q)).flatten.foreach(acc.or); q += 1
+              }
+              q = 1
+              while (q <= p) {
+                rows.get((b, a, q)).flatten.foreach(acc.or); q += 1
+              }
+            }
+            fwdRanged.foreach(m => (1 to p + 1).foreach(q => m.get(q).foreach(acc.or)))
+            revRanged.foreach(m => (1 to p).foreach(q => m.get(q).foreach(acc.or)))
+            fwdRangedL.foreach(m => (1 to p + 1).foreach(q => m.get(q).foreach(acc.or)))
+            revRangedL.foreach(m => (1 to p).foreach(q => m.get(q).foreach(acc.or)))
+            acc
+          }
+        }
+      case _ => None
+    }
+}

@@ -122,7 +122,11 @@ object Ranker extends Serializable {
   }
 
   /** Rank vector when the words bucket is already known (the bitmap-bucketed
-    * local drain) — skips the per-doc branch matching entirely. */
+    * local drain) — skips the per-doc branch matching entirely.
+    * `knownTypo` / `knownProx` ≥ 0 short-circuit the per-doc minTypos /
+    * plane sweep with the value a (typo, prox) drain CELL already proved
+    * for this doc (RankCells — the cells are exact, so the component is
+    * identical; this removes the dominant per-doc cost on big cells). */
   def rankVectorAt(
       doc: DocData,
       branch: Op,
@@ -133,11 +137,15 @@ object Ranker extends Serializable {
       flat: Flat,
       /** the branch's prefix derivation keys (precomputed per branch) —
         * resolved against this doc ONCE instead of once per criterion */
-      prefixKeys: Seq[(String, Boolean, Int)] = Nil): (Int, Int, Int, Long, Int) = {
+      prefixKeys: Seq[(String, Boolean, Int)] = Nil,
+      knownTypo: Int = -1,
+      knownProx: Int = -1): (Int, Int, Int, Long, Int) = {
     val d = der.resolveFor(doc, prefixKeys)
     (wordsBucket,
-      minTypos(branch, doc, d).getOrElse(Int.MaxValue),
-      proximityBucket(branch, doc, d),
+      if (knownTypo >= 0) knownTypo
+      else minTypos(branch, doc, d).getOrElse(Int.MaxValue),
+      if (knownProx >= 0) knownProx
+      else proximityBucket(branch, doc, d),
       attributeRank(flat, doc, d),
       exactnessRank(exactParts, doc, searchableFids))
   }

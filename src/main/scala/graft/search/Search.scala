@@ -462,16 +462,50 @@ class Search(index: GraftIndex,
           }
         }
         val total = buckets.iterator.map(_.getLongCardinality).sum
-        // lazy drain: whole leading buckets until offset+limit is covered
+        // lazy drain: whole leading buckets until offset+limit is covered.
+        // When the criteria continue with typo/proximity, a LARGE leading
+        // bucket is first SUBDIVIDED into (typo, prox) cells resolved with
+        // word/pair bitmap algebra (RankCells — milli's criterion cascade
+        // as set operations, criteria/typo.rs + proximity.rs:185-347) and
+        // only the leading cells covering offset+limit drain: a 35k-doc
+        // stop-word bucket ranks tens of docs per-doc, not all of them.
+        // Cell labels never enter the final order (chosen docs still get
+        // the full per-doc rank vector below); cells only pick WHICH docs
+        // to rank, so the drain is rank-identical by construction as long
+        // as the cells are lexicographically sound.
+        val cellDims: Seq[Criterion] =
+          if (!wordsFirst) Nil
+          else criteria.drop(1)
+            .takeWhile(c => c == Criterion.Typo || c == Criterion.Proximity)
+            .take(2)
         val chosenIds = scala.collection.mutable.ArrayBuffer.empty[Int]
         val chosenBuckets = scala.collection.mutable.ArrayBuffer.empty[Int]
+        // per-chosen-doc criterion values PROVEN by the drain cell (−1 =
+        // unknown → computed per-doc); packed (typo << 8 | prox+1)-free as
+        // two parallel buffers for the hot loop
+        val chosenTypo = scala.collection.mutable.ArrayBuffer.empty[Int]
+        val chosenProx = scala.collection.mutable.ArrayBuffer.empty[Int]
         var drained = 0L
         var bIdx = 0
         while (bIdx < buckets.length && (!wordsFirst || drained < take)) {
           val b = buckets(bIdx)
-          val it = b.getIntIterator
-          while (it.hasNext) { chosenIds += it.next(); chosenBuckets += bIdx }
-          drained += b.getLongCardinality
+          // cells only pay off when the bucket exceeds what must drain anyway
+          val cellIt: Iterator[RankCells.Cell] =
+            if (cellDims.isEmpty || b.getLongCardinality <= math.max(64L, take - drained))
+              Iterator.single(RankCells.Cell(b, -1, -1))
+            else Search.traced(s"cells(bucket $bIdx)") {
+              RankCells.cellIterator(index, branches(bIdx), derivations, cellDims, b)
+                .getOrElse(Iterator.single(RankCells.Cell(b, -1, -1)))
+            }
+          while (cellIt.hasNext && (!wordsFirst || drained < take)) {
+            val cell = cellIt.next()
+            val it = cell.docs.getIntIterator
+            while (it.hasNext) {
+              chosenIds += it.next(); chosenBuckets += bIdx
+              chosenTypo += cell.typo; chosenProx += cell.prox
+            }
+            drained += cell.docs.getLongCardinality
+          }
           bIdx += 1
         }
         val (wRows, pRows) = Search.traced("dwp-fetch") {
@@ -507,7 +541,8 @@ class Search(index: GraftIndex,
             val bi = chosenBuckets(i)
             val doc = Ranker.DocData(pos, fwcOf(d))
             d -> Ranker.rankVectorAt(doc, branches(bi), bi, derivations,
-              exactParts, searchableFids, flats(bi), branchPrefixKeys(bi))
+              exactParts, searchableFids, flats(bi), branchPrefixKeys(bi),
+              knownTypo = chosenTypo(i), knownProx = chosenProx(i))
           }
         }
         (total, out)
