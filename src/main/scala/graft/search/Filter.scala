@@ -174,6 +174,21 @@ object FilterEvaluator {
 
     def all = index.documents.select($"docid")
 
+    /** one pre-resolved bitmap as a docid plan (same shape as FExists). */
+    def bitmapDf(bm: RoaringBitmap) =
+      spark.range(1).select(
+        explode(graft.functions.GraftFunctions.bitmap_to_array(
+          lit(Bitmaps.cboSerialize(bm)))).as("docid"))
+
+    /** Range through the facet level tree when the field has one
+      * (facet_range_search.rs descent — wide ranges stop enumerating every
+      * matching value row); None falls back to the sorted value table. */
+    def levelRange(numeric: Boolean, field: String, lo: Option[Any],
+        hi: Option[Any], loIncl: Boolean, hiIncl: Boolean)
+        : Option[org.apache.spark.sql.DataFrame] =
+      FacetLevels.rangeDocids(index, numeric, field, lo, hi, loIncl, hiIncl)
+        .map(r => bitmapDf(r.docids))
+
     def eval(a: Ast): org.apache.spark.sql.DataFrame = a match {
       case FAnd(l, r)  => eval(l).join(eval(r), Seq("docid"), "left_semi")
       case FOr(l, r)   => eval(l).unionByName(eval(r)).distinct()
@@ -238,9 +253,12 @@ object FilterEvaluator {
       case FBetween(field, lo, hi) =>
         (lo.toDoubleOption, hi.toDoubleOption) match {
           case (Some(l), Some(h)) =>
-            index.facetNumbers
-              .where($"field" === field && $"value" >= l && $"value" <= h)
-              .select($"docid").distinct()
+            levelRange(numeric = true, field, Some(l), Some(h),
+              loIncl = true, hiIncl = true).getOrElse {
+              index.facetNumbers
+                .where($"field" === field && $"value" >= l && $"value" <= h)
+                .select($"docid").distinct()
+            }
           case _ => all.limit(0)
         }
       case FCond(field, op, value) =>
@@ -261,25 +279,36 @@ object FilterEvaluator {
             // (filter.rs:195-209)
             all.join(eval(FCond(field, "=", value)), Seq("docid"), "left_anti")
           case ">" | ">=" | "<" | "<=" =>
+            val (loB, loI, hiB, hiI): (Option[Any], Boolean, Option[Any], Boolean) =
+              op match {
+                case ">"  => (Some(num.getOrElse(norm): Any), false, None, false)
+                case ">=" => (Some(num.getOrElse(norm): Any), true, None, false)
+                case "<"  => (None, false, Some(num.getOrElse(norm): Any), false)
+                case _    => (None, false, Some(num.getOrElse(norm): Any), true)
+              }
             num match {
               case Some(n) =>
-                val cmp = op match {
-                  case ">"  => $"value" > n
-                  case ">=" => $"value" >= n
-                  case "<"  => $"value" < n
-                  case "<=" => $"value" <= n
+                levelRange(numeric = true, field, loB, hiB, loI, hiI).getOrElse {
+                  val cmp = op match {
+                    case ">"  => $"value" > n
+                    case ">=" => $"value" >= n
+                    case "<"  => $"value" < n
+                    case "<=" => $"value" <= n
+                  }
+                  index.facetNumbers.where($"field" === field && cmp)
+                    .select($"docid").distinct()
                 }
-                index.facetNumbers.where($"field" === field && cmp)
-                  .select($"docid").distinct()
               case None =>
-                val cmp = op match {
-                  case ">"  => $"norm" > norm
-                  case ">=" => $"norm" >= norm
-                  case "<"  => $"norm" < norm
-                  case "<=" => $"norm" <= norm
+                levelRange(numeric = false, field, loB, hiB, loI, hiI).getOrElse {
+                  val cmp = op match {
+                    case ">"  => $"norm" > norm
+                    case ">=" => $"norm" >= norm
+                    case "<"  => $"norm" < norm
+                    case "<=" => $"norm" <= norm
+                  }
+                  index.facetStrings.where($"field" === field && cmp)
+                    .select($"docid").distinct()
                 }
-                index.facetStrings.where($"field" === field && cmp)
-                  .select($"docid").distinct()
             }
           case other => throw new IllegalArgumentException(s"op $other")
         }

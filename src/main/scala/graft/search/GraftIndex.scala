@@ -154,6 +154,15 @@ class GraftIndex(val spark: SparkSession, val dir: String, val settings: IndexSe
     * candidate resolution runs zero Spark jobs. */
   lazy val bitmapCache: BitmapCache = new BitmapCache()
 
+  /** Facet level-tree serving caches (FacetLevels): pinned upper levels +
+    * max-level probes, keyed (numeric, field) — living on the handle so
+    * they rotate with it. */
+  private[search] val facetLevelPins =
+    scala.collection.concurrent.TrieMap.empty[(Boolean, String),
+      Option[Map[Int, Array[(Any, Array[Byte])]]]]
+  private[search] val facetLevelMax =
+    scala.collection.concurrent.TrieMap.empty[(Boolean, String), Int]
+
   /** (docid, fid) → word_count pinned driver-side for the small-query
     * exactness rank — gated by row count (LongMap of ≤ 8M entries ≈ 200 MB);
     * web-scale indexes keep the distributed semi-join instead. */
