@@ -111,35 +111,59 @@ object Bench {
         (sec, scaleDocs)
       } finally s.stop()
     }
-    // Load-robust protocol (round-3): interleaved low/high pairs, best-of-N
-    // per level (best-of approximates the idle host under bursty neighbor
-    // load), and an automatic retry when the measured efficiency is
-    // physically impossible (> 1.0) or collapse-level (< 0.5) — both are
-    // host-contention signatures, not engine properties.
-    // let the battery phase's 32-thread wake settle before the 4-thread low
-    // run (loadavg decays slowly; a still-busy host clips the low run and
-    // produces impossible efficiency numbers)
-    if (phases("scaling") && phases("battery")) Thread.sleep(15000)
+    // Load-robust protocol (round-3, extended round-4): interleaved
+    // low/high pairs, best-of-N per level, per-PAIR loadavg recorded, and a
+    // CALM-WAIT before each pair — the round-3 driver number (efficiency
+    // 1.000 at loadavg 9–12) was load-inflated, so the bench now waits
+    // (bounded) for loadavg ≤ SPARK_GRAFT_CALM_LOAD before measuring and
+    // keeps retrying until one pair is both calm AND physically plausible
+    // (efficiency in [0.6, 1.0)). All pairs are reported transparently.
     val loadStart = loadavg()
     val maxPairs = sys.env.getOrElse("SPARK_GRAFT_SCALE_PAIRS", "3").toInt
-    var pairs = Vector.empty[(Double, Double)] // (secLow, secHigh)
+    val calmLoad = sys.env.getOrElse("SPARK_GRAFT_CALM_LOAD", "2.0").toDouble
+    val calmWaitSec = sys.env.getOrElse("SPARK_GRAFT_CALM_WAIT_SEC", "600").toInt
+    var calmBudgetNs = calmWaitSec * 1000000000L
+    def waitForCalm(): Double = {
+      var l = loadavg()
+      while (l > calmLoad && calmBudgetNs > 0) {
+        System.err.println(f"[bench] loadavg $l%.2f > $calmLoad%.1f — waiting for a calm host")
+        Thread.sleep(20000)
+        calmBudgetNs -= 20000000000L
+        l = loadavg()
+      }
+      l
+    }
+    // (secLow, secHigh, loadLow, loadHigh) per pair
+    var pairs = Vector.empty[(Double, Double, Double, Double)]
+    def eff(p: (Double, Double, Double, Double)): Double =
+      (scaleDocs / p._2) / ((scaleDocs / p._1) * (highN.toDouble / lowN))
     def bestEff: Double = {
       val tl = pairs.map(p => scaleDocs / p._1).max
       val th = pairs.map(p => scaleDocs / p._2).max
       th / (tl * (highN.toDouble / lowN))
     }
-    if (phases("scaling")) {
-      pairs :+= ((buildAt(lowN)._1, buildAt(highN)._1))
-      // retry band: > 1.0 is physically impossible; < 0.7 is far below the
-      // architecture's measured idle repeat range (0.82–0.94 at 4→16) — both
-      // are host-contention signatures. All pairs are reported transparently;
-      // best-of per level is the contended-host estimator.
-      while (pairs.length < maxPairs && (bestEff > 1.0 || bestEff < 0.7)) {
-        System.err.println(f"[bench] scaling efficiency $bestEff%.3f implausible " +
-          s"(loadavg ${loadavg()}) — retrying the pair")
-        pairs :+= ((buildAt(lowN)._1, buildAt(highN)._1))
+    def calmPair(p: (Double, Double, Double, Double)): Boolean =
+      math.max(p._3, p._4) <= calmLoad && eff(p) >= 0.6 && eff(p) < 1.0
+    val scalingSkipped = !phases("scaling")
+    if (!scalingSkipped) {
+      def measurePair(): Unit = {
+        val l1 = waitForCalm()
+        val low = buildAt(lowN)._1
+        val l2 = waitForCalm()
+        val high = buildAt(highN)._1
+        pairs :+= ((low, high, l1, l2))
       }
-    } else pairs :+= ((1.0, 4.0)) // placeholder: efficiency prints as 1.0, ignored
+      measurePair()
+      // retry until a calm + plausible pair exists (or attempts exhaust):
+      // > 1.0 is physically impossible, < 0.6 is collapse-level — both
+      // host-contention signatures, not engine properties
+      while (pairs.length < maxPairs &&
+          (!pairs.exists(calmPair) || bestEff > 1.0 || bestEff < 0.6)) {
+        System.err.println(f"[bench] no calm plausible pair yet " +
+          f"(best-of eff $bestEff%.3f, loadavg ${loadavg()}%.2f) — retrying")
+        measurePair()
+      }
+    } else pairs :+= ((1.0, 4.0, -1.0, -1.0)) // never reported (skipped flag)
     val secLow = pairs.map(_._1).min
     val secHigh = pairs.map(_._2).min
     val thrLow = scaleDocs / secLow
@@ -161,6 +185,11 @@ object Bench {
         new IndexBuilder(spark, settings).build(docs, idxDir, resume = false)
         val index = GraftIndex(spark, idxDir, settings)
         index.warm()
+        // serve-mode startup: budget-driven dictionary-head prewarm (the
+        // same call `Main serve` makes) — "cold" below therefore measures
+        // first-touch latency of a PREWARMED serving tier; genuinely rare
+        // words still miss and show the pruned-fetch cost
+        index.warmServing()
         // Long-lived serving wrapper: ONE warmed GraftIndex whose driver-side
         // LRU caches (postings, forward-index rows, pair frequencies, doclens,
         // word counts) make warm small-queries zero-job in-process work — the
@@ -232,15 +261,28 @@ object Bench {
     def f(d: Double) = f"$d%.3f"
     val qs = queryTimes.map { case (k, v) => s""""$k":${f(v)}""" }.mkString("{", ",", "}")
     val total = queryTimes.map(_._2).sum
-    val json =
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"""" +
-        s""","index_build":{"docs":$scaleDocs,"low_threads":$lowN,"low_sec":${f(secLow)},""" +
+    // skipped phases emit an explicit flag instead of fabricated numbers
+    // (ADVICE r3: the old placeholder leaked a fake 0.0625 efficiency)
+    val indexBuildJson =
+      if (scalingSkipped) """{"skipped":true}"""
+      else s"""{"docs":$scaleDocs,"low_threads":$lowN,"low_sec":${f(secLow)},""" +
         s""""low_docs_per_sec":${f(thrLow)},"high_threads":$highN,"high_sec":${f(secHigh)},""" +
-        s""""high_docs_per_sec":${f(thrHigh)}}""" +
-        s""","scaling":{"n":$lowN,"n4":$highN,"efficiency":${f(efficiency)},""" +
-        s""""pairs":[${pairs.map(p => s"[${f(p._1)},${f(p._2)}]").mkString(",")}],""" +
-        s""""loadavg_start":${f(loadStart)},"loadavg_end":${f(loadEnd)}}""" +
-        s""","search":{"bm25_p50_ms":${f(pct(bm25Times, 0.5) * 1000)},""" +
+        s""""high_docs_per_sec":${f(thrHigh)}}"""
+    val scalingJson =
+      if (scalingSkipped) """{"skipped":true}"""
+      else {
+        val calm = pairs.filter(calmPair)
+        val calmJson = calm.headOption
+          .map(p => s""""calm_pair_efficiency":${f(eff(p))},""").getOrElse("")
+        s"""{"n":$lowN,"n4":$highN,"efficiency":${f(efficiency)},$calmJson""" +
+          s""""pairs":[${pairs.map(p =>
+            s"[${f(p._1)},${f(p._2)},${f(p._3)},${f(p._4)}]").mkString(",")}],""" +
+          s""""pair_efficiencies":[${pairs.map(p => f(eff(p))).mkString(",")}],""" +
+          s""""loadavg_start":${f(loadStart)},"loadavg_end":${f(loadEnd)}}"""
+      }
+    val searchJson =
+      if (!phases("serving")) """{"skipped":true}"""
+      else s"""{"bm25_p50_ms":${f(pct(bm25Times, 0.5) * 1000)},""" +
         s""""bm25_p99_ms":${f(pct(bm25Times, 0.99) * 1000)},""" +
         s""""bm25_qps":${f(if (bm25Times.sum > 0) bm25Times.length / bm25Times.sum else 0.0)},""" +
         s""""bm25_qps_mt${mtClients}":${f(bm25QpsMt)},""" +
@@ -252,7 +294,12 @@ object Bench {
         s""""bm25_warm_ms":${bm25PerQuery.toSeq.sortBy(_._1)
           .map { case (q, ms) => s""""$q":${f(ms)}""" }.mkString("{", ",", "}")},""" +
         s""""milli_rank_warm_ms":${milliPerQuery.toSeq.sortBy(_._1)
-          .map { case (q, ms) => s""""$q":${f(ms)}""" }.mkString("{", ",", "}")}}}"""
+          .map { case (q, ms) => s""""$q":${f(ms)}""" }.mkString("{", ",", "}")}}"""
+    val json =
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"""" +
+        s""","index_build":$indexBuildJson""" +
+        s""","scaling":$scalingJson""" +
+        s""","search":$searchJson}"""
     println(json)
   }
 }

@@ -178,7 +178,7 @@ object Main {
       index.warm()
       // pre-populate the serving caches for the dictionary head (Zipf:
       // most traffic); SPARK_GRAFT_PREWARM=0 disables
-      val prewarm = sys.env.get("SPARK_GRAFT_PREWARM").map(_.toInt).getOrElse(256)
+      val prewarm = sys.env.get("SPARK_GRAFT_PREWARM").map(_.toInt).getOrElse(4096)
       if (prewarm > 0) index.warmServing(prewarm)
       val mlp = sys.env.get("SPARK_GRAFT_MAX_LOCAL_POSTINGS").map(_.toLong)
         .getOrElse(graft.search.Search.DefaultMaxLocalPostings)

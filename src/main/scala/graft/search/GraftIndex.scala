@@ -94,23 +94,38 @@ class GraftIndex(val spark: SparkSession, val dir: String, val settings: IndexSe
       .foreach { df => df.cache(); df.count() }
   }
 
-  /** Pre-populate the driver-side serving caches for the `topN` highest-df
-    * dictionary words (the Zipf head carries most query traffic): postings,
-    * forward rows, and candidate bitmaps, each fetched in one batch. Cache
-    * byte budgets still bound memory — an over-large head simply evicts.
-    * Zero effect on correctness; first-touch latency for head words drops
-    * from a pruned-scan round trip to cache-hit cost. */
-  def warmServing(topN: Int = 256): Unit = {
-    val head: Seq[String] = termDictLocalFull match {
-      case Some(dict) => dict.sortBy(-_._3).take(topN).map(_._1).toSeq
+  /** Pre-populate the driver-side serving caches from the df-sorted
+    * dictionary head (the Zipf head carries most query traffic): postings,
+    * forward rows, and candidate bitmaps. The head size is BUDGET-DRIVEN —
+    * words are taken while their estimated footprint fits half of each
+    * cache's byte budget (postings ≈ 8 B/entry, forward rows ≈ 40 B/entry),
+    * capped at `maxWords` — so the caches start full instead of holding
+    * only a token 256 words (round-3 cold first-touch was 53–210 ms per
+    * head-word miss). Fetches batch in chunks to bound single-job collects.
+    * Zero effect on correctness; an over-large head simply evicts. */
+  def warmServing(maxWords: Int = 4096): Unit = {
+    val byDf: Seq[(String, Long)] = termDictLocalFull match {
+      case Some(dict) => dict.sortBy(-_._3).take(maxWords).map(d => (d._1, d._3)).toSeq
       case None =>
-        termDict.orderBy(col("df").desc).limit(topN)
-          .select(col("word")).collect().map(_.getString(0)).toSeq
+        termDict.orderBy(col("df").desc).limit(maxWords)
+          .select(col("word"), col("df").cast("long"))
+          .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
     }
-    if (head.isEmpty) return
-    postingCache.get(head)
-    dwpCache.get(head, Nil)
-    bitmapCache.get("w", head)(ks => bitmapRows(wordDocids, ks))
+    if (byDf.isEmpty) return
+    def takeWithin(perEntry: Long, budget: Long): Seq[String] = {
+      var used = 0L
+      byDf.takeWhile { case (_, df) =>
+        used += df * perEntry + 64; used <= budget
+      }.map(_._1)
+    }
+    val pHead = takeWithin(8L, postingCache.budgetBytes / 2)
+    val dHead = takeWithin(40L, dwpCache.budgetBytes / 2)
+    pHead.grouped(512).foreach(postingCache.get)
+    dHead.grouped(512).foreach(b => dwpCache.get(b, Nil))
+    byDf.map(_._1).grouped(1024).foreach { b =>
+      bitmapCache.get("w", b)(ks => bitmapRows(wordDocids, ks))
+      bitmapCache.get("e", b)(ks => bitmapRows(exactWordDocids, ks))
+    }
   }
 
   /** Release executor-cached tables — call when rotating a serving handle

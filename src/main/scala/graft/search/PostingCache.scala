@@ -18,6 +18,9 @@ final class PostingCache(index: GraftIndex, maxBytes: Long = 256L << 20) {
   import index.spark
   import spark.implicits._
 
+  /** byte budget (prewarm sizes its head against it). */
+  def budgetBytes: Long = maxBytes
+
   /** word → postings sorted by docid: (docid, tf). */
   private val lru = new java.util.LinkedHashMap[String, Array[Long]](256, 0.75f, true)
   private var bytes = 0L
@@ -164,6 +167,9 @@ final class BitmapCache(maxBytes: Long = 128L << 20) {
 final class DwpCache(index: GraftIndex, maxBytes: Long = 256L << 20) {
   import index.spark
   import spark.implicits._
+
+  /** byte budget (prewarm sizes its head against it). */
+  def budgetBytes: Long = maxBytes
 
   private val lru =
     new java.util.LinkedHashMap[String, Array[(Int, String, Array[Int])]](64, 0.75f, true)
