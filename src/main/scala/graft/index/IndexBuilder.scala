@@ -578,21 +578,32 @@ class IndexBuilder(spark: SparkSession, settings: IndexSettings) extends Seriali
       refresh(T.WordPrefixPairProximityDocids, buildWordPrefixPairProximity(dir, _))
       refresh(T.PrefixWordPairProximityDocids, buildPrefixWordPairProximity(dir, _))
 
-      // facet levels: rebuild only fields the batch touched
-      def refreshLevels(name: String, deltaBase: String,
+      // facet levels: VALUE-level incremental merge (FacetIncremental —
+      // the reference's FacetsUpdateIncremental re-expressed set-based):
+      // small deltas union into their containing groups per level with
+      // splits; fields whose delta is large (the reference's 1/50
+      // criterion), new fields, and top-level growth take the bulk
+      // field-grain rebuild instead
+      def refreshLevels(name: String, deltaBase: String, boundCol: String,
           build: Option[Seq[String]] => DataFrame): Unit = {
         val path = s"$dir/$name"
         if (!exists(path) || !exists(s"$deltaDir/$deltaBase")) {
           writeOver(build(None), path); return
         }
-        val fields = spark.read.parquet(s"$deltaDir/$deltaBase")
-          .select($"field").distinct().as[String].collect().toSeq
+        val delta = spark.read.parquet(s"$deltaDir/$deltaBase")
+          .select($"field", col(boundCol).as("bound"), $"docid")
+        val fields = delta.select($"field").distinct().as[String].collect().toSeq
         if (fields.isEmpty) return // nothing faceted in the batch: keep all
-        val kept = spark.read.parquet(path).where(!$"field".isin(fields: _*))
-        writeOver(kept.unionByName(build(Some(fields))), path)
+        val m = FacetIncremental.merge(spark, spark.read.parquet(path), delta)
+        val out =
+          if (m.rebuildFields.isEmpty) m.rows
+          else m.rows.unionByName(build(Some(m.rebuildFields)))
+        writeOver(out, path)
       }
-      refreshLevels(T.FacetNumberLevels, T.DocFacetNumbers, buildFacetNumberLevels(dir, _))
-      refreshLevels(T.FacetStringLevels, T.DocFacetStrings, buildFacetStringLevels(dir, _))
+      refreshLevels(T.FacetNumberLevels, T.DocFacetNumbers, "value",
+        buildFacetNumberLevels(dir, _))
+      refreshLevels(T.FacetStringLevels, T.DocFacetStrings, "norm",
+        buildFacetStringLevels(dir, _))
     } finally affected.unpersist(false)
   }
 
