@@ -78,8 +78,12 @@ final case class SearchResult(
   * IN-filter; candidates without any query word never leave the scan.
   */
 object Search {
-  /** default bound for the small-query driver path. */
-  val DefaultMaxLocalPostings: Long = 1L << 17
+  /** default bound for the small-query driver path (raised round 4:
+    * 2-word stop/common queries at 100k docs estimate ~180k posting rows
+    * once the last-word prefix range counts in — 2^17 bounced them to the
+    * distributed path; 2^18 ≈ 2 MB of packed postings, still driver-safe,
+    * and the byte-budgeted caches evict under pressure anyway). */
+  val DefaultMaxLocalPostings: Long = 1L << 18
 
   /** SPARK_GRAFT_TRACE=1 prints local-path stage timings to stderr. */
   private[search] val trace: Boolean =
