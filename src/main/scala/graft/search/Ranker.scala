@@ -320,8 +320,16 @@ object Ranker extends Serializable {
         cs.flatMap(proximityIntervals(_, doc, derivations)).sorted
       case Query(prefix, kind) =>
         val words = derivations.matching(doc, kind.word, prefix, kind.typo).map(_._1)
-        words.flatMap(w => doc.positions.getOrElse(w, Array.empty[Int]))
-          .map(p => (p, 0, p)).sorted
+        // positions arrays are sorted; the single-matched-word case (the
+        // common one — stop words match only themselves) skips the boxed
+        // tuple sort entirely, the dominant per-doc sweep cost on docs
+        // with ~100 occurrences of a frequent word
+        val present = words.filter(doc.positions.contains)
+        if (present.lengthCompare(1) == 0)
+          doc.positions(present.head).toSeq.map(p => (p, 0, p))
+        else
+          present.flatMap(w => doc.positions(w))
+            .map(p => (p, 0, p)).sorted
     }
 
   /** Best (minimal) proximity of the doc for the tree; 7 when unmatched
