@@ -24,14 +24,19 @@ object EngineQueries {
 
   private def settings = IndexSettings(
     searchableFields = Seq("text"),
-    filterableFields = Set("n_chars", "lang", "source"),
+    filterableFields = Set("n_chars", "lang", "source", "_geo.lat", "_geo.lng"),
     sortableFields = Set("n_chars"))
 
-  /** Build (once per session+dir) a real index over documents.parquet. */
+  /** Build (once per session+dir) a real index over documents.parquet.
+    * Geo coordinates are synthesized deterministically from doc_id (the
+    * corpus has none) so the `_geoRadius` cell path gets an exact oracle —
+    * the SAME integer arithmetic runs in the DuckDB oracle SQL. */
   def index(spark: SparkSession, dir: String): GraftIndex =
     idxCache.getOrElseUpdate((System.identityHashCode(spark), dir), {
       val docs = spark.read.parquet(s"$dir/documents.parquet")
         .withColumn("docid", col("doc_id").cast("int"))
+        .withColumn("_geo.lat", expr("((doc_id * 7919) % 12000) / 100.0 - 60.0"))
+        .withColumn("_geo.lng", expr("((doc_id * 104729) % 34000) / 100.0 - 170.0"))
       val idxDir = java.nio.file.Files.createTempDirectory("graft-engine-idx").toString
       val s = settings
       new IndexBuilder(spark, s).build(docs, idxDir, resume = false)
@@ -87,6 +92,21 @@ object EngineQueries {
     import spark.implicits._
     res.documentsIds.map(_.toLong).toDF("doc_id")
       .withColumn("candidates", lit(res.candidates))
+  }
+
+  /** `_geoRadius` through the production filter path: the Morton cell
+    * cover prunes the geo_cells scan (core.GeoCell — the R-tree twin),
+    * exact haversine verifies candidates, and the result set must equal
+    * DuckDB's own haversine over the same synthesized coordinates. */
+  def qEngineGeo(spark: SparkSession, dir: String): DataFrame = {
+    val idx = index(spark, dir)
+    val res = new Search(idx).execute(SearchRequest(
+      query = None,
+      filter = Some("_geoRadius(10.0, 20.0, 3000000)"),
+      limit = 100000,
+      criteriaOverride = Some(Nil)))
+    import spark.implicits._
+    res.documentsIds.map(_.toLong).toDF("doc_id")
   }
 
   /** Block-max BM25 top-k through the FOR-compressed posting blocks with

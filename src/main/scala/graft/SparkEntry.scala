@@ -64,7 +64,8 @@ object SparkEntry {
     "q_engine_search_sort" -> (EngineQueries.qEngineSearchSort _),
     "q_engine_candidates" -> (EngineQueries.qEngineCandidates _),
     "q_engine_prefix" -> (EngineQueries.qEnginePrefix _),
-    "q_engine_bm25" -> (EngineQueries.qEngineBm25 _)
+    "q_engine_bm25" -> (EngineQueries.qEngineBm25 _),
+    "q_engine_geo" -> (EngineQueries.qEngineGeo _)
   )
 
   /** Shared tokenizer CTE (identical semantics to [[Queries.tokens]]). */
@@ -434,6 +435,27 @@ object SparkEntry {
          |  FROM tf JOIN dft USING (word) JOIN dl USING (doc_id), stats
          |  GROUP BY tf.doc_id)
          |SELECT CAST(doc_id AS BIGINT) AS doc_id, ${fp("score")} AS score_fp FROM scored
-         |ORDER BY score_fp DESC, doc_id LIMIT 20""".stripMargin
+         |ORDER BY score_fp DESC, doc_id LIMIT 20""".stripMargin,
+
+    // same synthesized coordinates as EngineQueries.index, same haversine
+    // formula as functions.GeoMath (reference milli/src/lib.rs:198-205);
+    // radius picked with ≥60 km margin to the nearest doc at sf0.01 so
+    // DuckDB/JVM trig ulp differences cannot flip membership
+    "q_engine_geo" ->
+      """WITH g AS (SELECT doc_id,
+        |  ((doc_id * 7919) % 12000) / 100.0 - 60.0 AS lat,
+        |  ((doc_id * 104729) % 34000) / 100.0 - 170.0 AS lng
+        |  FROM documents),
+        |d AS (SELECT doc_id,
+        |  2.0 * 6371000.0 * atan2(
+        |    sqrt(pow(sin(radians(10.0 - lat) / 2), 2) +
+        |         cos(radians(lat)) * cos(radians(10.0)) *
+        |         pow(sin(radians(20.0 - lng) / 2), 2)),
+        |    sqrt(1.0 - (pow(sin(radians(10.0 - lat) / 2), 2) +
+        |                cos(radians(lat)) * cos(radians(10.0)) *
+        |                pow(sin(radians(20.0 - lng) / 2), 2)))) AS dist
+        |  FROM g)
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id FROM d
+        |WHERE dist <= 3000000 ORDER BY doc_id""".stripMargin
   )
 }

@@ -118,6 +118,19 @@ case class Haversine(children: Seq[Expression])
   override def prettyName: String = "haversine"
 }
 
+/** Morton geo-cell encoder: (lat, lng) → 52-bit Z-order cell id (the
+  * `geo_cells` sort key — see `graft.core.GeoCell`). */
+case class GeoCellEncode(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(lat: Any, lng: Any): Any =
+    graft.core.GeoCell.encode(
+      lat.asInstanceOf[Double], lng.asInstanceOf[Double])
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): GeoCellEncode =
+    copy(l, r)
+  override def prettyName: String = "geo_cell"
+}
+
 object GeoMath extends Serializable {
   /** Distance between two (lat, lng) points in meters (reference formula). */
   def haversine(lat1: Double, lng1: Double, lat2: Double, lng2: Double): Double = {
@@ -145,6 +158,7 @@ object GraftFunctions {
   def bitmap_union_agg(c: Column): Column = BitmapAgg.bitmapUnionAgg(c)
   def haversine(lat1: Column, lng1: Column, lat2: Column, lng2: Column): Column =
     col(Haversine(Seq(ex(lat1), ex(lng1), ex(lat2), ex(lng2))))
+  def geo_cell(lat: Column, lng: Column): Column = col(GeoCellEncode(ex(lat), ex(lng)))
 
   /** Register SQL names so `spark.sql("... bitmap_or_agg(x) ...")` works. */
   def registerAll(spark: org.apache.spark.sql.SparkSession): Unit = {
@@ -167,5 +181,7 @@ object GraftFunctions {
       es => BitmapAndNot(es.head, es(1)), "built-in")
     reg.createOrReplaceTempFunction("haversine",
       es => Haversine(es), "built-in")
+    reg.createOrReplaceTempFunction("geo_cell",
+      es => GeoCellEncode(es.head, es(1)), "built-in")
   }
 }

@@ -401,6 +401,12 @@ class IndexBuilder(spark: SparkSession, settings: IndexSettings) extends Seriali
     stageF(T.FacetNumberLevels, Seq(T.DocFacetNumbers)) { buildFacetNumberLevels(dir) }
     stageF(T.FacetStringLevels, Seq(T.DocFacetStrings)) { buildFacetStringLevels(dir) }
 
+    // geo cell table: the R-tree stand-in (core.GeoCell) — one Morton cell
+    // row per geo point, sorted by cell so radius covers prune at the
+    // parquet footer. Derived from the committed facet numbers so it serves
+    // both fixture-override and column-extracted geo.
+    stageF(T.GeoCells, Seq(T.DocFacetNumbers)) { buildGeoCells(dir) }
+
     try Await.result(Future.sequence(done.values.toSeq), Duration.Inf)
     finally {
       if (dwpRef != null) dwpRef.unpersist()
@@ -493,6 +499,24 @@ class IndexBuilder(spark: SparkSession, settings: IndexSettings) extends Seriali
     exploded.join(broadcast(pdUse(dir, only, maxLen = 2)), Seq("prefix"))
       .groupBy($"prox", $"prefix", $"w2")
       .agg(F.bitmap_union_agg($"docids").as("docids"))
+  }
+
+  /** Geo cell table: (cell, docid, lat, lng), one row per geo point,
+    * range-partitioned + sorted by the 52-bit Morton cell (core.GeoCell) so
+    * a radius query's covering cell ranges prune at the parquet footer —
+    * the reference R-tree's pruning (`filter.rs:349-387`,
+    * `criteria/geo.rs:67-154`) as a sorted columnar table. Exact lat/lng
+    * ride along so candidate verification never re-joins the facet table. */
+  def buildGeoCells(dir: String): DataFrame = {
+    val base = spark.read.parquet(s"$dir/${T.DocFacetNumbers}")
+    val lats = base.where($"field" === "_geo.lat")
+      .select($"docid", $"value".cast("double").as("lat"))
+    val lngs = base.where($"field" === "_geo.lng")
+      .select($"docid", $"value".cast("double").as("lng"))
+    lats.join(lngs, Seq("docid"))
+      .select(F.geo_cell($"lat", $"lng").as("cell"), $"docid", $"lat", $"lng")
+      .repartitionByRange($"cell")
+      .sortWithinPartitions($"cell")
   }
 
   def buildFacetNumberLevels(dir: String, onlyFields: Option[Seq[String]] = None): DataFrame = {

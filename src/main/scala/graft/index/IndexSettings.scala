@@ -56,6 +56,7 @@ object IndexSettings {
     val FacetExistsDocids = "facet_exists_docids"
     val FacetNumberLevels = "facet_number_levels"
     val DocStats = "doc_stats"
+    val GeoCells = "geo_cells"
     val PostingBlocks = "posting_blocks"
     val DeletedDocids = "deleted_docids"
   }

@@ -80,7 +80,7 @@ class Updates(spark: SparkSession, settings: IndexSettings) {
       T.FacetExistsDocids, T.FacetNumberLevels, T.FacetStringLevels)
       .foreach(rewriteBitmapTable)
     Seq(T.Documents, T.DocWordPositions, T.DocFidWordCounts, T.DocFacetNumbers,
-      T.DocFacetStrings, T.DocStats).foreach(rewriteDocidTable)
+      T.DocFacetStrings, T.DocStats, T.GeoCells).foreach(rewriteDocidTable)
     // posting blocks: decode, filter, re-encode per word
     val pb = s"$dir/${T.PostingBlocks}"
     if (new java.io.File(pb).exists()) {
@@ -163,7 +163,8 @@ class Updates(spark: SparkSession, settings: IndexSettings) {
     mergeBitmapTable(T.WordPairProximityDocids, Seq("prox", "w1", "w2"))
     mergeBitmapTable(T.FacetExistsDocids, Seq("field"))
     Seq(T.Documents, T.DocWordPositions, T.DocFidWordCounts,
-      T.DocFacetNumbers, T.DocFacetStrings, T.DocStats).foreach(appendTable)
+      T.DocFacetNumbers, T.DocFacetStrings, T.DocStats, T.GeoCells)
+      .foreach(appendTable)
     // term_dict: recompute df by summing per-shard dfs (words disjoint by doc)
     val tdOld = s"$dir/${T.TermDict}"; val tdNew = s"$delta/${T.TermDict}"
     if (new java.io.File(tdOld).exists() && new java.io.File(tdNew).exists()) {

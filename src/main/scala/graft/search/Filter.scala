@@ -242,14 +242,35 @@ object FilterEvaluator {
               if (lo < -180.0 || hi > 180.0) None else Some((lo, hi))
             }
           }
-        val lngs0 = index.facetNumbers.where($"field" === "_geo.lng")
-        val lngs = lngBand
-          .fold(lngs0) { case (lo, hi) => lngs0.where($"value" >= lo && $"value" <= hi) }
-          .select($"docid", $"value".as("glng"))
-        lats.join(lngs, Seq("docid"))
-          .where(graft.functions.GraftFunctions.haversine(
-            $"glat", $"glng", lit(lat), lit(lng)) <= lit(radius))
-          .select($"docid").distinct()
+        lngBand match {
+          case Some((lngLo, lngHi)) if index.hasGeoCells =>
+            // cell-level pruning (the R-tree path): cover the bounding box
+            // with O(cells) Morton ranges over the cell-sorted geo_cells
+            // table — the scan reads only row groups intersecting the
+            // circle, not the whole latitude band. Exact haversine on the
+            // surviving candidates keeps the result identical (the cover
+            // is a superset by construction; core.GeoCell).
+            val ranges = graft.core.GeoCell.cover(
+              math.max(latLo, -90.0), math.min(latHi, 90.0), lngLo, lngHi)
+            val cellPred = ranges
+              .map { case (lo, hi) => $"cell" >= lo && $"cell" <= hi }
+              .reduce(_ || _)
+            index.geoCells.where(cellPred)
+              .where(graft.functions.GraftFunctions.haversine(
+                $"lat", $"lng", lit(lat), lit(lng)) <= lit(radius))
+              .select($"docid").distinct()
+          case _ =>
+            // polar / antimeridian-wrapping radius (or a pre-cell index):
+            // latitude-band scan over the value-sorted facet table
+            val lngs0 = index.facetNumbers.where($"field" === "_geo.lng")
+            val lngs = lngBand
+              .fold(lngs0) { case (lo, hi) => lngs0.where($"value" >= lo && $"value" <= hi) }
+              .select($"docid", $"value".as("glng"))
+            lats.join(lngs, Seq("docid"))
+              .where(graft.functions.GraftFunctions.haversine(
+                $"glat", $"glng", lit(lat), lit(lng)) <= lit(radius))
+              .select($"docid").distinct()
+        }
       case FBetween(field, lo, hi) =>
         (lo.toDoubleOption, hi.toDoubleOption) match {
           case (Some(l), Some(h)) =>

@@ -79,6 +79,9 @@ class GraftIndex(val spark: SparkSession, val dir: String, val settings: IndexSe
   lazy val facetStrings: DataFrame = table(T.DocFacetStrings)
   lazy val facetExists: DataFrame = table(T.FacetExistsDocids)
   lazy val docStats: DataFrame = table(T.DocStats)
+  lazy val geoCells: DataFrame = table(T.GeoCells)
+  /** geo_cells exists AND has rows-worth of files (older indexes lack it). */
+  lazy val hasGeoCells: Boolean = new java.io.File(s"$dir/${T.GeoCells}").exists()
   lazy val docFidWordCounts: DataFrame = table(T.DocFidWordCounts)
   lazy val postingBlocks: DataFrame = table(T.PostingBlocks)
 

@@ -702,6 +702,12 @@ class Search(index: GraftIndex,
     // geo sort: join the point coordinates once
     val needsGeo = criteria.contains(Criterion.Sort) && sorts.exists(_.geoPoint.isDefined)
     if (!needsGeo) withFacets
+    else if (index.hasGeoCells)
+      // one narrow table carries both coordinates — a single left join
+      // instead of two facet-band scans + a docid join
+      withFacets.join(index.geoCells
+        .select($"docid", $"lat".as("geo__lat"), $"lng".as("geo__lng")),
+        Seq("docid"), "left")
     else {
       val lat = index.facetNumbers.where($"field" === "_geo.lat")
         .select($"docid", $"value".as("geo__lat"))

@@ -73,13 +73,18 @@ class PlanSpec extends AnyFunSuite with Matchers {
     p.toLowerCase should include("join")
   }
 
-  test("_geoRadius filter is a distributed haversine join (no driver pivot)") {
+  test("_geoRadius filter: Morton cell ranges push to the geo_cells scan") {
     val index = graft.search.Fixture.buildIndex(spark)
     val ast = graft.search.FilterParser.parse("_geoRadius(50.6, 3.0, 100000)")
     val df = graft.search.FilterEvaluator.candidates(index, ast)
     val p = plan(df)
+    // exact verification stays distributed...
     p should include("haversine")
-    p.toLowerCase should include("join")
+    p should not include "In(docid"
+    // ...and the cell cover reaches the parquet footer as range predicates
+    // on the Morton cell column (the R-tree pruning, core.GeoCell)
+    p should include("PushedFilters: [Or(")
+    p should include("GreaterThanOrEqual(cell")
   }
 
   test("facet level ranks: no per-field Window node; grouping stays exact") {
