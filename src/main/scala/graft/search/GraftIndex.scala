@@ -129,6 +129,48 @@ class GraftIndex(val spark: SparkSession, val dir: String, val settings: IndexSe
       bitmapCache.get("w", b)(ks => bitmapRows(wordDocids, ks))
       bitmapCache.get("e", b)(ks => bitmapRows(exactWordDocids, ks))
     }
+    // prefix structures: milli treats the LAST query word as a prefix, so
+    // keystroke-style serving traffic hits the prefix tables on almost
+    // every query. Prewarm the prefix-dict head (by word count): candidate
+    // bitmaps (ns p/q) and the rank path's forward rows per prefix range —
+    // the latter sized via dictionary prefix sums against a quarter of the
+    // dwp budget so the word-head prewarm above survives.
+    if (new java.io.File(s"$dir/${T.PrefixDict}").exists()) {
+      val pd: Seq[(String, Long)] = table(T.PrefixDict)
+        .orderBy(col("n_words").desc).limit(maxWords)
+        .select(col("prefix"), col("n_words").cast("long"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      val pfxs = pd.map(_._1)
+      pfxs.grouped(1024).foreach { b =>
+        bitmapCache.get("p", b)(ks => bitmapRows(wordPrefixDocids, ks, "prefix"))
+        bitmapCache.get("q", b)(ks => bitmapRows(exactWordPrefixDocids, ks, "prefix"))
+      }
+      dictIndex.foreach { case (ws, cum) =>
+        var used = 0L
+        val keep = Seq.newBuilder[String]
+        pd.foreach { case (p, _) =>
+          val est = (cum(lowerBound(ws, p + Character.MAX_VALUE)) -
+            cum(lowerBound(ws, p))) * 40L + 64L
+          // skip single prefixes that would flood the cache (a 1-char
+          // prefix covers most of the corpus) but keep scanning smaller
+          // ones; stop at a quarter of the budget overall
+          if (est <= dwpCache.budgetBytes / 16 &&
+              used + est <= dwpCache.budgetBytes / 4) {
+            used += est
+            keep += p
+          }
+        }
+        keep.result().grouped(64).foreach(b => dwpCache.get(Nil, b))
+      }
+    }
+    // pair-proximity bitmaps for head × head word pairs — the proximity
+    // cell drain's point reads (one pruned scan; absent combinations cache
+    // as Absent, so cold multi-word head queries skip their first-touch
+    // pair fetch entirely)
+    val pairHead = byDf.map(_._1).take(32)
+    pairProxBitmaps(
+      for (a <- pairHead; b <- pairHead if a != b) yield (a, b))
+    ()
   }
 
   /** Release executor-cached tables — call when rotating a serving handle
@@ -243,12 +285,26 @@ class GraftIndex(val spark: SparkSession, val dir: String, val settings: IndexSe
     * one filter for all UNCACHED splits instead of per-pair reads. */
   def pairFrequencies(pairs: Seq[(String, String)]): Map[(String, String), Long] = {
     if (pairs.isEmpty) return Map.empty
-    val (hits, misses) = pairs.distinct.partition(pairFreqCache.containsKey)
+    val (hits, misses0) = pairs.distinct.partition(pairFreqCache.containsKey)
+    // pinned-dictionary short-circuit: a pair with a non-corpus-word side
+    // cannot appear in the pair table — frequency 0 with no fetch.
+    // split_best_frequency probes EVERY split point of every query word
+    // and nearly all halves are non-words, so this turns the per-novel-
+    // query pair-frequency job into a driver-side hash probe.
+    val misses = dfLocal match {
+      case Some(m) =>
+        val (in, out) = misses0.partition { case (l, r) =>
+          m.containsKey(l) && m.containsKey(r)
+        }
+        out.foreach(p => pairFreqCache.put(p, java.lang.Long.valueOf(0L)))
+        in
+      case None => misses0
+    }
     val fetched: Map[(String, String), Long] =
       if (misses.isEmpty) Map.empty else fetchPairFrequencies(misses)
     misses.foreach(p => pairFreqCache.put(p, java.lang.Long.valueOf(fetched.getOrElse(p, 0L))))
     hits.map(p => p -> pairFreqCache.get(p).longValue()).toMap ++
-      misses.map(p => p -> fetched.getOrElse(p, 0L)).toMap
+      misses0.map(p => p -> fetched.getOrElse(p, 0L)).toMap
   }
 
   private def fetchPairFrequencies(
@@ -299,6 +355,41 @@ class GraftIndex(val spark: SparkSession, val dir: String, val settings: IndexSe
       var i = 0
       while (i < words.length) { cum(i + 1) = cum(i) + sorted(i)._3; i += 1 }
       (words, cum)
+    }
+
+  /** Pinned-dictionary fetch guards: when the dictionary is driver-resident
+    * a word/prefix with no dictionary presence cannot have a row in any
+    * posting table, so its lookup skips the distributed fetch entirely and
+    * caches as Absent/empty. Novel ngram words (`w3w17`) and typo'd query
+    * words otherwise cost one cold Spark job each on first touch. */
+  private[search] def dictWords(ks: Seq[String]): Seq[String] = dfLocal match {
+    case Some(m) => ks.filter(m.containsKey)
+    case None    => ks
+  }
+
+  /** prefixes with ≥ 1 dictionary word extending them (pass-through when
+    * the dictionary is too big to pin). */
+  private[search] def livePrefixes(ks: Seq[String]): Seq[String] = dictIndex match {
+    case Some((ws, cum)) =>
+      ks.filter { p =>
+        cum(lowerBound(ws, p + Character.MAX_VALUE)) - cum(lowerBound(ws, p)) > 0
+      }
+    case None => ks
+  }
+
+  /** The dictionary words extending `p`, when the dictionary is pinned and
+    * there are at most `cap` of them — the FST prefix enumeration of the
+    * reference (`word_derivations`, `search/mod.rs:362-442`) as a binary
+    * search over the sorted pinned dictionary. Lets the serving path turn
+    * ranged prefix scans (one distributed job each) into batched point
+    * reads over the word-keyed caches. None → caller keeps the exact
+    * ranged-scan path (big dictionaries / popular prefixes). */
+  private[search] def prefixExtensions(p: String, cap: Int = 64): Option[Seq[String]] =
+    dictIndex.flatMap { case (ws, _) =>
+      val lo = lowerBound(ws, p)
+      val hi = lowerBound(ws, p + Character.MAX_VALUE)
+      if (hi - lo > cap) None
+      else Some(ws.slice(lo, hi).toSeq)
     }
 
   /** insertion point of `key` in the sorted array (first index ≥ key). */
@@ -427,24 +518,39 @@ class GraftIndex(val spark: SparkSession, val dir: String, val settings: IndexSe
     private val prefixes = leaves.collect { case QueryTree.Query(true, k) => k.word }.distinct
 
     val wd: Map[String, Option[RoaringBitmap]] =
-      bitmapCache.get("w", allWords)(ks => bitmapRows(wordDocids, ks))
+      bitmapCache.get("w", allWords)(ks => bitmapRows(wordDocids, dictWords(ks)))
     val ewd: Map[String, Option[RoaringBitmap]] =
-      bitmapCache.get("e", zeroWords)(ks => bitmapRows(exactWordDocids, ks))
+      bitmapCache.get("e", zeroWords)(ks => bitmapRows(exactWordDocids, dictWords(ks)))
     val pfx: Map[String, Option[RoaringBitmap]] =
-      bitmapCache.get("p", prefixes)(ks => bitmapRows(wordPrefixDocids, ks, "prefix"))
+      bitmapCache.get("p", prefixes)(ks =>
+        bitmapRows(wordPrefixDocids, livePrefixes(ks), "prefix"))
     val epfx: Map[String, Option[RoaringBitmap]] =
-      bitmapCache.get("q", prefixes)(ks => bitmapRows(exactWordPrefixDocids, ks, "prefix"))
+      bitmapCache.get("q", prefixes)(ks =>
+        bitmapRows(exactWordPrefixDocids, livePrefixes(ks), "prefix"))
     // dictionary-miss prefixes: one distributed range-union each (bounded
     // result: a single bitmap row reaches the driver), LRU-cached too
     val missingPfx: Map[String, Option[RoaringBitmap]] =
-      bitmapCache.get("r", prefixes.filter(p => pfx(p).isEmpty)) { ks =>
-        ks.map { p =>
-          val merged = wordDocids.where($"word".startsWith(p)).select($"docids")
-            .unionAll(exactWordDocids.where($"word".startsWith(p)).select($"docids"))
-            .agg(graft.functions.GraftFunctions.bitmap_union_agg($"docids").as("d"))
-            .select($"d").as[Array[Byte]].collect()
-          p -> merged.headOption.flatMap(Option(_)).map(Bitmaps.cboDeserialize)
-            .getOrElse(new RoaringBitmap())
+      bitmapCache.get("r", prefixes.filter(p => pfx(p).isEmpty)) { ks0 =>
+        livePrefixes(ks0).map { p =>
+          prefixExtensions(p) match {
+            case Some(exts) =>
+              // pinned-dictionary path: the range is ≤ 64 known words —
+              // union their (cached, batch-fetched) point bitmaps instead
+              // of launching a ranged aggregation job
+              val acc = new RoaringBitmap()
+              bitmapCache.get("w", exts)(ks => bitmapRows(wordDocids, ks))
+                .valuesIterator.flatten.foreach(acc.or)
+              bitmapCache.get("e", exts)(ks => bitmapRows(exactWordDocids, ks))
+                .valuesIterator.flatten.foreach(acc.or)
+              p -> acc
+            case None =>
+              val merged = wordDocids.where($"word".startsWith(p)).select($"docids")
+                .unionAll(exactWordDocids.where($"word".startsWith(p)).select($"docids"))
+                .agg(graft.functions.GraftFunctions.bitmap_union_agg($"docids").as("d"))
+                .select($"d").as[Array[Byte]].collect()
+              p -> merged.headOption.flatMap(Option(_)).map(Bitmaps.cboDeserialize)
+                .getOrElse(new RoaringBitmap())
+          }
         }.toMap
       }
 
@@ -539,10 +645,13 @@ class GraftIndex(val spark: SparkSession, val dir: String, val settings: IndexSe
     }
     val got = bitmapCache.get("x", keys) { misses =>
       val parts = misses.map(_.split('\u0000'))
-      val lefts = parts.map(_(0)).distinct
-      val rights = parts.map(_(1)).distinct
+      // pinned-dictionary guard: a pair with a non-dictionary side has no
+      // rows (ngram words like "w3w17" otherwise cost a cold scan)
+      val lefts = dictWords(parts.map(_(0)).distinct)
+      val rights = dictWords(parts.map(_(1)).distinct)
       val missSet = misses.toSet
-      pairProx.where($"w1".isin(lefts: _*) && $"w2".isin(rights: _*))
+      if (lefts.isEmpty || rights.isEmpty) Map.empty[String, RoaringBitmap]
+      else pairProx.where($"w1".isin(lefts: _*) && $"w2".isin(rights: _*))
         .select($"w1", $"w2", $"prox", $"docids")
         .as[(String, String, Int, Array[Byte])].collect()
         .iterator
@@ -569,17 +678,40 @@ class GraftIndex(val spark: SparkSession, val dir: String, val settings: IndexSe
     val side = if (prefixIsRight) "r" else "l"
     val keys = (1 to 7).map(p => s"$word\u0000$prefix\u0000$side\u0000$p")
     val got = bitmapCache.get("y", keys) { _ =>
-      val base =
-        if (prefixIsRight) pairProx.where($"w1" === word && $"w2".startsWith(prefix))
-        else pairProx.where($"w1".startsWith(prefix) && $"w2" === word)
-      base.groupBy($"prox")
-        .agg(graft.functions.GraftFunctions.bitmap_union_agg($"docids").as("d"))
-        .select($"prox", $"d").as[(Int, Array[Byte])].collect()
-        .iterator.map { case (p, bytes) =>
-          s"$word\u0000$prefix\u0000$side\u0000$p" -> Bitmaps.cboDeserialize(bytes)
-        }.toMap
+      prefixExtensions(prefix) match {
+        case Some(exts) =>
+          // pinned-dictionary path: ≤ 64 known extension words — assemble
+          // the per-prox unions from (cached, batch-fetched) pair point
+          // reads instead of a ranged aggregation job
+          val pairs =
+            if (prefixIsRight) exts.map(e => (word, e)) else exts.map(e => (e, word))
+          val byProx = scala.collection.mutable.HashMap.empty[Int, RoaringBitmap]
+          pairProxBitmaps(pairs).foreach { case ((_, _, p), bm) =>
+            bm.foreach(b => byProx.getOrElseUpdate(p, new RoaringBitmap()).or(b))
+          }
+          byProx.iterator.map { case (p, bm) => yKey(word, prefix, side, p) -> bm }.toMap
+        case None => pairProxPrefixRanged(word, prefix, prefixIsRight, side)
+      }
     }
     got.collect { case (k, Some(bm)) => k.split('\u0000')(3).toInt -> bm }
+  }
+
+  private def yKey(word: String, prefix: String, side: String, prox: Int): String =
+    s"$word\u0000$prefix\u0000$side\u0000$prox"
+
+  /** Exact ranged fallback (dictionary not pinned / popular prefix): one
+    * aggregation job per (word, prefix, side), grouped by prox. */
+  private def pairProxPrefixRanged(word: String, prefix: String,
+      prefixIsRight: Boolean, side: String): Map[String, RoaringBitmap] = {
+    val base =
+      if (prefixIsRight) pairProx.where($"w1" === word && $"w2".startsWith(prefix))
+      else pairProx.where($"w1".startsWith(prefix) && $"w2" === word)
+    base.groupBy($"prox")
+      .agg(graft.functions.GraftFunctions.bitmap_union_agg($"docids").as("d"))
+      .select($"prox", $"d").as[(Int, Array[Byte])].collect()
+      .iterator.map { case (p, bytes) =>
+        yKey(word, prefix, side, p) -> Bitmaps.cboDeserialize(bytes)
+      }.toMap
   }
 
   /** Query context for the tree builder. */

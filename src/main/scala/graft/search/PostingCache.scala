@@ -56,10 +56,15 @@ final class PostingCache(index: GraftIndex, maxBytes: Long = 256L << 20) {
       (h.result(), m.result())
     }
     if (missing.isEmpty) return hits
-    val rows = index.postingBlocks
-      .where(col("word").isin(missing: _*))
-      .select(col("word"), col("block_id"), col("bytes"))
-      .as[(String, Int, Array[Byte])].collect()
+    // pinned-dictionary guard: non-dictionary terms have no blocks — cache
+    // them empty without a scan
+    val live = index.dictWords(missing)
+    val rows: Array[(String, Int, Array[Byte])] =
+      if (live.isEmpty) Array.empty
+      else index.postingBlocks
+        .where(col("word").isin(live: _*))
+        .select(col("word"), col("block_id"), col("bytes"))
+        .as[(String, Int, Array[Byte])].collect()
     val byWord = rows.groupBy(_._1)
     val fetched: Map[String, Array[Long]] = missing.iterator.map { w =>
       val ps: Array[Long] = byWord.get(w) match {
@@ -211,12 +216,26 @@ final class DwpCache(index: GraftIndex, maxBytes: Long = 256L << 20) {
       (hw.result(), hp.result(), mw.result(), mp.result())
     }
     if (missW.isEmpty && missP.isEmpty) return (hitW, hitP)
-    val in = if (missW.nonEmpty) Seq(col("word").isin(missW: _*)) else Nil
-    val pref = missP.map(p => col("word").startsWith(p))
-    val predicate = (in ++ pref).reduce(_ || _)
-    val rows = index.docWordPositions.where(predicate)
-      .select(col("docid"), col("word"), col("positions"))
-      .as[(Int, String, Array[Int])].collect()
+    // pinned-dictionary guard: novel ngram/typo'd words and dead prefixes
+    // have no forward rows — cache them empty without a distributed scan.
+    // Small prefix ranges expand to their dictionary extensions so the
+    // whole predicate is word In-lists (pruned point reads), not ranges.
+    val liveW = index.dictWords(missW)
+    val liveP = index.livePrefixes(missP)
+    val expanded: Map[String, Seq[String]] =
+      liveP.flatMap(p => index.prefixExtensions(p).map(p -> _)).toMap
+    val rangedP = liveP.filterNot(expanded.contains)
+    val inWords = (liveW ++ expanded.valuesIterator.flatten).distinct
+    val rows: Array[(Int, String, Array[Int])] =
+      if (inWords.isEmpty && rangedP.isEmpty) Array.empty
+      else {
+        val in = if (inWords.nonEmpty) Seq(col("word").isin(inWords: _*)) else Nil
+        val pref = rangedP.map(p => col("word").startsWith(p))
+        val predicate = (in ++ pref).reduce(_ || _)
+        index.docWordPositions.where(predicate)
+          .select(col("docid"), col("word"), col("positions"))
+          .as[(Int, String, Array[Int])].collect()
+      }
     // entries are docid-SORTED (collect() order is per-partition only):
     // the rank path binary-searches each array by docid
     val fetchedW: Map[String, Rows] =

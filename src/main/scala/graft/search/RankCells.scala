@@ -219,9 +219,21 @@ object RankCells {
           acc
         })
       case And(Seq(l, r)) =>
+        // pinned-dictionary prefix → extension conversion: a prefix side
+        // whose dictionary extensions are few becomes plain enumerated
+        // words, so the whole cell build is ONE batched pair point read
+        // (LRU-shared with the prewarmed head pairs) instead of per-side
+        // ranged aggregation jobs — semantically identical (a prefix range
+        // IS the union of its extensions).
+        def expand(side: (Seq[String], Seq[String])): (Seq[String], Seq[String]) = {
+          val (ws, ps) = side
+          val exts = ps.map(p => index.prefixExtensions(p, cap = 256))
+          if (ps.isEmpty || exts.exists(_.isEmpty)) side
+          else ((ws ++ exts.flatMap(_.get)).distinct, Nil)
+        }
         for {
-          (lw, lp) <- sideWords(der, l)
-          (rw, rp) <- sideWords(der, r)
+          (lw, lp) <- sideWords(der, l).map(expand)
+          (rw, rp) <- sideWords(der, r).map(expand)
           // two prefix sides would need a prefix×prefix range fetch — punt
           if lp.isEmpty || rp.isEmpty
           if lw.length.toLong * rw.length <= MaxPairFetch
