@@ -529,6 +529,7 @@ class Search(index: GraftIndex,
         // matching, no intermediate candidate-wide map); the drain is
         // embarrassingly parallel and large drains fan out over the
         // driver's cores
+        if (Search.trace) Ranker.Prof.reset()
         val out = Search.traced(s"rank(${chosenIds.length} docs)") {
           Search.parMap(chosenIds.length) { i =>
             val d = chosenIds(i)
@@ -552,6 +553,8 @@ class Search(index: GraftIndex,
               knownTypo = chosenTypo(i), knownProx = chosenProx(i))
           }
         }
+        if (Search.trace)
+          System.err.println(s"[graft-trace] rank-components ${Ranker.Prof.summary}")
         (total, out)
 
       case None =>
