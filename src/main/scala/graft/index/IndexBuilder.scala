@@ -509,6 +509,13 @@ class IndexBuilder(spark: SparkSession, settings: IndexSettings) extends Seriali
     * ride along so candidate verification never re-joins the facet table. */
   def buildGeoCells(dir: String): DataFrame = {
     val base = spark.read.parquet(s"$dir/${T.DocFacetNumbers}")
+    // one footer-pruned existence probe: most indexes have no geo — skip
+    // the join/shuffle and commit an empty (but schema-correct) table
+    if (base.where($"field" === "_geo.lat").limit(1).isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "cell bigint, docid int, lat double, lng double"))
     val lats = base.where($"field" === "_geo.lat")
       .select($"docid", $"value".cast("double").as("lat"))
     val lngs = base.where($"field" === "_geo.lng")

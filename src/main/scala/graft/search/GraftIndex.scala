@@ -236,6 +236,68 @@ class GraftIndex(val spark: SparkSession, val dir: String, val settings: IndexSe
       Some(m)
     }
 
+  // ------------------------------------------- pinned sort-value maps
+
+  /** Row cap for driver-pinned per-field sort values (≈ 50 MB worst). */
+  private val MaxSortPinRows = 2000000
+
+  private val sortValsCache = scala.collection.concurrent.TrieMap
+    .empty[String, Option[(java.util.HashMap[Integer, java.lang.Double],
+      java.util.HashMap[Integer, String])]]
+
+  /** Per-field sort values pinned driver-side for the local sort path:
+    * docid → numeric value and docid → min string norm (the distributed
+    * plan's groupBy-min twin). None — callers rank distributed — when the
+    * field is too big to pin OR any doc carries MORE than one numeric
+    * value: the distributed plan joins numeric values un-aggregated, so
+    * only single-valued fields are provably order-identical locally
+    * (milli's asc_desc iterates the number tree first too,
+    * `criteria/asc_desc.rs:95-125`). */
+  private[search] def sortValuesLocal(field: String)
+      : Option[(java.util.HashMap[Integer, java.lang.Double],
+        java.util.HashMap[Integer, String])] =
+    sortValsCache.getOrElseUpdate(field, {
+      val nums = facetNumbers.where($"field" === field)
+        .select($"docid", $"value".cast("double"))
+        .limit(MaxSortPinRows + 1).as[(Int, Double)].collect()
+      if (nums.length > MaxSortPinRows) None
+      else {
+        val nm = new java.util.HashMap[Integer, java.lang.Double](nums.length * 2)
+        var dup = false
+        nums.foreach { case (d, v) => if (nm.put(d, v) != null) dup = true }
+        if (dup) None
+        else {
+          val strs = facetStrings.where($"field" === field)
+            .groupBy($"docid").agg(min($"norm").as("n"))
+            .select($"docid", $"n")
+            .limit(MaxSortPinRows + 1).as[(Int, String)].collect()
+          if (strs.length > MaxSortPinRows) None
+          else {
+            val sm = new java.util.HashMap[Integer, String](strs.length * 2)
+            strs.foreach { case (d, s) => sm.put(d, s) }
+            Some((nm, sm))
+          }
+        }
+      }
+    })
+
+  /** docid → (lat, lng) pinned from the geo cell table (None: no cell
+    * table, too big, or duplicate points — rank distributed). */
+  private[search] lazy val geoLocal
+      : Option[java.util.HashMap[Integer, (Double, Double)]] =
+    if (!hasGeoCells) None
+    else {
+      val rows = geoCells.select($"docid", $"lat", $"lng")
+        .limit(MaxSortPinRows + 1).as[(Int, Double, Double)].collect()
+      if (rows.length > MaxSortPinRows) None
+      else {
+        val m = new java.util.HashMap[Integer, (Double, Double)](rows.length * 2)
+        var dup = false
+        rows.foreach { case (d, la, ln) => if (m.put(d, (la, ln)) != null) dup = true }
+        if (dup) None else Some(m)
+      }
+    }
+
   // -------------------------------------------------------- planner probes
 
   /** docids bitmap of one word (word_docids point read). */

@@ -132,6 +132,105 @@ object Search {
       System.err.println(f"[graft-trace] $label ${(System.nanoTime() - t0) / 1e6}%.2f ms")
       a
     }
+
+  /** Per-criterion doc comparators for the LOCAL sort path, built from the
+    * driver-pinned facet/geo value maps. None when any referenced field
+    * (or the geo table) can't pin — callers keep the distributed
+    * facet-join path. Semantics mirror `criterionColumns` exactly:
+    * numbers order before strings, absent values last (for asc AND desc —
+    * Spark's `*_nulls_last`), strings compare in CODE POINT order (the
+    * UTF8String binary order the distributed sort uses). */
+  private[search] def localSortComparators(index: GraftIndex,
+      criteria: Seq[Criterion], sorts: Seq[SortSpec])
+      : Option[Map[Criterion, (Int, Int) => Int]] = {
+
+    def fieldCmp(field: String, asc: Boolean): Option[(Int, Int) => Int] =
+      index.sortValuesLocal(field).map { case (nm, sm) =>
+        (a: Int, b: Int) => {
+          val na = nm.get(a); val nb = nm.get(b)
+          val c1 =
+            if (na != null && nb != null) {
+              val c = java.lang.Double.compare(na.doubleValue(), nb.doubleValue())
+              if (asc) c else -c
+            } else if (na != null) -1
+            else if (nb != null) 1
+            else 0
+          if (c1 != 0) c1
+          else {
+            val sa = sm.get(a); val sb = sm.get(b)
+            if (sa != null && sb != null) {
+              val c = cmpCodePoints(sa, sb); if (asc) c else -c
+            } else if (sa != null) -1
+            else if (sb != null) 1
+            else 0
+          }
+        }
+      }
+
+    def geoCmp(qlat: Double, qlng: Double, asc: Boolean): Option[(Int, Int) => Int] =
+      index.geoLocal.map { gm =>
+        // per-query memo: each doc's haversine computes once across the
+        // whole top-k comparison pass (NaN = missing geo → last)
+        val memo = new java.util.HashMap[Integer, java.lang.Double]()
+        def dist(d: Int): Double = {
+          val cached = memo.get(d)
+          if (cached != null) cached.doubleValue()
+          else {
+            val g = gm.get(d)
+            val v =
+              if (g == null) Double.NaN
+              else graft.functions.GeoMath.haversine(g._1, g._2, qlat, qlng)
+            memo.put(d, v)
+            v
+          }
+        }
+        (a: Int, b: Int) => {
+          val da = dist(a); val db = dist(b)
+          val aMiss = java.lang.Double.isNaN(da)
+          val bMiss = java.lang.Double.isNaN(db)
+          if (!aMiss && !bMiss) {
+            val c = java.lang.Double.compare(da, db); if (asc) c else -c
+          } else if (!aMiss) -1
+          else if (bMiss) 0
+          else 1
+        }
+      }
+
+    def compose(cs: Seq[(Int, Int) => Int]): (Int, Int) => Int = (a, b) => {
+      var i = 0; var r = 0
+      while (i < cs.length && r == 0) { r = cs(i)(a, b); i += 1 }
+      r
+    }
+
+    val needed: Seq[(Criterion, Option[(Int, Int) => Int])] = criteria.collect {
+      case c @ Criterion.Asc(f)  => c -> fieldCmp(f, asc = true)
+      case c @ Criterion.Desc(f) => c -> fieldCmp(f, asc = false)
+      case c @ Criterion.Sort if sorts.nonEmpty =>
+        val entries = sorts.map { s =>
+          s.geoPoint match {
+            case Some((la, ln)) => geoCmp(la, ln, s.ascending)
+            case None           => fieldCmp(s.field, s.ascending)
+          }
+        }
+        c -> (if (entries.exists(_.isEmpty)) None
+              else Some(compose(entries.map(_.get))))
+    }
+    if (needed.exists(_._2.isEmpty)) None
+    else Some(needed.map { case (c, f) => c -> f.get }.toMap)
+  }
+
+  /** code-point string order = the UTF-8 binary order Spark sorts by
+    * (Java compareTo's UTF-16 unit order diverges for supplementary
+    * characters). */
+  private def cmpCodePoints(a: String, b: String): Int = {
+    var i = 0; var j = 0
+    while (i < a.length && j < b.length) {
+      val ca = a.codePointAt(i); val cb = b.codePointAt(j)
+      if (ca != cb) return Integer.compare(ca, cb)
+      i += Character.charCount(ca); j += Character.charCount(cb)
+    }
+    Integer.compare(a.length - i, b.length - j)
+  }
 }
 
 class Search(index: GraftIndex,
@@ -285,11 +384,20 @@ class Search(index: GraftIndex,
       case Criterion.Sort => req.sortCriteria.nonEmpty
       case _ => false
     }
+    // sort-ish criteria stay LOCAL when every referenced facet field (and
+    // the geo point table) pins driver-side — milli's asc_desc/geo criteria
+    // read their facet trees in-process too; None → the distributed
+    // facet-join path below (web-scale fields, multi-valued numerics)
+    val localSortCmps: Option[Map[Criterion, (Int, Int) => Int]] =
+      if (!sortish) Some(Map.empty)
+      else if (maxLocalPostings == 0) None
+      else Search.localSortComparators(index, criteria, req.sortCriteria)
     val smallEnough = index.estimatePostings(relevantWords, prefixWords)
       .exists(_ <= maxLocalPostings)
-    if (smallEnough && !sortish && distinctField.isEmpty)
+    if (smallEnough && localSortCmps.isDefined && distinctField.isEmpty)
       return executeQueryLocal(branches.toVector, derivations, exactParts,
-        searchableFids, relevantWords, prefixWords, filterDf, deleted, criteria, req)
+        searchableFids, relevantWords, prefixWords, filterDf, deleted, criteria,
+        req, localSortCmps.get)
 
     val bBranches = spark.sparkContext.broadcast(branches.toVector)
     val bDerivations = spark.sparkContext.broadcast(derivations)
@@ -399,7 +507,8 @@ class Search(index: GraftIndex,
       filterDf: Option[DataFrame],
       deleted: RoaringBitmap,
       criteria: Seq[Criterion],
-      req: SearchRequest): SearchResult = {
+      req: SearchRequest,
+      sortCmps: Map[Criterion, (Int, Int) => Int] = Map.empty): SearchResult = {
     // Lazy words-bucket drain (milli's criterion iterator stops at `limit`,
     // criteria/words.rs:31-106): pass 1 computes only BUCKET MEMBERSHIP per
     // candidate; when the FIRST active criterion is Words, only docs in the
@@ -606,23 +715,29 @@ class Search(index: GraftIndex,
         (total, out)
     }
     // lexicographic order over the criteria that are active, then docid —
-    // identical to the distributed sortCols
-    val orderIdx: Array[Int] = criteria.collect {
-      case Criterion.Words => 0
-      case Criterion.Typo => 1
-      case Criterion.Proximity => 2
-      case Criterion.Attribute => 3
-      case Criterion.Exactness => 4
+    // identical to the distributed sortCols. Engine criteria compare
+    // rank-vector components; sort-ish criteria compare driver-pinned
+    // facet/geo values (localSortComparators).
+    type R = (Int, (Int, Int, Int, Long, Int))
+    val comps: Array[(R, R) => Int] = criteria.flatMap {
+      case Criterion.Words =>
+        Seq((a: R, b: R) => Integer.compare(a._2._1, b._2._1))
+      case Criterion.Typo =>
+        Seq((a: R, b: R) => Integer.compare(a._2._2, b._2._2))
+      case Criterion.Proximity =>
+        Seq((a: R, b: R) => Integer.compare(a._2._3, b._2._3))
+      case Criterion.Attribute =>
+        Seq((a: R, b: R) => java.lang.Long.compare(a._2._4, b._2._4))
+      case Criterion.Exactness =>
+        Seq((a: R, b: R) => Integer.compare(a._2._5, b._2._5))
+      case c =>
+        sortCmps.get(c).map(f => (a: R, b: R) => f(a._1, b._1)).toSeq
     }.toArray
-    @inline def sel(v: (Int, Int, Int, Long, Int), i: Int): Long = i match {
-      case 0 => v._1; case 1 => v._2; case 2 => v._3; case 3 => v._4; case _ => v._5
-    }
-    val ord = new Ordering[(Int, (Int, Int, Int, Long, Int))] {
-      override def compare(a: (Int, (Int, Int, Int, Long, Int)),
-          b: (Int, (Int, Int, Int, Long, Int))): Int = {
+    val ord = new Ordering[R] {
+      override def compare(a: R, b: R): Int = {
         var i = 0
-        while (i < orderIdx.length) {
-          val c = java.lang.Long.compare(sel(a._2, orderIdx(i)), sel(b._2, orderIdx(i)))
+        while (i < comps.length) {
+          val c = comps(i)(a, b)
           if (c != 0) return c
           i += 1
         }
