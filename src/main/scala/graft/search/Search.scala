@@ -392,12 +392,22 @@ class Search(index: GraftIndex,
       if (!sortish) Some(Map.empty)
       else if (maxLocalPostings == 0) None
       else Search.localSortComparators(index, criteria, req.sortCriteria)
+    // distinct stays local when the field's min-norm map pins (the
+    // distributed dedup key is exactly groupBy-min(norm)); None → the
+    // distributed window path
+    val distinctLocal: Option[Option[java.util.HashMap[Integer, String]]] =
+      distinctField match {
+        case None => Some(None)
+        case Some(f) if maxLocalPostings > 0 =>
+          index.sortValuesLocal(f).map { case (_, sm) => Some(sm) }
+        case _ => None
+      }
     val smallEnough = index.estimatePostings(relevantWords, prefixWords)
       .exists(_ <= maxLocalPostings)
-    if (smallEnough && localSortCmps.isDefined && distinctField.isEmpty)
+    if (smallEnough && localSortCmps.isDefined && distinctLocal.isDefined)
       return executeQueryLocal(branches.toVector, derivations, exactParts,
         searchableFids, relevantWords, prefixWords, filterDf, deleted, criteria,
-        req, localSortCmps.get)
+        req, localSortCmps.get, distinctLocal.get)
 
     val bBranches = spark.sparkContext.broadcast(branches.toVector)
     val bDerivations = spark.sparkContext.broadcast(derivations)
@@ -508,7 +518,8 @@ class Search(index: GraftIndex,
       deleted: RoaringBitmap,
       criteria: Seq[Criterion],
       req: SearchRequest,
-      sortCmps: Map[Criterion, (Int, Int) => Int] = Map.empty): SearchResult = {
+      sortCmps: Map[Criterion, (Int, Int) => Int] = Map.empty,
+      distinctVals: Option[java.util.HashMap[Integer, String]] = None): SearchResult = {
     // Lazy words-bucket drain (milli's criterion iterator stops at `limit`,
     // criteria/words.rs:31-106): pass 1 computes only BUCKET MEMBERSHIP per
     // candidate; when the FIRST active criterion is Words, only docs in the
@@ -522,7 +533,11 @@ class Search(index: GraftIndex,
     // DocData maps are built ONLY for the docs actually ranked. Branches
     // with phrases need positions and fall back to per-doc matching.
     val take = req.offset + req.limit
-    val wordsFirst = criteria.headOption.contains(Criterion.Words)
+    // distinct must rank EVERY candidate: a dedup in a leading bucket pulls
+    // later buckets into the page, and the distinct-adjusted candidate
+    // count spans all buckets (facet_distinct.rs semantics)
+    val wordsFirst =
+      criteria.headOption.contains(Criterion.Words) && distinctVals.isEmpty
     val flats: Vector[Ranker.Flat] = branches.map(Ranker.flattenQueryTree)
     val branchPrefixKeys: Vector[Seq[(String, Boolean, Int)]] =
       branches.map(b => Ranker.derivationKeys(b).filter(_._2).toSeq)
@@ -744,27 +759,51 @@ class Search(index: GraftIndex,
         Integer.compare(a._1, b._1)
       }
     }
-    // bounded top-k selection instead of a full sort: a size-(offset+limit)
-    // max-heap over the rank order — O(n) peek comparisons for the common
-    // case (most candidates never displace the heap head)
-    val k = req.offset + req.limit
-    val page = Search.traced(s"topk(${ranked.length})") {
-      if (k == 0) Array.empty[(Int, (Int, Int, Int, Long, Int))]
-      else if (ranked.length <= math.max(k * 4, 64)) ranked.sorted(ord)
-      else {
-        val heap = new java.util.PriorityQueue[(Int, (Int, Int, Int, Long, Int))](
-          k + 1, ord.reverse)
-        ranked.foreach { r =>
-          if (heap.size < k) heap.offer(r)
-          else if (ord.lt(r, heap.peek())) { heap.poll(); heap.offer(r) }
+    distinctVals match {
+      case Some(sm) =>
+        // distinct drain: full rank order, keep the FIRST doc per distinct
+        // value (docs without a value never dedup — the distributed window
+        // partitions them by docid); the distinct-adjusted candidate count
+        // is the kept count over ALL candidates (wordsFirst was disabled,
+        // so `ranked` covers every bucket)
+        val sortedAll = Search.traced(s"distinct-sort(${ranked.length})") {
+          ranked.sorted(ord)
         }
-        val arr = heap.toArray(Array.empty[(Int, (Int, Int, Int, Long, Int))])
-        arr.sorted(ord)
-      }
+        val seen = new java.util.HashSet[String]()
+        val ids = Vector.newBuilder[Int]
+        var kept = 0L
+        sortedAll.foreach { r =>
+          val v = sm.get(r._1)
+          if (v == null || seen.add(v)) {
+            if (kept < take) ids += r._1
+            kept += 1
+          }
+        }
+        SearchResult(ids.result().drop(req.offset), kept)
+      case None =>
+        // bounded top-k selection instead of a full sort: a size-
+        // (offset+limit) max-heap over the rank order — O(n) peek
+        // comparisons for the common case (most candidates never displace
+        // the heap head)
+        val k = take
+        val page = Search.traced(s"topk(${ranked.length})") {
+          if (k == 0) Array.empty[(Int, (Int, Int, Int, Long, Int))]
+          else if (ranked.length <= math.max(k * 4, 64)) ranked.sorted(ord)
+          else {
+            val heap = new java.util.PriorityQueue[(Int, (Int, Int, Int, Long, Int))](
+              k + 1, ord.reverse)
+            ranked.foreach { r =>
+              if (heap.size < k) heap.offer(r)
+              else if (ord.lt(r, heap.peek())) { heap.poll(); heap.offer(r) }
+            }
+            val arr = heap.toArray(Array.empty[(Int, (Int, Int, Int, Long, Int))])
+            arr.sorted(ord)
+          }
+        }
+        SearchResult(
+          page.iterator.map(_._1).slice(req.offset, req.offset + req.limit).toSeq,
+          totalCandidates)
     }
-    SearchResult(
-      page.iterator.map(_._1).slice(req.offset, req.offset + req.limit).toSeq,
-      totalCandidates)
   }
 
   /** Finish a bitmap-resolved no-rank query: ascending-docid page + count.

@@ -82,6 +82,26 @@ class LocalSortSpec extends AnyFunSuite with Matchers {
         SortSpec("tag", ascending = true)),
       criteriaOverride = Some(Seq(Criterion.Sort, Criterion.Words))))
 
+  check("distinct on tag (full cascade)",
+    SearchRequest(query = Some(Fixture.TestQuery), limit = 17,
+      strategy = MatchingStrategy.Last,
+      distinctOverride = Some(Some("tag")),
+      criteriaOverride = Some(engineCriteria)))
+
+  check("distinct with sort and offset",
+    SearchRequest(query = Some(Fixture.TestQuery), limit = 5, offset = 2,
+      strategy = MatchingStrategy.Last,
+      distinctOverride = Some(Some("tag")),
+      sortCriteria = Seq(SortSpec("asc_desc_rank", ascending = true)),
+      criteriaOverride = Some(Criterion.Sort +: engineCriteria)))
+
+  check("distinct with filter",
+    SearchRequest(query = Some(Fixture.TestQuery), limit = 17,
+      strategy = MatchingStrategy.Last,
+      filter = Some("asc_desc_rank > 0"),
+      distinctOverride = Some(Some("tag")),
+      criteriaOverride = Some(engineCriteria)))
+
   test("local path actually engages for pinnable sorts") {
     // the pinned maps must exist for the fixture corpus — otherwise the
     // parity above silently tested distributed ≡ distributed
