@@ -184,7 +184,8 @@ object Main {
         .getOrElse(graft.search.Search.DefaultMaxLocalPostings)
       var search = new Search(index, mlp)
       var bm25 = new graft.search.Bm25(index)
-      println("[graft] serving (warm); '<query>' | 'bm25:t1,t2' | 'filter:<dsl>|<q>' | ':quit'")
+      println("[graft] serving (warm); '<query>' | 'bm25:t1,t2' | 'filter:<dsl>|<q>' " +
+        "| 'sort:<f>:<asc|desc>|<q>' | 'geo:<lat>,<lng>|<q>' | ':quit'")
       Iterator.continually(scala.io.StdIn.readLine())
         .takeWhile(l => l != null && l.trim != ":quit")
         .map(_.trim).filter(_.nonEmpty)
@@ -209,14 +210,31 @@ object Main {
               val ms = (System.nanoTime() - t0) / 1e6
               println(f"[graft] $ms%.1f ms  top=${top.map(_._1).mkString(",")}")
             } else {
+              // sort:<field>:<asc|desc>|<q>  |  geo:<lat>,<lng>|<q>
+              val (sorts, criteriaOv, rest) =
+                if (line.startsWith("sort:")) {
+                  val body = line.stripPrefix("sort:")
+                  val i = body.indexOf('|')
+                  val Array(f, dir0) = body.take(i).split(':')
+                  (Seq(graft.search.SortSpec(f.trim, dir0.trim == "asc")),
+                    Some(Seq(graft.search.Criterion.Sort)), body.drop(i + 1).trim)
+                } else if (line.startsWith("geo:")) {
+                  val body = line.stripPrefix("geo:")
+                  val i = body.indexOf('|')
+                  val Array(la, ln) = body.take(i).split(',').map(_.trim.toDouble)
+                  (Seq(graft.search.SortSpec("_geo", ascending = true,
+                    geoPoint = Some((la, ln)))),
+                    Some(Seq(graft.search.Criterion.Sort)), body.drop(i + 1).trim)
+                } else (Nil, None, line)
               val (filter, q) =
-                if (line.startsWith("filter:")) {
-                  val body = line.stripPrefix("filter:")
+                if (rest.startsWith("filter:")) {
+                  val body = rest.stripPrefix("filter:")
                   val i = body.indexOf('|')
                   (Some(body.take(i).trim), body.drop(i + 1).trim)
-                } else (None, line)
+                } else (None, rest)
               val r = search.execute(SearchRequest(query = Some(q).filter(_.nonEmpty),
-                filter = filter, limit = 20, exhaustive = false))
+                filter = filter, limit = 20, exhaustive = false,
+                sortCriteria = sorts, criteriaOverride = criteriaOv))
               val ms = (System.nanoTime() - t0) / 1e6
               println(f"[graft] $ms%.1f ms  candidates=${r.candidates} " +
                 s"ids=${r.documentsIds.mkString(",")}")

@@ -298,6 +298,38 @@ class GraftIndex(val spark: SparkSession, val dir: String, val settings: IndexSe
       }
     }
 
+  // ------------------------------------------------- filter bitmap cache
+
+  /** result-size cap for handle-cached filter bitmaps (≈ 4M ids, ~0.5 MB
+    * roaring worst case); broader filters keep the streaming plan. */
+  private val FilterCacheCap = 1 << 22
+
+  private val filterBmCache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[String, Option[RoaringBitmap]](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, Option[RoaringBitmap]]): Boolean =
+        size() > 64
+    })
+
+  /** Filter DSL string → candidate docids bitmap, LRU-cached on the handle
+    * (rotates with it, so updates can't serve stale sets) — the Spark twin
+    * of milli's in-process filter algebra (`filter.rs:300-320`): repeated
+    * filters on a warm handle run ZERO jobs. None when the result exceeds
+    * [[FilterCacheCap]] — callers keep the distributed semi-join plan.
+    * The evaluation runs outside the lock (concurrent serving clients). */
+  private[search] def filterBitmap(f: String): Option[RoaringBitmap] = {
+    val hit = filterBmCache.get(f)
+    if (hit != null) return hit
+    val ids = FilterEvaluator
+      .candidates(this, FilterParser.parse(f))
+      .limit(FilterCacheCap + 1)
+      .select($"docid").as[Int].collect()
+    val res: Option[RoaringBitmap] =
+      if (ids.length > FilterCacheCap) None else Some(Bitmaps.fromInts(ids.toSeq))
+    filterBmCache.put(f, res)
+    res
+  }
+
   // -------------------------------------------------------- planner probes
 
   /** docids bitmap of one word (word_docids point read). */

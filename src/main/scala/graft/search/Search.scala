@@ -78,6 +78,12 @@ final case class SearchResult(
   * IN-filter; candidates without any query word never leave the scan.
   */
 object Search {
+  /** A resolved filter: Left = handle-cached docids bitmap (zero-job
+    * application), Right = streaming one-column docid plan (web-scale
+    * results), None = no filter. */
+  type Filt = Option[Either[org.roaringbitmap.RoaringBitmap,
+    org.apache.spark.sql.DataFrame]]
+
   /** default bound for the small-query driver path (raised round 4:
     * 2-word stop/common queries at 100k docs estimate ~180k posting rows
     * once the last-word prefix range counts in — 2^17 bounced them to the
@@ -259,8 +265,18 @@ class Search(index: GraftIndex,
     // The filter is a one-column docid DataFrame applied as a semi-join —
     // the driver never materializes the candidate set (the tombstone bitmap
     // IS driver-side, but it's bounded by deletes-since-last-compact).
-    val filterDf: Option[DataFrame] =
-      req.filter.map(f => FilterEvaluator.candidates(index, FilterParser.parse(f)))
+    // bounded filter results cache as a handle-scoped BITMAP (milli's
+    // in-process filter algebra): warm repeated filters run zero jobs on
+    // the local paths and a foldable-literal predicate on the distributed
+    // ones. Oversized results keep the streaming semi-join plan (Right).
+    val filterDf: Search.Filt =
+      req.filter.map { f =>
+        index.filterBitmap(f) match {
+          case Some(bm) => Left(bm)
+          case None =>
+            Right(FilterEvaluator.candidates(index, FilterParser.parse(f)))
+        }
+      }
     val deleted = index.deletedDocids
 
     req.query.map(_.trim).filter(_.nonEmpty) match {
@@ -271,14 +287,20 @@ class Search(index: GraftIndex,
     }
   }
 
-  /** Apply the filter semi-join + tombstone predicate to any docid-keyed
-    * plan. The tombstone check is a foldable-literal `bitmap_contains` —
+  /** Apply the filter (bitmap predicate or semi-join) + tombstone predicate
+    * to any docid-keyed plan. Bitmap operands are foldable literals —
     * deserialized once per task, not per row. */
   private def applyFilter(
       df: DataFrame,
-      filterDf: Option[DataFrame],
+      filterDf: Search.Filt,
       deleted: RoaringBitmap): DataFrame = {
-    val semi = filterDf.map(fd => df.join(fd, Seq("docid"), "left_semi")).getOrElse(df)
+    val semi = filterDf match {
+      case None => df
+      case Some(Left(bm)) =>
+        df.where(graft.functions.GraftFunctions.bitmap_contains(
+          lit(Bitmaps.cboSerialize(bm)), $"docid"))
+      case Some(Right(fd)) => df.join(fd, Seq("docid"), "left_semi")
+    }
     if (deleted.isEmpty) semi
     else semi.where(!graft.functions.GraftFunctions.bitmap_contains(
       lit(Bitmaps.cboSerialize(deleted)), $"docid"))
@@ -288,7 +310,7 @@ class Search(index: GraftIndex,
 
   private def executeNoQuery(
       criteria: Seq[Criterion],
-      filterDf: Option[DataFrame],
+      filterDf: Search.Filt,
       deleted: RoaringBitmap,
       distinctField: Option[String],
       req: SearchRequest): SearchResult = {
@@ -316,7 +338,7 @@ class Search(index: GraftIndex,
   private def executeQuery(
       q: String,
       criteria: Seq[Criterion],
-      filterDf: Option[DataFrame],
+      filterDf: Search.Filt,
       deleted: RoaringBitmap,
       distinctField: Option[String],
       req: SearchRequest): SearchResult = {
@@ -514,7 +536,7 @@ class Search(index: GraftIndex,
       searchableFids: Seq[Int],
       relevantWords: Seq[String],
       prefixWords: Seq[String],
-      filterDf: Option[DataFrame],
+      filterDf: Search.Filt,
       deleted: RoaringBitmap,
       criteria: Seq[Criterion],
       req: SearchRequest,
@@ -579,18 +601,22 @@ class Search(index: GraftIndex,
           seen.or(bm)
           b
         }
-        // filter semi-join against the bounded candidate union: one job,
-        // collect bounded by the union's cardinality (≤ maxLocalPostings) —
-        // a broad filter over 10^9 docs never reaches the driver
-        filterDf.foreach { fd =>
-          val union = buckets.reduce((a, b) => RoaringBitmap.or(a, b))
-          if (!union.isEmpty) {
-            val candDf = spark.createDataset(union.toArray.toSeq).toDF("docid")
-            val survivors = fd.join(broadcast(candDf), Seq("docid"), "left_semi")
-              .select($"docid").as[Int].collect()
-            val survBm = Bitmaps.fromInts(survivors)
-            buckets.foreach(_.and(survBm))
-          }
+        // filter application: a handle-cached bitmap intersects in-process
+        // (zero jobs warm); a streaming plan semi-joins against the bounded
+        // candidate union — one job, collect bounded by the union's
+        // cardinality (≤ maxLocalPostings), so a broad filter over 10^9
+        // docs never reaches the driver
+        filterDf.foreach {
+          case Left(fbm) => buckets.foreach(_.and(fbm))
+          case Right(fd) =>
+            val union = buckets.reduce((a, b) => RoaringBitmap.or(a, b))
+            if (!union.isEmpty) {
+              val candDf = spark.createDataset(union.toArray.toSeq).toDF("docid")
+              val survivors = fd.join(broadcast(candDf), Seq("docid"), "left_semi")
+                .select($"docid").as[Int].collect()
+              val survBm = Bitmaps.fromInts(survivors)
+              buckets.foreach(_.and(survBm))
+            }
         }
         val total = buckets.iterator.map(_.getLongCardinality).sum
         // lazy drain: whole leading buckets until offset+limit is covered.
@@ -691,15 +717,17 @@ class Search(index: GraftIndex,
             m.getOrElseUpdate(d,
               scala.collection.mutable.HashMap.empty[String, Array[Int]]).update(w, ps)
         }
-        // filter semi-join against the bounded candidate set (never a full
-        // filter collect — ADVICE r2)
-        filterDf.foreach { fd =>
-          if (m.nonEmpty) {
-            val candDf = spark.createDataset(m.keys.toSeq).toDF("docid")
-            val survivors = fd.join(broadcast(candDf), Seq("docid"), "left_semi")
-              .select($"docid").as[Int].collect().toSet
-            m.filterInPlace((d, _) => survivors.contains(d))
-          }
+        // filter: cached bitmap in-process; otherwise a semi-join against
+        // the bounded candidate set (never a full filter collect — ADVICE r2)
+        filterDf.foreach {
+          case Left(fbm) => m.filterInPlace((d, _) => fbm.contains(d))
+          case Right(fd) =>
+            if (m.nonEmpty) {
+              val candDf = spark.createDataset(m.keys.toSeq).toDF("docid")
+              val survivors = fd.join(broadcast(candDf), Seq("docid"), "left_semi")
+                .select($"docid").as[Int].collect().toSet
+              m.filterInPlace((d, _) => survivors.contains(d))
+            }
         }
         val bucketed: Array[scala.collection.mutable.ArrayBuffer[Int]] =
           Array.fill(branches.length)(scala.collection.mutable.ArrayBuffer.empty[Int])
@@ -813,7 +841,7 @@ class Search(index: GraftIndex,
     * count come back — the driver never materializes the filter set. */
   private def finishBitmapCandidates(
       cand: RoaringBitmap,
-      filterDf: Option[DataFrame],
+      filterDf: Search.Filt,
       req: SearchRequest): SearchResult = {
     val take = req.offset + req.limit
     filterDf match {
@@ -823,7 +851,18 @@ class Search(index: GraftIndex,
         var i = 0
         while (it.hasNext && i < take) { ids += it.next().intValue(); i += 1 }
         SearchResult(ids.result().drop(req.offset), cand.getLongCardinality)
-      case Some(fd) =>
+      case Some(Left(fbm)) =>
+        // cached filter bitmap: in-process intersection, zero jobs. Count
+        // honors `exhaustive` like the streaming branch (parity with the
+        // distributed path's -1).
+        cand.and(fbm)
+        val ids = Vector.newBuilder[Int]
+        val it = cand.iterator()
+        var i = 0
+        while (it.hasNext && i < take) { ids += it.next().intValue(); i += 1 }
+        SearchResult(ids.result().drop(req.offset),
+          if (req.exhaustive) cand.getLongCardinality else -1L)
+      case Some(Right(fd)) =>
         val filtered = fd.where(graft.functions.GraftFunctions.bitmap_contains(
           lit(Bitmaps.cboSerialize(cand)), $"docid"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
