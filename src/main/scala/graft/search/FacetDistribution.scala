@@ -22,8 +22,41 @@ class FacetDistribution(index: GraftIndex) {
   def execute(
       facets: Seq[String],
       candidates: Option[RoaringBitmap] = None,
-      maxValuesPerFacet: Int = 100): Map[String, Seq[(String, Long)]] = {
+      maxValuesPerFacet: Int = 100,
+      /** false forces the distributed aggregation (parity tests). */
+      allowLocal: Boolean = true): Map[String, Seq[(String, Long)]] = {
     if (facets.isEmpty) return Map.empty
+    // serving path: every requested field's rows pinned driver-side →
+    // iterate in-process (zero jobs warm) — the reference's small-candidate
+    // forward-index algorithm (facet_distribution.rs:75-147)
+    if (allowLocal) {
+      val pinned = facets.map(f => f -> index.facetRowsLocal(f))
+      if (pinned.forall(_._2.isDefined))
+        return pinned.map { case (f, rowsOpt) =>
+          val rows = rowsOpt.get // norm-sorted
+          val out = Seq.newBuilder[(String, Long)]
+          var taken = 0
+          var i = 0
+          while (i < rows.length && taken < maxValuesPerFacet) {
+            val norm = rows(i)._2
+            // one norm group: count distinct candidate docids, keep the
+            // first orig (deterministic: (norm, docid) row order)
+            val seen = new java.util.HashSet[Integer]()
+            var orig: String = null
+            var count = 0L
+            while (i < rows.length && rows(i)._2 == norm) {
+              val d = rows(i)._1
+              if (candidates.forall(_.contains(d)) && seen.add(d)) {
+                if (orig == null) orig = rows(i)._3
+                count += 1
+              }
+              i += 1
+            }
+            if (count > 0) { out += ((orig, count)); taken += 1 }
+          }
+          f -> out.result()
+        }.toMap
+    }
     val base = index.facetStrings.where($"field".isin(facets: _*))
     val filtered = candidates match {
       case None => base

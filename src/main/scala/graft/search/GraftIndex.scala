@@ -298,6 +298,25 @@ class GraftIndex(val spark: SparkSession, val dir: String, val settings: IndexSe
       }
     }
 
+  // ------------------------------------------- pinned facet string rows
+
+  private val facetRowsCache = scala.collection.concurrent.TrieMap
+    .empty[String, Option[Array[(Int, String, String)]]]
+
+  /** Per-field (docid, norm, orig) rows pinned driver-side, norm-sorted —
+    * the facet-distribution serving path iterates them in-process. None
+    * when the field exceeds the pin cap (web-scale facets keep the
+    * distributed aggregation). */
+  private[search] def facetRowsLocal(field: String)
+      : Option[Array[(Int, String, String)]] =
+    facetRowsCache.getOrElseUpdate(field, {
+      val rows = facetStrings.where($"field" === field)
+        .select($"docid", $"norm", $"orig")
+        .limit(2000001).as[(Int, String, String)].collect()
+      if (rows.length > 2000000) None
+      else Some(rows.sortBy(r => (r._2, r._1)))
+    })
+
   // ------------------------------------------------- filter bitmap cache
 
   /** result-size cap for handle-cached filter bitmaps (≈ 4M ids, ~0.5 MB

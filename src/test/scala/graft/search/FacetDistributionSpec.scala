@@ -56,4 +56,20 @@ class FacetDistributionSpec extends AnyFunSuite with Matchers {
     val restricted = fd.execute(Seq("tag"), Some(bm))("tag")
     restricted.map(_._2).sum shouldBe 5
   }
+
+  test("local (pinned-rows) distribution ≡ distributed aggregation") {
+    val spark = TestSpark.spark
+    val index = Fixture.buildIndex(spark)
+    val fd = new FacetDistribution(index)
+    index.facetRowsLocal("tag").isDefined shouldBe true
+    Seq(None, Some(graft.core.Bitmaps.fromInts(0 until 9)),
+      Some(graft.core.Bitmaps.fromInts(Seq(3, 7, 11, 16)))).foreach { cand =>
+      val local = fd.execute(Seq("tag", "opt1.opt2"), cand)
+      val dist = fd.execute(Seq("tag", "opt1.opt2"), cand, allowLocal = false)
+      local shouldBe dist
+    }
+    // cap parity
+    fd.execute(Seq("tag"), None, maxValuesPerFacet = 2) shouldBe
+      fd.execute(Seq("tag"), None, maxValuesPerFacet = 2, allowLocal = false)
+  }
 }
