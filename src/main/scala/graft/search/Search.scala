@@ -375,19 +375,30 @@ class Search(index: GraftIndex,
     val exactParts = Ranker.exactParts(parts, ctx.synonyms)
     val searchableFids = settings.searchableFields.indices
 
-    // no-rank fast path (criteria empty, no sort/distinct): resolve the
-    // query tree with bitmap algebra over word_docids / word_prefix_docids
-    // point reads — ONE pre-unioned row per prefix instead of scanning every
+    // no-rank fast path (criteria empty, no sort): resolve the query tree
+    // with bitmap algebra over word_docids / word_prefix_docids point
+    // reads — ONE pre-unioned row per prefix instead of scanning every
     // extension's posting rows (milli criteria/mod.rs:590-637). Trees with
     // phrases need positions and fall through; maxLocalPostings == 0 pins
     // the distributed scan path (tests / forced-distributed callers).
-    if (criteria.isEmpty && req.sortCriteria.isEmpty && distinctField.isEmpty &&
-        maxLocalPostings > 0) {
-      index.resolveTreeBitmap(tree, derivations) match {
-        case Some(cand) =>
-          cand.andNot(deleted)
-          return finishBitmapCandidates(cand, filterDf, req)
-        case None => ()
+    // Distinct stays on the fast path when its min-norm map pins AND the
+    // filter is absent/bitmap-cached (docid order IS the rank order here,
+    // so a keep-first walk is the window's row_number==1 exactly); the walk
+    // is O(candidates) — bounded to ≤ 4M candidates.
+    if (criteria.isEmpty && req.sortCriteria.isEmpty && maxLocalPostings > 0) {
+      val distinctPin: Option[java.util.HashMap[Integer, String]] =
+        distinctField.flatMap(f => index.sortValuesLocal(f).map(_._2))
+      val distinctOk = distinctField.isEmpty ||
+        (distinctPin.isDefined && !filterDf.exists(_.isRight))
+      if (distinctOk) {
+        index.resolveTreeBitmap(tree, derivations) match {
+          case Some(cand)
+              if distinctField.isEmpty || cand.getLongCardinality <= (1L << 22) =>
+            cand.andNot(deleted)
+            return finishBitmapCandidates(cand, filterDf, req,
+              if (distinctField.isEmpty) None else distinctPin)
+          case _ => ()
+        }
       }
     }
 
@@ -842,26 +853,44 @@ class Search(index: GraftIndex,
   private def finishBitmapCandidates(
       cand: RoaringBitmap,
       filterDf: Search.Filt,
-      req: SearchRequest): SearchResult = {
+      req: SearchRequest,
+      distinctPin: Option[java.util.HashMap[Integer, String]] = None): SearchResult = {
     val take = req.offset + req.limit
+    /** docid-order page; with a distinct pin, keep-first-per-value (docid
+      * order IS the rank order here, so this equals the distributed
+      * window's row_number==1 + count — which always counts exactly). */
+    def pageOf(c: RoaringBitmap, exactCountAlways: Boolean): SearchResult =
+      distinctPin match {
+        case Some(sm) =>
+          val seen = new java.util.HashSet[String]()
+          val ids = Vector.newBuilder[Int]
+          var kept = 0L
+          val it = c.iterator()
+          while (it.hasNext) {
+            val d = it.next().intValue()
+            val v = sm.get(d)
+            if (v == null || seen.add(v)) {
+              if (kept < take) ids += d
+              kept += 1
+            }
+          }
+          SearchResult(ids.result().drop(req.offset), kept)
+        case None =>
+          val ids = Vector.newBuilder[Int]
+          val it = c.iterator()
+          var i = 0
+          while (it.hasNext && i < take) { ids += it.next().intValue(); i += 1 }
+          SearchResult(ids.result().drop(req.offset),
+            if (exactCountAlways || req.exhaustive) c.getLongCardinality else -1L)
+      }
     filterDf match {
-      case None =>
-        val ids = Vector.newBuilder[Int]
-        val it = cand.iterator()
-        var i = 0
-        while (it.hasNext && i < take) { ids += it.next().intValue(); i += 1 }
-        SearchResult(ids.result().drop(req.offset), cand.getLongCardinality)
+      case None => pageOf(cand, exactCountAlways = true)
       case Some(Left(fbm)) =>
         // cached filter bitmap: in-process intersection, zero jobs. Count
         // honors `exhaustive` like the streaming branch (parity with the
         // distributed path's -1).
         cand.and(fbm)
-        val ids = Vector.newBuilder[Int]
-        val it = cand.iterator()
-        var i = 0
-        while (it.hasNext && i < take) { ids += it.next().intValue(); i += 1 }
-        SearchResult(ids.result().drop(req.offset),
-          if (req.exhaustive) cand.getLongCardinality else -1L)
+        pageOf(cand, exactCountAlways = false)
       case Some(Right(fd)) =>
         val filtered = fd.where(graft.functions.GraftFunctions.bitmap_contains(
           lit(Bitmaps.cboSerialize(cand)), $"docid"))

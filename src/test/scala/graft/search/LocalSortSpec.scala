@@ -102,6 +102,19 @@ class LocalSortSpec extends AnyFunSuite with Matchers {
       distinctOverride = Some(Some("tag")),
       criteriaOverride = Some(engineCriteria)))
 
+  check("distinct on the no-rank bitmap path (criteria empty)",
+    SearchRequest(query = Some(Fixture.TestQuery), limit = 17,
+      strategy = MatchingStrategy.Last,
+      distinctOverride = Some(Some("tag")),
+      criteriaOverride = Some(Nil)))
+
+  check("distinct + cached filter bitmap on the no-rank path",
+    SearchRequest(query = Some(Fixture.TestQuery), limit = 9,
+      strategy = MatchingStrategy.Last,
+      filter = Some("asc_desc_rank > 0"),
+      distinctOverride = Some(Some("tag")),
+      criteriaOverride = Some(Nil)))
+
   test("local path actually engages for pinnable sorts") {
     // the pinned maps must exist for the fixture corpus — otherwise the
     // parity above silently tested distributed ≡ distributed
