@@ -417,13 +417,17 @@ class Search(index: GraftIndex,
       case Criterion.Sort => req.sortCriteria.nonEmpty
       case _ => false
     }
+    val smallEnough = index.estimatePostings(relevantWords, prefixWords)
+      .exists(_ <= maxLocalPostings)
     // sort-ish criteria stay LOCAL when every referenced facet field (and
     // the geo point table) pins driver-side — milli's asc_desc/geo criteria
     // read their facet trees in-process too; None → the distributed
-    // facet-join path below (web-scale fields, multi-valued numerics)
+    // facet-join path below (web-scale fields, multi-valued numerics).
+    // Probed only for queries the small gate already admits, so a
+    // distributed-routed query never triggers the pinning collects.
     val localSortCmps: Option[Map[Criterion, (Int, Int) => Int]] =
       if (!sortish) Some(Map.empty)
-      else if (maxLocalPostings == 0) None
+      else if (!smallEnough || maxLocalPostings == 0) None
       else Search.localSortComparators(index, criteria, req.sortCriteria)
     // distinct stays local when the field's min-norm map pins (the
     // distributed dedup key is exactly groupBy-min(norm)); None → the
@@ -431,12 +435,10 @@ class Search(index: GraftIndex,
     val distinctLocal: Option[Option[java.util.HashMap[Integer, String]]] =
       distinctField match {
         case None => Some(None)
-        case Some(f) if maxLocalPostings > 0 =>
+        case Some(f) if smallEnough && maxLocalPostings > 0 =>
           index.sortValuesLocal(f).map { case (_, sm) => Some(sm) }
         case _ => None
       }
-    val smallEnough = index.estimatePostings(relevantWords, prefixWords)
-      .exists(_ <= maxLocalPostings)
     if (smallEnough && localSortCmps.isDefined && distinctLocal.isDefined)
       return executeQueryLocal(branches.toVector, derivations, exactParts,
         searchableFids, relevantWords, prefixWords, filterDf, deleted, criteria,
