@@ -291,7 +291,18 @@ class IndexBuilder(spark: SparkSession, settings: IndexSettings) extends Seriali
       else exists($"positions", p => shiftright(p, 16).isin(efSeq: _*))
 
     // everything derived from the forward index (launches when __dwp lands)
-    stageF(T.DocWordPositions, Seq("__dwp")) { dwp.toDF() }
+    stageF(T.DocWordPositions, Seq("__dwp")) {
+      // WORD-MAJOR on disk (the physical twin of milli's LMDB key order,
+      // word_docids/word_position_docids ranges): footer min/max pruning
+      // then serves every word-predicate reader — the distributed rank
+      // scan, DwpCache point reads, prefix StartsWith ranges — instead of
+      // a full-table scan per query. Range-partitioned on (word, docid)
+      // so a hot word splits across files while each footer stays a tight
+      // word interval. Per-doc grouping happens query-side over the
+      // pruned candidate rows (a ~10^5-row shuffle, not a 10^12-row scan).
+      dwp.toDF().repartitionByRange($"word", $"docid")
+        .sortWithinPartitions("word", "docid")
+    }
     stageF(T.WordDocids, Seq("__dwp")) {
         // occurrences in exact_attributes fields live ONLY in
         // exact_word_docids (extract_word_docids.rs:25-88)
@@ -336,11 +347,16 @@ class IndexBuilder(spark: SparkSession, settings: IndexSettings) extends Seriali
     }
     stageF(T.TermDict, Seq("__dwp")) {
       // full vocabulary; exact_only marks words occurring solely in
-      // exact_attributes fields (not typo-derivable)
-      dwp.toDF().select($"word", $"docid", hasTolerant.as("tolerant_occ"))
+      // exact_attributes fields (not typo-derivable); ttf = total position
+      // count (Σ occurrences) — the serving gate's BYTE estimate (a stop
+      // word's forward rows are ~ttf ints, not ~df rows, so a row-count
+      // gate alone under-prices it)
+      dwp.toDF().select($"word", $"docid", hasTolerant.as("tolerant_occ"),
+          size($"positions").cast("long").as("occ"))
         .groupBy($"word")
         .agg(count(lit(1)).as("df"),
-          (sum(when(col("tolerant_occ"), 1).otherwise(0)) === 0).as("exact_only"))
+          (sum(when(col("tolerant_occ"), 1).otherwise(0)) === 0).as("exact_only"),
+          sum($"occ").as("ttf"))
         .repartitionByRange(col("word")).sortWithinPartitions("word")
     }
     stageF(T.DocStats, Seq("__dwp")) { IndexBuilder.perDocStats(spark, dwp) }

@@ -165,13 +165,19 @@ class Updates(spark: SparkSession, settings: IndexSettings) {
     Seq(T.Documents, T.DocWordPositions, T.DocFidWordCounts,
       T.DocFacetNumbers, T.DocFacetStrings, T.DocStats, T.GeoCells)
       .foreach(appendTable)
-    // term_dict: recompute df by summing per-shard dfs (words disjoint by doc)
+    // term_dict: recompute df by summing per-shard dfs (words disjoint by
+    // doc); ttf sums the same way. `coalesce(ttf, df)` tolerates an index
+    // written before the ttf column existed (≥1 occurrence per posting row
+    // is the conservative floor).
     val tdOld = s"$dir/${T.TermDict}"; val tdNew = s"$delta/${T.TermDict}"
     if (new java.io.File(tdOld).exists() && new java.io.File(tdNew).exists()) {
       val merged = spark.read.parquet(tdOld)
-        .unionByName(spark.read.parquet(tdNew))
+        .unionByName(spark.read.parquet(tdNew), allowMissingColumns = true)
+        .withColumn("ttf",
+          coalesce(col("ttf"), $"df".cast("long")))
         .groupBy($"word")
-        .agg(sum($"df").as("df"), min(when($"exact_only", 1).otherwise(0)).as("eo"))
+        .agg(sum($"df").as("df"), min(when($"exact_only", 1).otherwise(0)).as("eo"),
+          sum($"ttf").as("ttf"))
         .withColumn("exact_only", $"eo" === 1).drop("eo")
       writeOver(merged, tdOld)
     } else appendTable(T.TermDict)

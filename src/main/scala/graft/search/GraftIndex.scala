@@ -145,7 +145,7 @@ class GraftIndex(val spark: SparkSession, val dir: String, val settings: IndexSe
         bitmapCache.get("p", b)(ks => bitmapRows(wordPrefixDocids, ks, "prefix"))
         bitmapCache.get("q", b)(ks => bitmapRows(exactWordPrefixDocids, ks, "prefix"))
       }
-      dictIndex.foreach { case (ws, cum) =>
+      dictIndex.foreach { case (ws, cum, _) =>
         var used = 0L
         val keep = Seq.newBuilder[String]
         pd.foreach { case (p, _) =>
@@ -360,7 +360,15 @@ class GraftIndex(val spark: SparkSession, val dir: String, val settings: IndexSe
   private lazy val dfLocal: Option[java.util.HashMap[String, java.lang.Long]] =
     termDictLocalFull.map { dict =>
       val m = new java.util.HashMap[String, java.lang.Long](dict.length * 2)
-      dict.foreach { case (w, _, df) => m.put(w, df) }
+      dict.foreach { case (w, _, df, _) => m.put(w, df) }
+      m
+    }
+
+  /** word → ttf (total positions), pinned alongside [[dfLocal]]. */
+  private lazy val ttfLocal: Option[java.util.HashMap[String, java.lang.Long]] =
+    termDictLocalFull.map { dict =>
+      val m = new java.util.HashMap[String, java.lang.Long](dict.length * 2)
+      dict.foreach { case (w, _, _, ttf) => m.put(w, ttf) }
       m
     }
 
@@ -441,33 +449,41 @@ class GraftIndex(val spark: SparkSession, val dir: String, val settings: IndexSe
     * in-process in the reference too). Big dictionaries (> ~2M words) keep
     * the distributed predicate-scan path. */
   private val TermDictLocalMax = 2000000L
-  /** (word, exactOnly, df) rows pinned driver-side for small dictionaries —
-    * derivations AND posting-size estimation cost zero Spark jobs. */
-  private lazy val termDictLocalFull: Option[Array[(String, Boolean, Long)]] = {
-    val hasExactOnly = termDict.columns.contains("exact_only")
+  /** (word, exactOnly, df, ttf) rows pinned driver-side for small
+    * dictionaries — derivations AND posting-size estimation cost zero
+    * Spark jobs. ttf (total position count) falls back to df on indexes
+    * written before the column existed. */
+  private lazy val termDictLocalFull: Option[Array[(String, Boolean, Long, Long)]] = {
+    val cols = termDict.columns.toSet
     val n = termDict.count()
     if (n > TermDictLocalMax) None
-    else Some(
-      if (hasExactOnly)
-        termDict.select($"word", $"exact_only", $"df".cast("long"))
-          .as[(String, Boolean, Long)].collect()
-      else termDict.select($"word", $"df".cast("long")).as[(String, Long)]
-        .collect().map { case (w, df) => (w, false, df) })
+    else {
+      val eoCol = if (cols("exact_only")) $"exact_only" else lit(false)
+      val ttfCol = if (cols("ttf")) coalesce($"ttf", $"df").cast("long")
+        else $"df".cast("long")
+      Some(termDict.select($"word", eoCol, $"df".cast("long"), ttfCol)
+        .as[(String, Boolean, Long, Long)].collect())
+    }
   }
   private lazy val termDictLocal: Option[Array[(String, Boolean)]] =
-    termDictLocalFull.map(_.map { case (w, eo, _) => (w, eo) })
+    termDictLocalFull.map(_.map { case (w, eo, _, _) => (w, eo) })
 
-  /** Sorted pinned dictionary + df prefix sums: prefix ranges answer in
-    * O(log n) instead of an O(n) scan per query (2M-word dictionaries would
-    * otherwise pay ~tens of ms of driver CPU per serving query). */
-  private lazy val dictIndex: Option[(Array[String], Array[Long])] =
+  /** Sorted pinned dictionary + df/ttf prefix sums: prefix ranges answer
+    * in O(log n) instead of an O(n) scan per query (2M-word dictionaries
+    * would otherwise pay ~tens of ms of driver CPU per serving query). */
+  private lazy val dictIndex: Option[(Array[String], Array[Long], Array[Long])] =
     termDictLocalFull.map { dict =>
       val sorted = dict.sortBy(_._1)
       val words = sorted.map(_._1)
       val cum = new Array[Long](words.length + 1)
+      val cumT = new Array[Long](words.length + 1)
       var i = 0
-      while (i < words.length) { cum(i + 1) = cum(i) + sorted(i)._3; i += 1 }
-      (words, cum)
+      while (i < words.length) {
+        cum(i + 1) = cum(i) + sorted(i)._3
+        cumT(i + 1) = cumT(i) + sorted(i)._4
+        i += 1
+      }
+      (words, cum, cumT)
     }
 
   /** Pinned-dictionary fetch guards: when the dictionary is driver-resident
@@ -483,7 +499,7 @@ class GraftIndex(val spark: SparkSession, val dir: String, val settings: IndexSe
   /** prefixes with ≥ 1 dictionary word extending them (pass-through when
     * the dictionary is too big to pin). */
   private[search] def livePrefixes(ks: Seq[String]): Seq[String] = dictIndex match {
-    case Some((ws, cum)) =>
+    case Some((ws, cum, _)) =>
       ks.filter { p =>
         cum(lowerBound(ws, p + Character.MAX_VALUE)) - cum(lowerBound(ws, p)) > 0
       }
@@ -498,7 +514,7 @@ class GraftIndex(val spark: SparkSession, val dir: String, val settings: IndexSe
     * reads over the word-keyed caches. None → caller keeps the exact
     * ranged-scan path (big dictionaries / popular prefixes). */
   private[search] def prefixExtensions(p: String, cap: Int = 64): Option[Seq[String]] =
-    dictIndex.flatMap { case (ws, _) =>
+    dictIndex.flatMap { case (ws, _, _) =>
       val lo = lowerBound(ws, p)
       val hi = lowerBound(ws, p + Character.MAX_VALUE)
       if (hi - lo > cap) None
@@ -523,7 +539,7 @@ class GraftIndex(val spark: SparkSession, val dir: String, val settings: IndexSe
     * None when the dictionary is too big to pin (web scale) — callers then
     * always take the distributed path. */
   def estimatePostings(words: Seq[String], prefixes: Seq[String]): Option[Long] =
-    dictIndex.map { case (ws, cum) =>
+    dictIndex.map { case (ws, cum, _) =>
       val m = dfLocal.get
       val wordSum = words.iterator
         .map(w => Option(m.get(w)).map(_.longValue()).getOrElse(0L)).sum
@@ -531,6 +547,30 @@ class GraftIndex(val spark: SparkSession, val dir: String, val settings: IndexSe
         cum(lowerBound(ws, p + Character.MAX_VALUE)) - cum(lowerBound(ws, p))
       }.sum
       wordSum + prefSum
+    }
+
+  /** Estimated BYTES the same scan materializes driver-side: ~48 B of row
+    * scaffolding per posting row plus 4 B per stored position (ttf). The
+    * row-count gate alone under-prices position-heavy words — a word with
+    * df 2^18 but 100 positions/doc is a ~100 MB collect, not ~13 MB — so
+    * the serving gate bounds both dimensions. Conservative upper bound,
+    * same double-count caveat as [[estimatePostings]]. */
+  def estimatePostingBytes(words: Seq[String], prefixes: Seq[String]): Option[Long] =
+    dictIndex.map { case (ws, cum, cumT) =>
+      val mDf = dfLocal.get
+      val mTtf = ttfLocal.get
+      def of(m: java.util.HashMap[String, java.lang.Long], w: String): Long =
+        Option(m.get(w)).map(_.longValue()).getOrElse(0L)
+      var rows = 0L
+      var positions = 0L
+      words.foreach { w => rows += of(mDf, w); positions += of(mTtf, w) }
+      prefixes.foreach { p =>
+        val lo = lowerBound(ws, p)
+        val hi = lowerBound(ws, p + Character.MAX_VALUE)
+        rows += cum(hi) - cum(lo)
+        positions += cumT(hi) - cumT(lo)
+      }
+      48L * rows + 4L * positions
     }
 
   /** LRU of (word, prefix, maxTypo) → derivation list. The dictionary is

@@ -65,9 +65,10 @@ final case class SearchResult(
   *   2. driver: evaluate the filter DSL to a candidate bitmap (pushdown
   *      reads on the facet tables);
   *   3. executors: one job over `doc_word_positions` restricted to the
-  *      derived words (parquet IN-pushdown) computes the full per-candidate
-  *      rank vector (words/typo/proximity/attribute/exactness) — the
-  *      bucket cascade becomes a lexicographic sort key;
+  *      derived words (parquet IN-pushdown on the word-major table —
+  *      footer pruning skips every non-query-word row group) computes the
+  *      full per-candidate rank vector (words/typo/proximity/attribute/
+  *      exactness) — the bucket cascade becomes a lexicographic sort key;
   *   4. `orderBy(rankVector, docid).limit(offset+limit)` →
   *      TakeOrderedAndProject, then distinct + pagination.
   *
@@ -90,6 +91,16 @@ object Search {
     * distributed path; 2^18 ≈ 2 MB of packed postings, still driver-safe,
     * and the byte-budgeted caches evict under pressure anyway). */
   val DefaultMaxLocalPostings: Long = 1L << 18
+
+  /** byte companion to the row gate: the local path also requires the
+    * estimated driver materialization (48 B/row + 4 B/position, from the
+    * pinned df/ttf sums) to fit this budget. A typical 2^18-row query is
+    * ~14 MB and passes untouched; a position-heavy stop word whose rows
+    * average hundreds of positions is priced by its BYTES, not its row
+    * count — the cleaner long-term shape of the serve gate (round-4
+    * notes). Overridable per process for bench experiments. */
+  val MaxLocalBytes: Long =
+    sys.env.get("SPARK_GRAFT_MAX_LOCAL_BYTES").map(_.toLong).getOrElse(64L << 20)
 
   /** SPARK_GRAFT_TRACE=1 prints local-path stage timings to stderr. */
   private[search] val trace: Boolean =
@@ -418,7 +429,9 @@ class Search(index: GraftIndex,
       case _ => false
     }
     val smallEnough = index.estimatePostings(relevantWords, prefixWords)
-      .exists(_ <= maxLocalPostings)
+        .exists(_ <= maxLocalPostings) &&
+      index.estimatePostingBytes(relevantWords, prefixWords)
+        .exists(_ <= Search.MaxLocalBytes)
     // sort-ish criteria stay LOCAL when every referenced facet field (and
     // the geo point table) pins driver-side — milli's asc_desc/geo criteria
     // read their facet trees in-process too; None → the distributed
@@ -452,18 +465,20 @@ class Search(index: GraftIndex,
       branches.toVector.map(Ranker.flattenQueryTree))
 
     // 3. per-candidate rank vector job. doc_word_positions is written
-    // doc-contiguous (extractDwp) and the word IN-filter preserves row
-    // order, so per-doc grouping is a shuffle-free consecutive-run scan.
-    // The filter semi-join keeps doc-contiguity under either join strategy:
-    // broadcast-hash streams rows through in order; sort-merge re-sorts the
-    // partition BY docid, which is exactly the contiguity we need.
-    // Prefix keys read as StartsWith range predicates — parquet pushes
-    // StringStartsWith down to footer min/max pruning on the word-sorted
-    // table, the physical twin of milli's word_prefix_docids range.
+    // WORD-major (IndexBuilder: range-partitioned + sorted on
+    // (word, docid)), so the word IN-filter and prefix StartsWith ranges
+    // prune at the parquet footer — at 10^12 docs the scan touches only
+    // the query words' row groups, the physical twin of milli's
+    // word_docids key ranges. The surviving rows (≈ candidates × query
+    // words) are then hash-repartitioned by docid for the consecutive-run
+    // per-doc grouping: a candidate-sized shuffle, orders of magnitude
+    // smaller than the un-pruned scan it replaces.
     val dwp = applyFilter(
       index.docWordPositions.where(wordPredicate(relevantWords, prefixWords)),
       filterDf, deleted)
     val docData0 = dwp.select($"docid", $"word", $"positions")
+      .repartition($"docid")
+      .sortWithinPartitions($"docid")
       .as[(Int, String, Array[Int])]
       .mapPartitions { it =>
         val src = it.buffered

@@ -262,4 +262,65 @@ class PlanSpec extends AnyFunSuite with Matchers {
     p should include("PushedFilters")
     p should not include "bytes"
   }
+
+  test("word-major doc_word_positions: a word point read prunes the scan " +
+      "to the word's own files (footer min/max, not a full-table scan)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-plan-dwp").toString
+    val settings = graft.index.IndexSettings(searchableFields = Seq("text"))
+    val docs = graft.webgen.WebPages.generate(spark, 400)
+    // at test scale AQE coalesces the range shuffle to ONE partition
+    // (64 MB advisory target); pin a real partition count so the layout
+    // has files to prune — at 100 TB the same code yields thousands of
+    // word-ranged files without any conf help
+    val oldParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val oldCoalesce = spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "16")
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      new graft.index.IndexBuilder(spark, settings).build(docs, dir, resume = false)
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", oldParts)
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", oldCoalesce)
+    }
+    val index = graft.search.GraftIndex(spark, dir, settings)
+
+    // layout invariant the pruning rests on: every parquet file covers a
+    // tight (word, docid) interval — rows nondecreasing within each file
+    import org.apache.spark.sql.functions.{col, input_file_name}
+    val nFiles = index.docWordPositions.select(input_file_name()).distinct().count()
+    nFiles should be > 4L
+
+    val recordsRead = new java.util.concurrent.atomic.AtomicLong()
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (te.taskMetrics != null)
+          recordsRead.addAndGet(te.taskMetrics.inputMetrics.recordsRead)
+    }
+    def measure(f: => Unit): Long = {
+      spark.sparkContext.addSparkListener(l)
+      try {
+        recordsRead.set(0L)
+        f
+        val deadline = System.nanoTime() + 20000000000L
+        var last = -1L
+        var stable = 0
+        while (System.nanoTime() < deadline && stable < 3) {
+          Thread.sleep(200)
+          val n = recordsRead.get()
+          if (n == last) stable += 1 else { stable = 0; last = n }
+        }
+        recordsRead.get()
+      } finally spark.sparkContext.removeSparkListener(l)
+    }
+    val full = measure { index.docWordPositions.select("docid").collect() }
+    // a mid-frequency word: hot enough to exist, cold enough to live in
+    // few files (w3 would still pass, just with a weaker ratio)
+    val pruned = measure {
+      index.docWordPositions.where(col("word") === "w40")
+        .select("docid", "positions").collect()
+    }
+    withClue(s"full=$full pruned=$pruned files=$nFiles: ") {
+      pruned should be < full / 4
+    }
+  }
 }

@@ -108,4 +108,21 @@ class LocalRankBitmapSpec extends AnyFunSuite with Matchers {
     cache.get("p", Seq("hit1"))(fetch)
     calls shouldBe 2
   }
+
+  test("byte gate prices position-heavy words above their row count") {
+    // every page repeats its words across the text, so ttf > df for common
+    // words; the byte estimate must reflect stored positions, not rows
+    val words = Seq("the")
+    val rows = index.estimatePostings(words, Nil).get
+    val bytes = index.estimatePostingBytes(words, Nil).get
+    rows should be > 0L
+    // strictly more than row scaffolding alone → the ttf term is real
+    bytes should be > 48L * rows
+    // and consistent with the pinned dictionary's own sums: a made-up word
+    // prices to zero (absent from the dictionary)
+    index.estimatePostingBytes(Seq("zz_not_a_word"), Nil).get shouldBe 0L
+    // prefix pricing goes through the same prefix sums
+    val pBytes = index.estimatePostingBytes(Nil, Seq("w1")).get
+    pBytes should be > 0L
+  }
 }
