@@ -843,7 +843,18 @@ object IndexBuilder extends Serializable {
   def buildPostingBlocksFromTf(spark: SparkSession, tf: DataFrame): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.functions._
-    val sorted = tf.repartition(col("word")).sortWithinPartitions("word", "docid")
+    // SALTED repartition-and-sort-within-partitions (north rule): RANGE
+    // partitioning on (word, docid) splits a hot term's postings across
+    // partitions by docid span — at 10^12 docs no single reducer ever
+    // holds a stop word's full 10^11-entry posting list (a plain
+    // repartition(word) would hang the build on exactly those words) —
+    // while every partition still holds word-grouped docid-sorted runs,
+    // so encoding stays a consecutive-run scan. The block id is the
+    // block's FIRST docid: ids stay globally docid-ordered per word across
+    // partition fragments without a second labeling pass (consumers sort
+    // by id and push id In-lists; none assume dense 0-based ids).
+    val sorted = tf.repartitionByRange(col("word"), col("docid"))
+      .sortWithinPartitions("word", "docid")
     sorted.select($"word", $"docid", $"tf".cast("int"))
       .as[(String, Int, Int)]
       .mapPartitions { it =>
@@ -857,8 +868,11 @@ object IndexBuilder extends Serializable {
               val postings = mutable.ArrayBuffer.empty[(Int, Int)]
               while (src.hasNext && src.head._1 == word)
                 postings += { val r = src.next(); (r._2, r._3) }
-              graft.core.PostingBlocks.encode(postings.toArray).zipWithIndex.foreach {
-                case (b, i) => pending.enqueue((word, i, b.bytes, b.maxDocid, b.maxTf, b.count))
+              val arr = postings.toArray
+              graft.core.PostingBlocks.encode(arr).zipWithIndex.foreach {
+                case (b, i) =>
+                  val blockId = arr(i * graft.core.PostingBlocks.BlockSize)._1
+                  pending.enqueue((word, blockId, b.bytes, b.maxDocid, b.maxTf, b.count))
               }
             }
           }

@@ -263,6 +263,53 @@ class PlanSpec extends AnyFunSuite with Matchers {
     p should not include "bytes"
   }
 
+  test("posting-block build splits a hot word across partitions (salted " +
+      "range shuffle) with globally ordered block ids") {
+    import org.apache.spark.sql.functions.{col, spark_partition_id}
+    import spark.implicits._
+    // one pathological stop word dominating a small vocab — the skew shape
+    // a plain repartition(word) would single-reducer
+    val tf = spark.range(120000).selectExpr(
+      "case when id % 12 = 0 then concat('w', cast(id % 50 as string)) " +
+        "else 'the' end as word",
+      "cast(id as int) as docid", "cast(1 + id % 7 as int) as tf")
+    val oldParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val oldCoalesce = spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    val blocks =
+      try {
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+        val b = graft.index.IndexBuilder.buildPostingBlocksFromTf(spark, tf)
+        val nParts = b.where(col("word") === "the")
+          .select(spark_partition_id()).distinct().count()
+        // the hot word's postings genuinely span multiple reducers
+        nParts should be > 1L
+        b.collect()
+      } finally {
+        spark.conf.set("spark.sql.shuffle.partitions", oldParts)
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", oldCoalesce)
+      }
+    // block ids (first docid per block) are unique and docid-ordered per
+    // word across the partition fragments, so the block-max prevMax chain
+    // stays exact
+    val theBlocks = blocks.filter(_.getString(0) == "the")
+      .map(r => (r.getInt(1), r.getInt(3))).sortBy(_._1) // (block_id, max_docid)
+    theBlocks.map(_._1).distinct.length shouldBe theBlocks.length
+    theBlocks.sliding(2).foreach {
+      case Array((id1, max1), (id2, _)) =>
+        id2 should be > id1
+        id2 should be > max1 // disjoint docid ranges in id order
+      case _ => ()
+    }
+    // decoded union is exactly the input postings
+    val decoded = blocks.iterator.flatMap { r =>
+      graft.core.PostingBlocks.decode(r.getAs[Array[Byte]](2)).iterator
+        .map(p => (r.getString(0), p._1, p._2))
+    }.toSet
+    val expected = tf.as[(String, Int, Int)].collect().toSet
+    decoded shouldBe expected
+  }
+
   test("word-major doc_word_positions: a word point read prunes the scan " +
       "to the word's own files (footer min/max, not a full-table scan)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-plan-dwp").toString

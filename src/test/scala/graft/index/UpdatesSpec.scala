@@ -83,6 +83,14 @@ class UpdatesSpec extends AnyFunSuite with Matchers {
       .map(_.getName).filterNot(_.startsWith("_")).sorted.toSeq
     def canon(dir: String, t: String): Seq[String] = {
       val df = spark.read.parquet(s"$dir/$t")
+      // posting_blocks: physical block fragmentation depends on the salted
+      // (word, docid) range boundaries — partitioning-dependent by design
+      // (hot-word skew split) — so compare the DECODED logical postings
+      if (t == IndexSettings.T.PostingBlocks)
+        return df.select($"word", $"bytes").as[(String, Array[Byte])]
+          .flatMap { case (w, b) =>
+            graft.core.PostingBlocks.decode(b).iterator.map(p => s"$w|${p._1}|${p._2}") }
+          .collect().sorted.toSeq
       val cols = df.schema.fields.sortBy(_.name).map { f =>
         val c = col(f.name)
         f.name match {
