@@ -129,38 +129,63 @@ class Updates(spark: SparkSession, settings: IndexSettings) {
     val delta = java.nio.file.Files.createTempDirectory("graft-delta").toString
     new IndexBuilder(spark, settings).build(newDocs, delta, resume = false)
 
-    def mergeBitmapTable(name: String, keys: Seq[String]): Unit = {
+    // word-keyed bitmap tables merge O(touched files), not O(table):
+    // untouched parquet files (key ranges disjoint from the batch
+    // vocabulary) carry over byte-for-byte, only overlapping files
+    // re-aggregate with the delta — the Spark-file-level analogue of
+    // milli writing only the touched LMDB keys (typed_chunk.rs merge).
+    // `sortCols` restores each table's physical key order so footer
+    // pruning keeps working on the merged output.
+    def mergeBitmapTable(name: String, keys: Seq[String],
+        touchKey: Option[String] = None, sortCols: Seq[String] = Nil): Unit = {
       val oldPath = s"$dir/$name"; val newPath = s"$delta/$name"
       if (!new java.io.File(newPath).exists()) return
-      val merged =
-        if (!new java.io.File(oldPath).exists()) spark.read.parquet(newPath)
-        else {
-          val a = spark.read.parquet(oldPath).select((keys :+ "docids").map(col): _*)
-          val b = spark.read.parquet(newPath).select((keys :+ "docids").map(col): _*)
-          val u = a.unionByName(b)
-            .groupBy(keys.map(col): _*)
-            .agg(F.bitmap_union_agg($"docids").as("docids"))
-          if (name == T.WordDocids)
-            u.withColumn("df", F.bitmap_cardinality($"docids"))
-          else u
-        }
-      writeOver(merged, oldPath)
+      if (!new java.io.File(oldPath).exists()) {
+        writeOver(spark.read.parquet(newPath), oldPath); return
+      }
+      def agg(a: DataFrame, b: DataFrame): DataFrame = {
+        val u = a.select((keys :+ "docids").map(col): _*)
+          .unionByName(b.select((keys :+ "docids").map(col): _*))
+          .groupBy(keys.map(col): _*)
+          .agg(F.bitmap_union_agg($"docids").as("docids"))
+        val u2 = if (name == T.WordDocids)
+          u.withColumn("df", F.bitmap_cardinality($"docids"))
+        else u
+        val sc = if (sortCols.nonEmpty) sortCols else keys
+        u2.repartitionByRange(sc.map(col): _*)
+          .sortWithinPartitions(sc.head, sc.tail: _*)
+      }
+      touchKey match {
+        case Some(k) =>
+          mergeTouchedFiles(oldPath, spark.read.parquet(newPath), k)(agg)
+        case None =>
+          writeOver(agg(spark.read.parquet(oldPath), spark.read.parquet(newPath)), oldPath)
+      }
     }
+    // doc-keyed tables only ever GAIN rows: move the delta's parquet files
+    // into the live dir (O(batch), zero Spark jobs) instead of rewriting
+    // the whole table per batch — at web scale the union-rewrite was
+    // O(index) freight per update. Schema drift (documents may carry new
+    // columns per batch) falls back to the reconciling union rewrite.
     def appendTable(name: String): Unit = {
       val oldPath = s"$dir/$name"; val newPath = s"$delta/$name"
       if (!new java.io.File(newPath).exists()) return
       if (!new java.io.File(oldPath).exists())
         writeOver(spark.read.parquet(newPath), oldPath)
-      else
+      else if (!appendFiles(oldPath, newPath))
         writeOver(spark.read.parquet(oldPath)
           .unionByName(spark.read.parquet(newPath), allowMissingColumns = true), oldPath)
     }
 
-    mergeBitmapTable(T.WordDocids, Seq("word"))
-    mergeBitmapTable(T.ExactWordDocids, Seq("word"))
-    mergeBitmapTable(T.WordPositionDocids, Seq("word", "position"))
+    mergeBitmapTable(T.WordDocids, Seq("word"), touchKey = Some("word"))
+    mergeBitmapTable(T.ExactWordDocids, Seq("word"), touchKey = Some("word"))
+    mergeBitmapTable(T.WordPositionDocids, Seq("word", "position"),
+      touchKey = Some("word"))
+    // small-key tables (≤ ~10 fids × 10 counts / a handful of fields):
+    // full re-aggregation is already O(small)
     mergeBitmapTable(T.FidWordCountDocids, Seq("fid", "word_count"))
-    mergeBitmapTable(T.WordPairProximityDocids, Seq("prox", "w1", "w2"))
+    mergeBitmapTable(T.WordPairProximityDocids, Seq("prox", "w1", "w2"),
+      touchKey = Some("w1"), sortCols = Seq("w1", "w2", "prox"))
     mergeBitmapTable(T.FacetExistsDocids, Seq("field"))
     Seq(T.Documents, T.DocWordPositions, T.DocFidWordCounts,
       T.DocFacetNumbers, T.DocFacetStrings, T.DocStats, T.GeoCells)
@@ -171,27 +196,37 @@ class Updates(spark: SparkSession, settings: IndexSettings) {
     // is the conservative floor).
     val tdOld = s"$dir/${T.TermDict}"; val tdNew = s"$delta/${T.TermDict}"
     if (new java.io.File(tdOld).exists() && new java.io.File(tdNew).exists()) {
-      val merged = spark.read.parquet(tdOld)
-        .unionByName(spark.read.parquet(tdNew), allowMissingColumns = true)
-        .withColumn("ttf",
-          coalesce(col("ttf"), $"df".cast("long")))
-        .groupBy($"word")
-        .agg(sum($"df").as("df"), min(when($"exact_only", 1).otherwise(0)).as("eo"),
-          sum($"ttf").as("ttf"))
-        .withColumn("exact_only", $"eo" === 1).drop("eo")
-      writeOver(merged, tdOld)
+      // touched-file merge: every existing row for a batch word lives in a
+      // file whose [min,max] word interval contains it, so summing over
+      // (touched ∪ delta) is exact; files for out-of-batch words carry over
+      mergeTouchedFiles(tdOld, spark.read.parquet(tdNew), "word") { (a, b) =>
+        a.unionByName(b, allowMissingColumns = true)
+          .withColumn("ttf", coalesce(col("ttf"), $"df".cast("long")))
+          .groupBy($"word")
+          .agg(sum($"df").as("df"), min(when($"exact_only", 1).otherwise(0)).as("eo"),
+            sum($"ttf").as("ttf"))
+          .withColumn("exact_only", $"eo" === 1).drop("eo")
+          .repartitionByRange(col("word")).sortWithinPartitions("word")
+      }
     } else appendTable(T.TermDict)
-    // posting blocks: rebuild from merged tf rows
+    // posting blocks: decode + re-encode ONLY the files containing batch
+    // words; the rest of the compressed index is never read (the bytes
+    // column of untouched files stays on disk — at web scale the old
+    // full-decode was an O(index) rewrite per batch)
     val pbOld = s"$dir/${T.PostingBlocks}"; val pbNew = s"$delta/${T.PostingBlocks}"
     if (new java.io.File(pbNew).exists()) {
-      val all = (if (new java.io.File(pbOld).exists())
-          spark.read.parquet(pbOld).unionByName(spark.read.parquet(pbNew))
-        else spark.read.parquet(pbNew))
-        .select($"word", $"bytes").as[(String, Array[Byte])]
-        .flatMap { case (w, bytes) =>
-          graft.core.PostingBlocks.decode(bytes).iterator.map(p => (w, p._1, p._2)) }
-        .toDF("word", "docid", "tf")
-      writeOver(IndexBuilder.buildPostingBlocksFromTf(spark, all), pbOld)
+      if (!new java.io.File(pbOld).exists())
+        writeOver(spark.read.parquet(pbNew), pbOld)
+      else {
+        def toTf(df: DataFrame): DataFrame =
+          df.select($"word", $"bytes").as[(String, Array[Byte])]
+            .flatMap { case (w, bytes) =>
+              graft.core.PostingBlocks.decode(bytes).iterator.map(p => (w, p._1, p._2)) }
+            .toDF("word", "docid", "tf")
+        mergeTouchedFiles(pbOld, spark.read.parquet(pbNew), "word") { (a, b) =>
+          IndexBuilder.buildPostingBlocksFromTf(spark, toTf(a).unionByName(toTf(b)))
+        }
+      }
     }
     // derived prefix tables + facet levels refresh from the MERGED base
     // tables so incremental indexes never serve stale derived data — but
@@ -208,6 +243,10 @@ class Updates(spark: SparkSession, settings: IndexSettings) {
   private def writeOver(df: DataFrame, path: String): Unit = {
     val tmp = path + "__tmp"
     df.write.mode("overwrite").parquet(tmp)
+    swapIn(tmp, path)
+  }
+
+  private def swapIn(tmp: String, path: String): Unit = {
     val target = new java.io.File(path)
     def rec(f: java.io.File): Unit = {
       if (f.isDirectory) f.listFiles().foreach(rec)
@@ -215,5 +254,120 @@ class Updates(spark: SparkSession, settings: IndexSettings) {
     }
     if (target.exists()) rec(target)
     new java.io.File(tmp).renameTo(target)
+  }
+
+  /** UTF-8 byte comparison — the order Spark's min/max computes for string
+    * columns (UTF8String binary order = code-point order), so interval
+    * tests agree exactly with the per-file stats. */
+  private def utf8Cmp(x: Array[Byte], y: Array[Byte]): Int = {
+    var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    x.length - y.length
+  }
+
+  /** Per-file `[min, max]` byte intervals of `keyCol` read from the
+    * parquet FOOTERS — zero data IO, no Spark plan (a plan-based read can
+    * be silently substituted by a cached InMemoryRelation whose
+    * `input_file_name` is empty, and the stats must reflect the files on
+    * DISK, not a handle's cache). None = no usable stats: treated as
+    * touched (conservative). Truncated footer stats only widen intervals,
+    * also conservative. Iceberg manifests carry the same intervals on a
+    * lakehouse deployment. */
+  private def fileKeyIntervals(path: String, keyCol: String)
+      : Array[(String, Option[(Array[Byte], Array[Byte])])] = {
+    import scala.jdk.CollectionConverters._
+    val conf = spark.sparkContext.hadoopConfiguration
+    val files = Option(new java.io.File(path).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+    files.map { f =>
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(f.getAbsolutePath), conf))
+      try {
+        var lo: Array[Byte] = null
+        var hi: Array[Byte] = null
+        var ok = true
+        reader.getFooter.getBlocks.asScala.foreach { b =>
+          b.getColumns.asScala.find(_.getPath.toDotString == keyCol) match {
+            case Some(cc) =>
+              val st = cc.getStatistics
+              if (st == null || !st.hasNonNullValue) ok = false
+              else {
+                val mn = st.genericGetMin.asInstanceOf[org.apache.parquet.io.api.Binary].getBytes
+                val mx = st.genericGetMax.asInstanceOf[org.apache.parquet.io.api.Binary].getBytes
+                if (lo == null || utf8Cmp(mn, lo) < 0) lo = mn
+                if (hi == null || utf8Cmp(mx, hi) > 0) hi = mx
+              }
+            case None => ok = false
+          }
+        }
+        (f.getAbsolutePath,
+          if (ok && lo != null) Some((lo, hi)) else None)
+      } finally reader.close()
+    }
+  }
+
+  /** Merge `deltaDf` into the key-sorted parquet table at `oldPath`
+    * touching only the files whose `[min, max]` interval of `keyCol`
+    * intersects the delta's key set — O(touched + delta) instead of
+    * O(table) per batch (milli writes only the touched LMDB keys; this is
+    * the file-granular Spark equivalent). Untouched files carry over
+    * byte-for-byte into the swapped-in directory. */
+  private def mergeTouchedFiles(
+      oldPath: String, deltaDf: DataFrame, keyCol: String)(
+      merge: (DataFrame, DataFrame) => DataFrame): Unit = {
+    import java.nio.charset.StandardCharsets.UTF_8
+    val keyB: Array[Array[Byte]] = deltaDf
+      .select(col(keyCol).cast("string")).distinct().as[String].collect()
+      .map(_.getBytes(UTF_8)).sortWith(utf8Cmp(_, _) < 0)
+    if (keyB.isEmpty) return
+    val stats = fileKeyIntervals(oldPath, keyCol)
+    def touched(iv: Option[(Array[Byte], Array[Byte])]): Boolean = iv match {
+      case None => true // no stats: must assume the file holds delta keys
+      case Some((loB, hiB)) =>
+        // first delta key ≥ lo, then ≤ hi ⇒ the intervals intersect
+        var a = 0; var b = keyB.length
+        while (a < b) {
+          val m = (a + b) >>> 1
+          if (utf8Cmp(keyB(m), loB) < 0) a = m + 1 else b = m
+        }
+        a < keyB.length && utf8Cmp(keyB(a), hiB) <= 0
+    }
+    val (touchedF, keepF) = stats.partition(s => touched(s._2))
+    val tmp = oldPath + "__tmp"
+    val touchedDf =
+      if (touchedF.isEmpty) spark.read.parquet(oldPath).limit(0)
+      else spark.read.parquet(touchedF.map(_._1): _*)
+    merge(touchedDf, deltaDf).write.mode("overwrite").parquet(tmp)
+    keepF.foreach { case (f, _) =>
+      val src = java.nio.file.Paths.get(f)
+      java.nio.file.Files.copy(src,
+        java.nio.file.Paths.get(tmp, src.getFileName.toString),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    swapIn(tmp, oldPath)
+  }
+
+  /** File-level append for tables that only gain rows: move the delta's
+    * parquet files into the live dir under unique names — zero Spark jobs,
+    * O(batch) IO. Returns false (caller falls back to a reconciling union
+    * rewrite) when the schemas differ. */
+  private def appendFiles(oldPath: String, newPath: String): Boolean = {
+    if (spark.read.parquet(oldPath).schema != spark.read.parquet(newPath).schema)
+      return false
+    val files = new java.io.File(newPath).listFiles()
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+    val stamp = java.lang.Long.toHexString(System.nanoTime())
+    files.foreach { f =>
+      java.nio.file.Files.copy(f.toPath,
+        java.nio.file.Paths.get(oldPath, s"inc-$stamp-${f.getName}"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    true
   }
 }

@@ -107,6 +107,56 @@ class UpdatesSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("incremental merge is O(touched): out-of-range files carry over " +
+      "by name; doc tables append files instead of rewriting") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val settings = IndexSettings(searchableFields = Seq("text"), primaryKey = "url")
+    val dir = freshDir()
+    // pin partitions so word_docids spans several word-ranged files
+    val oldParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val oldCoalesce = spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      new IndexBuilder(spark, settings)
+        .build(WebPages.generate(spark, 500), dir, resume = false)
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", oldParts)
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", oldCoalesce)
+    }
+    def parts(t: String): Set[String] =
+      new java.io.File(s"$dir/$t").listFiles()
+        .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+        .map(_.getName).toSet
+    val wdBefore = parts(IndexSettings.T.WordDocids)
+    val docsBefore = parts(IndexSettings.T.Documents)
+    wdBefore.size should be > 2
+    // batch whose vocabulary sorts AFTER the whole corpus ('zz…'): only
+    // the last word-range file may be touched
+    val batch = WebPages.generate(spark, 510)
+      .where($"docid" >= 500)
+      .withColumn("text", org.apache.spark.sql.functions.lit("zzunique zzword"))
+    new Updates(spark, settings).addDocuments(dir, batch)
+    val wdAfter = parts(IndexSettings.T.WordDocids)
+    val docsAfter = parts(IndexSettings.T.Documents)
+    // word_docids: all but at most one original file survive UNTOUCHED
+    (wdBefore -- wdAfter).size should be <= 1
+    // documents: strictly appended — every original file still present,
+    // new rows arrived as inc- files
+    (docsBefore -- docsAfter) shouldBe empty
+    (docsAfter -- docsBefore).foreach(_ should startWith("inc-"))
+    (docsAfter -- docsBefore) should not be empty
+    // and the merged index answers over both corpora
+    val idx = GraftIndex(spark, dir, settings)
+    val res = new Search(idx).execute(
+      SearchRequest(query = Some("zzunique "), limit = 20))
+    res.candidates shouldBe 10
+    val old = new Search(idx).execute(
+      SearchRequest(query = Some("w3 "), limit = 20))
+    old.candidates should be > 0L
+  }
+
   test("docid assignment is identical across partition counts (two-pass, no global window)") {
     val spark = TestSpark.spark
     import spark.implicits._
