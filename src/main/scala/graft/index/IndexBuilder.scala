@@ -449,6 +449,7 @@ class IndexBuilder(spark: SparkSession, settings: IndexSettings) extends Seriali
         .groupBy($"prefix").agg(count(lit(1)).as("n_words"))
         .where($"n_words" >= settings.prefixThreshold)
     }.reduce(_ unionAll _)
+      .repartitionByRange($"prefix").sortWithinPartitions("prefix")
   }
 
   /** prefix set actually used by a build: the whole dict, or (incremental
@@ -471,6 +472,7 @@ class IndexBuilder(spark: SparkSession, settings: IndexSettings) extends Seriali
       .select($"word".substr(lit(1), $"n").as("prefix"), $"docids")
     exploded.join(broadcast(pdUse(dir, only)), Seq("prefix"))
       .groupBy($"prefix").agg(F.bitmap_union_agg($"docids").as("docids"))
+      .repartitionByRange($"prefix").sortWithinPartitions("prefix")
   }
 
   /** reference db #5: prefix unions over the exact-attribute split
@@ -482,6 +484,7 @@ class IndexBuilder(spark: SparkSession, settings: IndexSettings) extends Seriali
       .select($"word".substr(lit(1), $"n").as("prefix"), $"docids")
     exploded.join(broadcast(pdUse(dir, only)), Seq("prefix"))
       .groupBy($"prefix").agg(F.bitmap_union_agg($"docids").as("docids"))
+      .repartitionByRange($"prefix").sortWithinPartitions("prefix")
   }
 
   def buildWordPrefixPositionDocids(dir: String, only: Option[DataFrame] = None): DataFrame = {
@@ -491,6 +494,8 @@ class IndexBuilder(spark: SparkSession, settings: IndexSettings) extends Seriali
       .select($"word".substr(lit(1), $"n").as("prefix"), $"position", $"docids")
     exploded.join(broadcast(pdUse(dir, only)), Seq("prefix"))
       .groupBy($"prefix", $"position").agg(F.bitmap_union_agg($"docids").as("docids"))
+      .repartitionByRange($"prefix", $"position")
+      .sortWithinPartitions("prefix", "position")
   }
 
   def buildWordPrefixPairProximity(dir: String, only: Option[DataFrame] = None): DataFrame = {
@@ -503,6 +508,8 @@ class IndexBuilder(spark: SparkSession, settings: IndexSettings) extends Seriali
     exploded.join(broadcast(pdUse(dir, only, maxLen = 2)), Seq("prefix"))
       .groupBy($"prox", $"w1", $"prefix")
       .agg(F.bitmap_union_agg($"docids").as("docids"))
+      .repartitionByRange($"prefix", $"w1", $"prox")
+      .sortWithinPartitions("prefix", "w1", "prox")
   }
 
   def buildPrefixWordPairProximity(dir: String, only: Option[DataFrame] = None): DataFrame = {
@@ -515,6 +522,8 @@ class IndexBuilder(spark: SparkSession, settings: IndexSettings) extends Seriali
     exploded.join(broadcast(pdUse(dir, only, maxLen = 2)), Seq("prefix"))
       .groupBy($"prox", $"prefix", $"w2")
       .agg(F.bitmap_union_agg($"docids").as("docids"))
+      .repartitionByRange($"prefix", $"w2", $"prox")
+      .sortWithinPartitions("prefix", "w2", "prox")
   }
 
   /** Geo cell table: (cell, docid, lat, lng), one row per geo point,
@@ -604,26 +613,33 @@ class IndexBuilder(spark: SparkSession, settings: IndexSettings) extends Seriali
     try {
       writeOver(newDict, dictPath)
 
-      def refresh(name: String, build: Option[DataFrame] => DataFrame): Unit = {
+      def refresh(name: String, sortCols: Seq[String],
+          build: Option[DataFrame] => DataFrame): Unit = {
         val path = s"$dir/$name"
+        if (!exists(path)) { writeOver(build(None), path); return }
+        // O(touched files): only files whose footer prefix interval
+        // intersects the affected set are opened — in them, affected
+        // prefixes' rows are replaced by the rebuild (prefixes dropped
+        // from the dict vanish: removed ⊆ affected), every other FILE
+        // carries over byte-for-byte. The prefix tables are written
+        // prefix-sorted precisely so this (and serving point reads)
+        // can footer-prune.
         val rebuilt = build(Some(affected))
-        val out =
-          if (!exists(path)) build(None)
-          else {
-            // carry over rows of unaffected prefixes (their word rows are
-            // untouched by the batch); affected rows come from the rebuild,
-            // prefixes dropped from the dict vanish (removed ⊆ affected)
-            val kept = spark.read.parquet(path)
-              .join(broadcast(affected), Seq("prefix"), "left_anti")
-            kept.unionByName(rebuilt)
-          }
-        writeOver(out, path)
+        TableIO.mergeTouchedFiles(spark, path, affected, "prefix") { (touchedDf, aff) =>
+          touchedDf.join(broadcast(aff), Seq("prefix"), "left_anti")
+            .unionByName(rebuilt)
+            .repartitionByRange(sortCols.map(col): _*)
+            .sortWithinPartitions(sortCols.head, sortCols.tail: _*)
+        }
       }
-      refresh(T.WordPrefixDocids, buildWordPrefixDocids(dir, _))
-      refresh(T.ExactWordPrefixDocids, buildExactWordPrefixDocids(dir, _))
-      refresh(T.WordPrefixPositionDocids, buildWordPrefixPositionDocids(dir, _))
-      refresh(T.WordPrefixPairProximityDocids, buildWordPrefixPairProximity(dir, _))
-      refresh(T.PrefixWordPairProximityDocids, buildPrefixWordPairProximity(dir, _))
+      refresh(T.WordPrefixDocids, Seq("prefix"), buildWordPrefixDocids(dir, _))
+      refresh(T.ExactWordPrefixDocids, Seq("prefix"), buildExactWordPrefixDocids(dir, _))
+      refresh(T.WordPrefixPositionDocids, Seq("prefix", "position"),
+        buildWordPrefixPositionDocids(dir, _))
+      refresh(T.WordPrefixPairProximityDocids, Seq("prefix", "w1", "prox"),
+        buildWordPrefixPairProximity(dir, _))
+      refresh(T.PrefixWordPairProximityDocids, Seq("prefix", "w2", "prox"),
+        buildPrefixWordPairProximity(dir, _))
 
       // facet levels: VALUE-level incremental merge (FacetIncremental —
       // the reference's FacetsUpdateIncremental re-expressed set-based):

@@ -239,135 +239,15 @@ class Updates(spark: SparkSession, settings: IndexSettings) {
     Manifest.recordUpdate(dir, "add_documents", s"replace=$replace")
   }
 
-  /** Atomic-ish table replace: write to side dir then swap. */
-  private def writeOver(df: DataFrame, path: String): Unit = {
-    val tmp = path + "__tmp"
-    df.write.mode("overwrite").parquet(tmp)
-    swapIn(tmp, path)
-  }
-
-  private def swapIn(tmp: String, path: String): Unit = {
-    val target = new java.io.File(path)
-    def rec(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rec)
-      f.delete()
-    }
-    if (target.exists()) rec(target)
-    new java.io.File(tmp).renameTo(target)
-  }
-
-  /** UTF-8 byte comparison — the order Spark's min/max computes for string
-    * columns (UTF8String binary order = code-point order), so interval
-    * tests agree exactly with the per-file stats. */
-  private def utf8Cmp(x: Array[Byte], y: Array[Byte]): Int = {
-    var i = 0
-    val n = math.min(x.length, y.length)
-    while (i < n) {
-      val c = (x(i) & 0xff) - (y(i) & 0xff)
-      if (c != 0) return c
-      i += 1
-    }
-    x.length - y.length
-  }
-
-  /** Per-file `[min, max]` byte intervals of `keyCol` read from the
-    * parquet FOOTERS — zero data IO, no Spark plan (a plan-based read can
-    * be silently substituted by a cached InMemoryRelation whose
-    * `input_file_name` is empty, and the stats must reflect the files on
-    * DISK, not a handle's cache). None = no usable stats: treated as
-    * touched (conservative). Truncated footer stats only widen intervals,
-    * also conservative. Iceberg manifests carry the same intervals on a
-    * lakehouse deployment. */
-  private def fileKeyIntervals(path: String, keyCol: String)
-      : Array[(String, Option[(Array[Byte], Array[Byte])])] = {
-    import scala.jdk.CollectionConverters._
-    val conf = spark.sparkContext.hadoopConfiguration
-    val files = Option(new java.io.File(path).listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
-    files.map { f =>
-      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
-        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-          new org.apache.hadoop.fs.Path(f.getAbsolutePath), conf))
-      try {
-        var lo: Array[Byte] = null
-        var hi: Array[Byte] = null
-        var ok = true
-        reader.getFooter.getBlocks.asScala.foreach { b =>
-          b.getColumns.asScala.find(_.getPath.toDotString == keyCol) match {
-            case Some(cc) =>
-              val st = cc.getStatistics
-              if (st == null || !st.hasNonNullValue) ok = false
-              else {
-                val mn = st.genericGetMin.asInstanceOf[org.apache.parquet.io.api.Binary].getBytes
-                val mx = st.genericGetMax.asInstanceOf[org.apache.parquet.io.api.Binary].getBytes
-                if (lo == null || utf8Cmp(mn, lo) < 0) lo = mn
-                if (hi == null || utf8Cmp(mx, hi) > 0) hi = mx
-              }
-            case None => ok = false
-          }
-        }
-        (f.getAbsolutePath,
-          if (ok && lo != null) Some((lo, hi)) else None)
-      } finally reader.close()
-    }
-  }
-
-  /** Merge `deltaDf` into the key-sorted parquet table at `oldPath`
-    * touching only the files whose `[min, max]` interval of `keyCol`
-    * intersects the delta's key set — O(touched + delta) instead of
-    * O(table) per batch (milli writes only the touched LMDB keys; this is
-    * the file-granular Spark equivalent). Untouched files carry over
-    * byte-for-byte into the swapped-in directory. */
+  // file-granular maintenance (atomic swap, footer-stats touched-file
+  // merge, zero-job append) lives in [[TableIO]], shared with the derived
+  // prefix-table refresh
+  private def writeOver(df: DataFrame, path: String): Unit =
+    TableIO.writeOver(spark)(df, path)
   private def mergeTouchedFiles(
       oldPath: String, deltaDf: DataFrame, keyCol: String)(
-      merge: (DataFrame, DataFrame) => DataFrame): Unit = {
-    import java.nio.charset.StandardCharsets.UTF_8
-    val keyB: Array[Array[Byte]] = deltaDf
-      .select(col(keyCol).cast("string")).distinct().as[String].collect()
-      .map(_.getBytes(UTF_8)).sortWith(utf8Cmp(_, _) < 0)
-    if (keyB.isEmpty) return
-    val stats = fileKeyIntervals(oldPath, keyCol)
-    def touched(iv: Option[(Array[Byte], Array[Byte])]): Boolean = iv match {
-      case None => true // no stats: must assume the file holds delta keys
-      case Some((loB, hiB)) =>
-        // first delta key ≥ lo, then ≤ hi ⇒ the intervals intersect
-        var a = 0; var b = keyB.length
-        while (a < b) {
-          val m = (a + b) >>> 1
-          if (utf8Cmp(keyB(m), loB) < 0) a = m + 1 else b = m
-        }
-        a < keyB.length && utf8Cmp(keyB(a), hiB) <= 0
-    }
-    val (touchedF, keepF) = stats.partition(s => touched(s._2))
-    val tmp = oldPath + "__tmp"
-    val touchedDf =
-      if (touchedF.isEmpty) spark.read.parquet(oldPath).limit(0)
-      else spark.read.parquet(touchedF.map(_._1): _*)
-    merge(touchedDf, deltaDf).write.mode("overwrite").parquet(tmp)
-    keepF.foreach { case (f, _) =>
-      val src = java.nio.file.Paths.get(f)
-      java.nio.file.Files.copy(src,
-        java.nio.file.Paths.get(tmp, src.getFileName.toString),
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    }
-    swapIn(tmp, oldPath)
-  }
-
-  /** File-level append for tables that only gain rows: move the delta's
-    * parquet files into the live dir under unique names — zero Spark jobs,
-    * O(batch) IO. Returns false (caller falls back to a reconciling union
-    * rewrite) when the schemas differ. */
-  private def appendFiles(oldPath: String, newPath: String): Boolean = {
-    if (spark.read.parquet(oldPath).schema != spark.read.parquet(newPath).schema)
-      return false
-    val files = new java.io.File(newPath).listFiles()
-      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
-    val stamp = java.lang.Long.toHexString(System.nanoTime())
-    files.foreach { f =>
-      java.nio.file.Files.copy(f.toPath,
-        java.nio.file.Paths.get(oldPath, s"inc-$stamp-${f.getName}"),
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    }
-    true
-  }
+      merge: (DataFrame, DataFrame) => DataFrame): Unit =
+    TableIO.mergeTouchedFiles(spark, oldPath, deltaDf, keyCol)(merge)
+  private def appendFiles(oldPath: String, newPath: String): Boolean =
+    TableIO.appendFiles(spark, oldPath, newPath)
 }
