@@ -247,6 +247,16 @@ object Main {
       graft.webgen.WebPages.generate(spark, n.toLong)
         .write.mode("overwrite").parquet(dir)
       println(s"[graft] generated $n web pages at $dir")
+    case "compact" :: dir :: rest =>
+      val settings = graft.index.SettingsIO.load(dir).getOrElse(
+        IndexSettings(searchableFields = Seq("text")))
+      val maxFiles = rest.headOption.map(_.toInt).getOrElse(32)
+      val compacted = new graft.index.Updates(spark, settings).compact(dir, maxFiles)
+      if (compacted.isEmpty)
+        println(s"[graft] nothing over $maxFiles files; no compaction needed")
+      else compacted.foreach { case (t, n) =>
+        println(f"[graft] compacted $t%-28s $n%4d files -> canonical layout")
+      }
     case "bm25" :: dir :: searchable :: terms :: k :: Nil =>
       val settings = graft.index.SettingsIO.load(dir).getOrElse(
         IndexSettings(searchableFields = searchable.split(',').toSeq))
@@ -264,6 +274,7 @@ object Main {
           |  graft.Main search <indexDir> <searchableCols> <query> [filter]
           |  graft.Main bm25   <indexDir> <searchableCols> <terms,comma> <k>
           |  graft.Main serve  <indexDir> [searchableCols]   (stdin query loop)
+          |  graft.Main compact <indexDir> [maxFiles]   (post-update file maintenance)
           |  graft.Main gen    <outParquetDir> <nDocs>""".stripMargin)
       sys.exit(2)
   }

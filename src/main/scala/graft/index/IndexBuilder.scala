@@ -346,22 +346,17 @@ class IndexBuilder(spark: SparkSession, settings: IndexSettings) extends Seriali
       .sortWithinPartitions("w1", "w2", "prox")
     }
     stageF(T.TermDict, Seq("__dwp")) {
-      // full vocabulary; exact_only marks words occurring solely in
-      // exact_attributes fields (not typo-derivable); ttf = total position
-      // count (Σ occurrences) — the serving gate's BYTE estimate (a stop
-      // word's forward rows are ~ttf ints, not ~df rows, so a row-count
-      // gate alone under-prices it)
-      dwp.toDF().select($"word", $"docid", hasTolerant.as("tolerant_occ"),
-          size($"positions").cast("long").as("occ"))
-        .groupBy($"word")
-        .agg(count(lit(1)).as("df"),
-          (sum(when(col("tolerant_occ"), 1).otherwise(0)) === 0).as("exact_only"),
-          sum($"occ").as("ttf"))
-        .repartitionByRange(col("word")).sortWithinPartitions("word")
+      IndexBuilder.termDictFromDwp(spark, dwp.toDF(), exactFids)
     }
     stageF(T.DocStats, Seq("__dwp")) { IndexBuilder.perDocStats(spark, dwp) }
-    stageF(T.PostingBlocks, Seq("__dwp")) {
-      IndexBuilder.buildPostingBlocksFromDwp(spark, dwp.toDF())
+    stageF(T.PostingBlocks, Seq(T.DocWordPositions)) {
+      // derive from the COMMITTED word-major table: rows are already
+      // (word, docid)-sorted per file, so encoding is a shuffle-free
+      // consecutive-run scan (the block-id-from-first-docid scheme absorbs
+      // file-boundary fragments) — the tf rows never pay a second range
+      // shuffle of the forward index
+      IndexBuilder.buildPostingBlocksFromSorted(spark,
+        spark.read.parquet(s"$dir/${T.DocWordPositions}"))
     }
 
     stageF(T.FidWordCountDocids, Seq(T.DocFidWordCounts)) {
@@ -657,11 +652,21 @@ class IndexBuilder(spark: SparkSession, settings: IndexSettings) extends Seriali
           .select($"field", col(boundCol).as("bound"), $"docid")
         val fields = delta.select($"field").distinct().as[String].collect().toSeq
         if (fields.isEmpty) return // nothing faceted in the batch: keep all
-        val m = FacetIncremental.merge(spark, spark.read.parquet(path), delta)
-        val out =
-          if (m.rebuildFields.isEmpty) m.rows
-          else m.rows.unionByName(build(Some(m.rebuildFields)))
-        writeOver(out, path)
+        // O(touched files): the level tables are field-major sorted, so
+        // only files whose footer field interval meets the batch's fields
+        // are opened — fields absent from the batch (heterogeneous-schema
+        // corpora) carry their files over byte-for-byte. A touched field's
+        // rows live entirely inside the touched files, so the merge's
+        // 1/50 bulk-vs-incremental criterion still sees full field sizes.
+        TableIO.mergeTouchedFiles(spark, path,
+            delta.select($"field").distinct(), "field") { (touchedDf, _) =>
+          val m = FacetIncremental.merge(spark, touchedDf, delta)
+          val out =
+            if (m.rebuildFields.isEmpty) m.rows
+            else m.rows.unionByName(build(Some(m.rebuildFields)))
+          out.repartitionByRange(col("field"), col("level"), col("bound"))
+            .sortWithinPartitions("field", "level", "bound")
+        }
       }
       refreshLevels(T.FacetNumberLevels, T.DocFacetNumbers, "value",
         buildFacetNumberLevels(dir, _))
@@ -729,11 +734,51 @@ object IndexBuilder extends Serializable {
     }.toDF("docid", "doclen")
   }
 
+  /** Full vocabulary with df (posting rows), exact_only (words occurring
+    * solely in exact_attributes fields — not typo-derivable), and ttf
+    * (total position count — the serving gate's BYTE estimate: a stop
+    * word's forward rows are ~ttf ints, not ~df rows, so a row-count gate
+    * alone under-prices it). Shared by the build stage and hardDelete's
+    * recount over the purged forward index. */
+  def termDictFromDwp(spark: SparkSession, dwp: DataFrame,
+      exactFids: Set[Int]): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val efSeq = exactFids.toSeq.map(Integer.valueOf)
+    val hasTolerant = if (exactFids.isEmpty) lit(true)
+      else exists($"positions", p => !(shiftright(p, 16).isin(efSeq: _*)))
+    dwp.select($"word", $"docid", hasTolerant.as("tolerant_occ"),
+        size($"positions").cast("long").as("occ"))
+      .groupBy($"word")
+      .agg(count(lit(1)).as("df"),
+        (sum(when(col("tolerant_occ"), 1).otherwise(0)) === 0).as("exact_only"),
+        sum($"occ").as("ttf"))
+      .repartitionByRange(col("word")).sortWithinPartitions("word")
+  }
+
   /** Posting blocks from the forward index: tf = positions per (word, doc). */
   def buildPostingBlocksFromDwp(spark: SparkSession, dwp: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
     buildPostingBlocksFromTf(spark,
       dwp.select(col("word"), col("docid"), size(col("positions")).as("tf")))
+  }
+
+  /** Posting blocks from an ALREADY (word, docid)-sorted source (the
+    * committed word-major `doc_word_positions`): encode each partition's
+    * consecutive word runs directly — zero shuffle. A scan partition can
+    * concatenate several files, so a word may appear as more than one
+    * sorted run (disjoint docid ranges from the range write); each run
+    * encodes as its own fragment and the first-docid block ids keep the
+    * per-word global order, exactly as with the salted shuffle. */
+  def buildPostingBlocksFromSorted(spark: SparkSession, sortedDwp: DataFrame): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    sortedDwp
+      .select(col("word"), col("docid"), size(col("positions")).as("tf").cast("int"))
+      .as[(String, Int, Int)]
+      .mapPartitions(encodeRuns)
+      .toDF("word", "block_id", "bytes", "max_docid", "max_tf", "count")
+      .sortWithinPartitions("word", "block_id")
   }
 
   /** Per-document plane sweep producing min proximity (1..7) per ordered
@@ -841,7 +886,13 @@ object IndexBuilder extends Serializable {
         .select("field").as[String](org.apache.spark.sql.Encoders.STRING).collect().toSeq
       level += 1
     }
+    // field-major range sort: per-file footer field intervals let the
+    // incremental refresh carry untouched fields' FILES over byte-for-byte
+    // (TableIO.mergeTouchedFiles) and let the FacetLevels reader's ranged
+    // per-level fetches footer-prune to one field's band
     levels.reduce(_ unionByName _)
+      .repartitionByRange(col("field"), col("level"), col("bound"))
+      .sortWithinPartitions("field", "level", "bound")
   }
 
   /** FOR-compressed posting blocks with block-max metadata (north rule):
@@ -873,32 +924,36 @@ object IndexBuilder extends Serializable {
       .sortWithinPartitions("word", "docid")
     sorted.select($"word", $"docid", $"tf".cast("int"))
       .as[(String, Int, Int)]
-      .mapPartitions { it =>
-        new Iterator[(String, Int, Array[Byte], Int, Int, Int)] {
-          private val src = it.buffered
-          private val pending =
-            mutable.Queue.empty[(String, Int, Array[Byte], Int, Int, Int)]
-          private def refill(): Unit = {
-            if (pending.isEmpty && src.hasNext) {
-              val word = src.head._1
-              val postings = mutable.ArrayBuffer.empty[(Int, Int)]
-              while (src.hasNext && src.head._1 == word)
-                postings += { val r = src.next(); (r._2, r._3) }
-              val arr = postings.toArray
-              graft.core.PostingBlocks.encode(arr).zipWithIndex.foreach {
-                case (b, i) =>
-                  val blockId = arr(i * graft.core.PostingBlocks.BlockSize)._1
-                  pending.enqueue((word, blockId, b.bytes, b.maxDocid, b.maxTf, b.count))
-              }
-            }
-          }
-          override def hasNext: Boolean = { refill(); pending.nonEmpty }
-          override def next(): (String, Int, Array[Byte], Int, Int, Int) = {
-            refill(); pending.dequeue()
-          }
-        }
-      }
+      .mapPartitions(encodeRuns)
       .toDF("word", "block_id", "bytes", "max_docid", "max_tf", "count")
       .sortWithinPartitions("word", "block_id")
   }
+
+  /** Encode one partition's consecutive (word, docid, tf) runs into FOR
+    * blocks; block id = the block's first docid. */
+  private def encodeRuns(it: Iterator[(String, Int, Int)])
+      : Iterator[(String, Int, Array[Byte], Int, Int, Int)] =
+    new Iterator[(String, Int, Array[Byte], Int, Int, Int)] {
+      private val src = it.buffered
+      private val pending =
+        mutable.Queue.empty[(String, Int, Array[Byte], Int, Int, Int)]
+      private def refill(): Unit = {
+        if (pending.isEmpty && src.hasNext) {
+          val word = src.head._1
+          val postings = mutable.ArrayBuffer.empty[(Int, Int)]
+          while (src.hasNext && src.head._1 == word)
+            postings += { val r = src.next(); (r._2, r._3) }
+          val arr = postings.toArray
+          graft.core.PostingBlocks.encode(arr).zipWithIndex.foreach {
+            case (b, i) =>
+              val blockId = arr(i * graft.core.PostingBlocks.BlockSize)._1
+              pending.enqueue((word, blockId, b.bytes, b.maxDocid, b.maxTf, b.count))
+          }
+        }
+      }
+      override def hasNext: Boolean = { refill(); pending.nonEmpty }
+      override def next(): (String, Int, Array[Byte], Int, Int, Int) = {
+        refill(); pending.dequeue()
+      }
+    }
 }

@@ -17,7 +17,16 @@ object TableIO {
     val tmp = path + "__tmp"
     df.write.mode("overwrite").parquet(tmp)
     swapIn(tmp, path)
+    invalidate(spark, path)
   }
+
+  /** Drop any cached plan over `path` — an open handle's `.cache()` (e.g.
+    * GraftIndex pins term_dict) would otherwise silently serve the
+    * PRE-mutation data to every later read of the same path in this
+    * session, including maintenance steps that chain table rewrites
+    * (hardDelete recounts prefix_dict FROM the just-rewritten term_dict). */
+  private def invalidate(spark: SparkSession, path: String): Unit =
+    spark.catalog.refreshByPath(path)
 
   def swapIn(tmp: String, path: String): Unit = {
     val target = new java.io.File(path)
@@ -124,6 +133,7 @@ object TableIO {
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     }
     swapIn(tmp, oldPath)
+    invalidate(spark, oldPath)
   }
 
   /** File-level append for tables that only gain rows: move the delta's
@@ -141,6 +151,7 @@ object TableIO {
         java.nio.file.Paths.get(oldPath, s"inc-$stamp-${f.getName}"),
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     }
+    invalidate(spark, oldPath)
     true
   }
 }

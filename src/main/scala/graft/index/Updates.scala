@@ -62,8 +62,13 @@ class Updates(spark: SparkSession, settings: IndexSettings) {
       val path = s"$dir/$name"
       if (!new java.io.File(path).exists()) return
       val df = spark.read.parquet(path)
-      val out = df.withColumn("docids", F.bitmap_and_not($"docids", delLit))
+      val out0 = df.withColumn("docids", F.bitmap_and_not($"docids", delLit))
         .where(F.bitmap_cardinality($"docids") > 0)
+      // word_docids carries a materialized df column — recount it or BM25
+      // idf / the gate estimates read pre-delete cardinalities
+      val out = if (df.columns.contains("df"))
+        out0.withColumn("df", F.bitmap_cardinality($"docids"))
+      else out0
       writeOver(out, path)
     }
     def rewriteDocidTable(name: String): Unit = {
@@ -91,6 +96,21 @@ class Updates(spark: SparkSession, settings: IndexSettings) {
         .toDF("word", "docid", "tf")
         .where(!F.bitmap_contains(delLit, $"docid"))
       writeOver(IndexBuilder.buildPostingBlocksFromTf(spark, tf), pb)
+    }
+    // term_dict df/ttf/exact_only recounted from the PURGED forward index
+    // (delete_documents.rs purges word-level metadata the same way): a
+    // stale df skews BM25 idf and the serving-gate estimates. prefix_dict
+    // n_words follows from the recounted dictionary.
+    val dwpPath = s"$dir/${T.DocWordPositions}"
+    if (new java.io.File(dwpPath).exists() &&
+        new java.io.File(s"$dir/${T.TermDict}").exists()) {
+      val exactFids = settings.exactAttributes.flatMap(
+        settings.searchableFields.zipWithIndex.toMap.get).toSet
+      writeOver(IndexBuilder.termDictFromDwp(
+        spark, spark.read.parquet(dwpPath), exactFids), s"$dir/${T.TermDict}")
+      if (new java.io.File(s"$dir/${T.PrefixDict}").exists())
+        writeOver(new IndexBuilder(spark, settings).buildPrefixDict(dir),
+          s"$dir/${T.PrefixDict}")
     }
     // clear tombstone
     Seq(Bitmaps.cboSerialize(new RoaringBitmap())).toDF("docids").coalesce(1)
@@ -237,6 +257,74 @@ class Updates(spark: SparkSession, settings: IndexSettings) {
     new IndexBuilder(spark, settings)
       .refreshDerivedTablesIncremental(dir, delta, writeOver)
     Manifest.recordUpdate(dir, "add_documents", s"replace=$replace")
+  }
+
+  /** table → canonical (leading-key-first) sort columns, as written by the
+    * scratch build. Incremental appends and touched-file merges accumulate
+    * files whose key ranges overlap; compaction restores one range-sorted
+    * file set per table. */
+  private val canonicalSort: Seq[(String, Seq[String])] = Seq(
+    T.Documents -> Seq("docid"),
+    T.DocWordPositions -> Seq("word", "docid"),
+    T.DocFidWordCounts -> Seq("docid"),
+    T.DocFacetNumbers -> Seq("field", "value"),
+    T.DocFacetStrings -> Seq("field", "norm"),
+    T.DocStats -> Seq("docid"),
+    T.GeoCells -> Seq("cell"),
+    T.WordDocids -> Seq("word"),
+    T.ExactWordDocids -> Seq("word"),
+    T.WordPositionDocids -> Seq("word", "position"),
+    T.WordPairProximityDocids -> Seq("w1", "w2", "prox"),
+    T.TermDict -> Seq("word"),
+    T.PrefixDict -> Seq("prefix"),
+    T.WordPrefixDocids -> Seq("prefix"),
+    T.ExactWordPrefixDocids -> Seq("prefix"),
+    T.WordPrefixPositionDocids -> Seq("prefix", "position"),
+    T.WordPrefixPairProximityDocids -> Seq("prefix", "w1", "prox"),
+    T.PrefixWordPairProximityDocids -> Seq("prefix", "w2", "prox"),
+    T.FacetNumberLevels -> Seq("field", "level", "bound"),
+    T.FacetStringLevels -> Seq("field", "level", "bound"))
+
+  /** Compact tables whose parquet file count exceeds `maxFiles` back to
+    * their canonical range-sorted layout (and merge posting-block
+    * fragments back to full 128-entry blocks). The maintenance pass that
+    * bounds file-count growth from `inc-` appends and touched-file merges
+    * — the Iceberg `rewrite_data_files` role. Content-neutral; returns
+    * (table, file count before) for each compacted table. */
+  def compact(dir: String, maxFiles: Int = 32): Seq[(String, Int)] = {
+    def fileCount(path: String): Int =
+      Option(new java.io.File(path).listFiles()).getOrElse(Array.empty)
+        .count(f => f.isFile && f.getName.endsWith(".parquet"))
+    val done = Seq.newBuilder[(String, Int)]
+    canonicalSort.foreach { case (name, sortCols) =>
+      val path = s"$dir/$name"
+      if (new java.io.File(path).exists()) {
+        val n = fileCount(path)
+        if (n > maxFiles) {
+          writeOver(spark.read.parquet(path)
+            .repartitionByRange(sortCols.map(col): _*)
+            .sortWithinPartitions(sortCols.head, sortCols.tail: _*), path)
+          done += (name -> n)
+        }
+      }
+    }
+    val pb = s"$dir/${T.PostingBlocks}"
+    if (new java.io.File(pb).exists()) {
+      val n = fileCount(pb)
+      if (n > maxFiles) {
+        val tf = spark.read.parquet(pb).select($"word", $"bytes")
+          .as[(String, Array[Byte])]
+          .flatMap { case (w, bytes) =>
+            graft.core.PostingBlocks.decode(bytes).iterator.map(p => (w, p._1, p._2)) }
+          .toDF("word", "docid", "tf")
+        writeOver(IndexBuilder.buildPostingBlocksFromTf(spark, tf), pb)
+        done += (T.PostingBlocks -> n)
+      }
+    }
+    val res = done.result()
+    if (res.nonEmpty)
+      Manifest.recordUpdate(dir, "compact", res.map(t => s"${t._1}:${t._2}").mkString(","))
+    res
   }
 
   // file-granular maintenance (atomic swap, footer-stats touched-file

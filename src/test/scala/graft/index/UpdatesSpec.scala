@@ -43,6 +43,31 @@ class UpdatesSpec extends AnyFunSuite with Matchers {
     val afterHard = new Search(GraftIndex(spark, dir, settings))
       .execute(SearchRequest(query = Some("w3 "), limit = 300))
     afterHard.documentsIds shouldBe afterSoft.documentsIds
+
+    // word-level metadata is RECOUNTED, not left stale: term_dict df/ttf
+    // match a from-scratch dictionary over the remaining docs, and the
+    // word_docids df column matches its own bitmap cardinality
+    val scratchDir = freshDir()
+    new IndexBuilder(spark, settings)
+      .build(docs.where($"docid" =!= victim), scratchDir, resume = false)
+    def dict(d: String): Map[String, (Long, Long)] =
+      spark.read.parquet(s"$d/${IndexSettings.T.TermDict}")
+        .select($"word", $"df".cast("long"), $"ttf".cast("long"))
+        .as[(String, Long, Long)].collect()
+        .map { case (w, df, ttf) => w -> (df, ttf) }.toMap
+    val recounted = dict(dir); val scratch = dict(scratchDir)
+    val diffs = (recounted.keySet ++ scratch.keySet).toSeq
+      .filter(k => recounted.get(k) != scratch.get(k)).sorted
+    withClue(s"${diffs.size} differing words, first 10: " +
+        diffs.take(10).map(k =>
+          s"$k recounted=${recounted.get(k)} scratch=${scratch.get(k)}").mkString("; ")) {
+      diffs shouldBe empty
+    }
+    graft.functions.GraftFunctions.registerAll(spark)
+    spark.read.parquet(s"$dir/${IndexSettings.T.WordDocids}")
+      .where($"df" =!= org.apache.spark.sql.functions.expr(
+        "bitmap_cardinality(docids)"))
+      .count() shouldBe 0
   }
 
   test("incremental add-documents merge equals from-scratch build") {
@@ -155,6 +180,110 @@ class UpdatesSpec extends AnyFunSuite with Matchers {
     val old = new Search(idx).execute(
       SearchRequest(query = Some("w3 "), limit = 20))
     old.candidates should be > 0L
+  }
+
+  test("facet level refresh is O(touched fields): untouched fields' files " +
+      "carry over by name; reader parity holds after the merge") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val settings = IndexSettings(searchableFields = Seq("text"),
+      filterableFields = Set("price", "score"), primaryKey = "url")
+    val dir = freshDir()
+    def docs(from: Int, n: Int, withScore: Boolean) =
+      spark.range(from, from + n).select(
+        $"id".cast("int").as("docid"),
+        concat(lit("https://x/p"), $"id").as("url"),
+        concat(lit("w"), $"id" % 37).as("text"),
+        ($"id" * 1.0).as("price"),
+        (if (withScore) ($"id" * 2.0).cast("double")
+         else lit(null).cast("double")).as("score"))
+    def parts(t: String): Set[String] =
+      new java.io.File(s"$dir/$t").listFiles()
+        .filter(f => f.isFile && f.getName.endsWith(".parquet")).map(_.getName).toSet
+    val oldParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val oldCoalesce = spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      new IndexBuilder(spark, settings)
+        .build(docs(0, 200, withScore = true), dir, resume = false)
+      val before = parts(IndexSettings.T.FacetNumberLevels)
+      before.size should be > 2
+      // the batch facets only `price` (score all-null): level files whose
+      // field interval is entirely `score` must carry over BY NAME
+      new Updates(spark, settings).addDocuments(dir, docs(1000, 20, withScore = false))
+      val after = parts(IndexSettings.T.FacetNumberLevels)
+      (before intersect after).size should be > 0
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", oldParts)
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", oldCoalesce)
+    }
+    val idx = GraftIndex(spark, dir, settings)
+    def brute(field: String, lo: Double, hi: Double): Set[Int] =
+      spark.read.parquet(s"$dir/${IndexSettings.T.DocFacetNumbers}")
+        .where($"field" === field && $"value" >= lo && $"value" <= hi)
+        .select($"docid").as[Int].collect().toSet
+    def via(field: String, lo: Double, hi: Double): Set[Int] =
+      graft.search.FacetLevels.rangeDocids(idx, numeric = true, field,
+        Some(lo), Some(hi), loIncl = true, hiIncl = true)
+        .map(_.docids.toArray.toSet)
+        .getOrElse(fail(s"no level tree for $field"))
+    via("score", 100.0, 250.0) shouldBe brute("score", 100.0, 250.0)
+    via("price", 150.0, 5000.0) shouldBe brute("price", 150.0, 5000.0)
+  }
+
+  test("compact restores canonical layout without changing content") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val settings = IndexSettings(searchableFields = Seq("text"), primaryKey = "url")
+    val dir = freshDir()
+    val all = WebPages.generate(spark, 360).cache()
+    new IndexBuilder(spark, settings)
+      .build(all.where($"docid" < 300), dir, resume = false)
+    val updates = new Updates(spark, settings)
+    updates.addDocuments(dir, all.where($"docid" >= 300 && $"docid" < 330))
+    updates.addDocuments(dir, all.where($"docid" >= 330))
+
+    def snapshot(t: String): Seq[String] = {
+      val df = spark.read.parquet(s"$dir/$t")
+      if (t == IndexSettings.T.PostingBlocks)
+        df.select($"word", $"bytes").as[(String, Array[Byte])]
+          .flatMap { case (w, b) =>
+            graft.core.PostingBlocks.decode(b).iterator.map(p => s"$w|${p._1}|${p._2}") }
+          .collect().sorted.toSeq
+      else {
+        graft.functions.GraftFunctions.registerAll(spark)
+        val cols = df.schema.fields.sortBy(_.name).map { f =>
+          if (f.name == "docids")
+            org.apache.spark.sql.functions.expr("cast(bitmap_to_array(docids) as string)")
+          else col(f.name).cast("string")
+        }
+        df.select(org.apache.spark.sql.functions.concat_ws("|", cols.toSeq: _*))
+          .as[String].collect().sorted.toSeq
+      }
+    }
+    val watched = Seq(IndexSettings.T.Documents, IndexSettings.T.WordDocids,
+      IndexSettings.T.TermDict, IndexSettings.T.PostingBlocks,
+      IndexSettings.T.DocWordPositions)
+    val before = watched.map(t => t -> snapshot(t)).toMap
+    def files(t: String): Int =
+      new java.io.File(s"$dir/$t").listFiles()
+        .count(f => f.isFile && f.getName.endsWith(".parquet"))
+    val docFilesBefore = files(IndexSettings.T.Documents)
+    docFilesBefore should be > 2 // two appended batches left inc- files
+
+    val compacted = updates.compact(dir, maxFiles = 0)
+    compacted.map(_._1) should contain(IndexSettings.T.Documents)
+    watched.foreach { t =>
+      withClue(s"table $t after compact: ") { snapshot(t) shouldBe before(t) }
+    }
+    files(IndexSettings.T.Documents) should be <= docFilesBefore
+    // and the index still answers
+    val res = new Search(GraftIndex(spark, dir, settings))
+      .execute(SearchRequest(query = Some("w3 "), limit = 20))
+    res.candidates should be > 0L
   }
 
   test("docid assignment is identical across partition counts (two-pass, no global window)") {
