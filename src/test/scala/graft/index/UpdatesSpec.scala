@@ -286,6 +286,66 @@ class UpdatesSpec extends AnyFunSuite with Matchers {
     res.candidates should be > 0L
   }
 
+  test("lifecycle soak: interleaved adds, deletes, and compaction equal a " +
+      "from-scratch build over the surviving corpus") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val settings = IndexSettings(searchableFields = Seq("text"), primaryKey = "url")
+    val dir = freshDir()
+    val all = WebPages.generate(spark, 300).cache()
+    val updates = new Updates(spark, settings)
+    new IndexBuilder(spark, settings)
+      .build(all.where($"docid" < 180), dir, resume = false)
+    updates.addDocuments(dir, all.where($"docid" >= 180 && $"docid" < 240))
+    // delete a scattering of docs from both tranches, purge, keep adding
+    val victims = (0 until 240).filter(_ % 17 == 3)
+    updates.softDelete(dir, victims)
+    updates.hardDelete(dir)
+    updates.addDocuments(dir, all.where($"docid" >= 240))
+    updates.compact(dir, maxFiles = 0)
+
+    val scratchDir = freshDir()
+    new IndexBuilder(spark, settings).build(
+      all.where(!$"docid".isin(victims: _*)), scratchDir, resume = false)
+
+    // word-level metadata and decoded postings must be content-identical
+    graft.functions.GraftFunctions.registerAll(spark)
+    def content(d: String, t: String): Seq[String] = {
+      val df = spark.read.parquet(s"$d/$t")
+      if (t == IndexSettings.T.PostingBlocks)
+        df.select($"word", $"bytes").as[(String, Array[Byte])]
+          .flatMap { case (w, b) =>
+            graft.core.PostingBlocks.decode(b).iterator.map(p => s"$w|${p._1}|${p._2}") }
+          .collect().sorted.toSeq
+      else {
+        val cols = df.schema.fields.sortBy(_.name).map { f =>
+          if (f.name == "docids")
+            org.apache.spark.sql.functions.expr("cast(bitmap_to_array(docids) as string)")
+          else org.apache.spark.sql.functions.col(f.name).cast("string")
+        }
+        df.select(org.apache.spark.sql.functions.concat_ws("|", cols.toSeq: _*))
+          .as[String].collect().sorted.toSeq
+      }
+    }
+    Seq(IndexSettings.T.TermDict, IndexSettings.T.WordDocids,
+        IndexSettings.T.PostingBlocks, IndexSettings.T.DocStats).foreach { t =>
+      withClue(s"table $t lifecycle vs scratch: ") {
+        content(dir, t) shouldBe content(scratchDir, t)
+      }
+    }
+    // and ranked search agrees query-for-query
+    val lifeIdx = GraftIndex(spark, dir, settings)
+    val scratchIdx = GraftIndex(spark, scratchDir, settings)
+    Seq("w3 ", "the w10 ", "w1 w2 ", "w100 ").foreach { q =>
+      val a = new Search(lifeIdx).execute(SearchRequest(query = Some(q), limit = 50))
+      val b = new Search(scratchIdx).execute(SearchRequest(query = Some(q), limit = 50))
+      withClue(s"query '$q': ") {
+        a.candidates shouldBe b.candidates
+        a.documentsIds shouldBe b.documentsIds
+      }
+    }
+  }
+
   test("docid assignment is identical across partition counts (two-pass, no global window)") {
     val spark = TestSpark.spark
     import spark.implicits._
