@@ -133,8 +133,18 @@ class Updates(spark: SparkSession, settings: IndexSettings) {
   /** Incremental batch: index `newDocs` (docid already assigned, disjoint
     * from or replacing existing ids) into a delta dir, then merge every
     * posting table. `replace`: existing docs with the same primary key are
-    * tombstoned first. Returns the merged index dir (in place). */
-  def addDocuments(dir: String, newDocs: DataFrame, replace: Boolean = true): Unit = {
+    * tombstoned first. Returns the merged index dir (in place).
+    *
+    * After the commit, tables whose parquet file count crossed
+    * `autoCompactFiles` are compacted in the same call (the Iceberg
+    * auto-`rewrite_data_files` role) so `inc-` appends and touched-file
+    * merge fragments can't grow file counts without bound across many
+    * small batches. 0 disables (explicit `compact` / CLI only); the
+    * default follows SPARK_GRAFT_AUTO_COMPACT (64 files). Amortized: a
+    * batch only pays for tables it itself fragmented past the threshold,
+    * and a compacted table restarts the count near 1. */
+  def addDocuments(dir: String, newDocs: DataFrame, replace: Boolean = true,
+      autoCompactFiles: Int = Updates.DefaultAutoCompactFiles): Unit = {
     val pk = settings.primaryKey
     // replaced ids: same primary key in the existing documents table
     if (replace && new java.io.File(s"$dir/${T.Documents}").exists() &&
@@ -257,6 +267,7 @@ class Updates(spark: SparkSession, settings: IndexSettings) {
     new IndexBuilder(spark, settings)
       .refreshDerivedTablesIncremental(dir, delta, writeOver)
     Manifest.recordUpdate(dir, "add_documents", s"replace=$replace")
+    if (autoCompactFiles > 0) compact(dir, maxFiles = autoCompactFiles)
   }
 
   /** table → canonical (leading-key-first) sort columns, as written by the
@@ -338,4 +349,12 @@ class Updates(spark: SparkSession, settings: IndexSettings) {
     TableIO.mergeTouchedFiles(spark, oldPath, deltaDf, keyCol)(merge)
   private def appendFiles(oldPath: String, newPath: String): Boolean =
     TableIO.appendFiles(spark, oldPath, newPath)
+}
+
+object Updates {
+  /** File-count threshold above which [[Updates.addDocuments]] compacts a
+    * table in the same batch; SPARK_GRAFT_AUTO_COMPACT overrides, 0 turns
+    * the automatic pass off. */
+  val DefaultAutoCompactFiles: Int =
+    sys.env.get("SPARK_GRAFT_AUTO_COMPACT").map(_.toInt).getOrElse(64)
 }

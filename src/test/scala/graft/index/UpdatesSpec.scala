@@ -286,6 +286,38 @@ class UpdatesSpec extends AnyFunSuite with Matchers {
     res.candidates should be > 0L
   }
 
+  test("addDocuments auto-compacts tables past the file threshold") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val settings = IndexSettings(searchableFields = Seq("text"), primaryKey = "url")
+    val dir = freshDir()
+    val all = WebPages.generate(spark, 340).cache()
+    new IndexBuilder(spark, settings)
+      .build(all.where($"docid" < 300), dir, resume = false)
+    val updates = new Updates(spark, settings)
+    def files(t: String): Int =
+      new java.io.File(s"$dir/$t").listFiles()
+        .count(f => f.isFile && f.getName.endsWith(".parquet"))
+    // grow the documents table past a tiny threshold with appended batches
+    updates.addDocuments(dir, all.where($"docid" >= 300 && $"docid" < 310),
+      autoCompactFiles = 0)
+    updates.addDocuments(dir, all.where($"docid" >= 310 && $"docid" < 320),
+      autoCompactFiles = 0)
+    val fragmented = files(IndexSettings.T.Documents)
+    fragmented should be > 2
+    // next batch with a threshold below the current count triggers compact
+    updates.addDocuments(dir, all.where($"docid" >= 320),
+      autoCompactFiles = 2)
+    files(IndexSettings.T.Documents) should be <= 2
+    val manifest = scala.io.Source.fromFile(s"$dir/_graft_manifest.jsonl")
+    val lines = try manifest.getLines().toSeq finally manifest.close()
+    lines.exists(l => l.contains("__update__") && l.contains("compact")) shouldBe true
+    // the compacted index still answers with all docs present
+    val res = new Search(GraftIndex(spark, dir, settings))
+      .execute(SearchRequest(query = Some("w3 "), limit = 400))
+    res.candidates should be > 0L
+  }
+
   test("lifecycle soak: interleaved adds, deletes, and compaction equal a " +
       "from-scratch build over the surviving corpus") {
     val spark = TestSpark.spark
