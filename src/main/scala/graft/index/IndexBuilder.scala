@@ -213,7 +213,17 @@ class IndexBuilder(spark: SparkSession, settings: IndexSettings) extends Seriali
     // per-task lineage + metrics (north rule): aggregate task metrics per
     // stage while the build runs; flushed into the manifest at the end.
     val taskAgg = new java.util.concurrent.ConcurrentHashMap[Int, Array[Long]]()
+    // stageId → build-stage name (via the thread-local job group each
+    // table stage sets): executor time per TABLE, immune to the job-queue
+    // wait that pollutes wall-clock stage durations when stages share the
+    // cluster.
+    val stageGroup = new java.util.concurrent.ConcurrentHashMap[Int, String]()
     val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        val g = Option(js.properties).flatMap(p =>
+          Option(p.getProperty("spark.jobGroup.id"))).getOrElse("")
+        if (g.nonEmpty) js.stageIds.foreach(sid => stageGroup.put(sid, g))
+      }
       override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
         val m = te.taskMetrics
         if (m != null) {
@@ -245,11 +255,15 @@ class IndexBuilder(spark: SparkSession, settings: IndexSettings) extends Seriali
     def stage(name: String)(df: => DataFrame): Unit =
       if (!(resume && manifest.isDone(name, dir))) {
         val s0 = System.nanoTime()
-        val out = df
-        out.write.mode("overwrite").parquet(s"$dir/$name")
+        spark.sparkContext.setJobGroup(name, s"graft build: $name")
+        try {
+          val out = df
+          out.write.mode("overwrite").parquet(s"$dir/$name")
+        } finally spark.sparkContext.clearJobGroup()
         val rows = Manifest.parquetRowCount(spark, s"$dir/$name")
         manifest.synchronized {
-          manifest.record(name, rows, (System.nanoTime() - s0) / 1e9, dir)
+          manifest.record(name, rows, (System.nanoTime() - s0) / 1e9, dir,
+            startOffsetSec = (s0 - t0) / 1e9)
         }
       }
 
@@ -274,14 +288,33 @@ class IndexBuilder(spark: SparkSession, settings: IndexSettings) extends Seriali
     // so per-doc operators (pair sweep, doclen, word counts) run with NO
     // shuffle via consecutive-run grouping; only word-keyed aggregations
     // shuffle, and those move (word, docid) pairs, not raw tokens.
-    // Created (and materialized) only after the documents table commits.
     var dwpRef: Dataset[DwpRow] = null
-    done("__dwp") = done(T.Documents).map { _ =>
-      dwpRef = extractDwp(spark.read.parquet(s"$dir/${T.Documents}"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      dwpRef.count()
-      ()
+    // tokenize from the INPUT frame, not the committed documents table:
+    // the extraction only needs (docid, searchable columns), so it runs
+    // concurrently with the documents write instead of serializing the
+    // build head behind it (the input lineage is recomputed once here —
+    // cheaper than a wall-clock barrier on the busiest stage of the DAG).
+    // EXCEPTION: a settings reindex passes `docs` read from this index's
+    // own documents table, which the documents stage overwrites — there
+    // the concurrent read races the overwrite's file deletion, so wait
+    // for the commit and tokenize the committed table instead.
+    val docsDirPath = java.nio.file.Paths.get(s"$dir/${T.Documents}")
+      .toAbsolutePath.normalize.toString
+    val readsOwnOutput =
+      try docs.inputFiles.exists(_.contains(docsDirPath))
+      catch { case scala.util.control.NonFatal(_) => true }
+    def tokenizeInto(src: DataFrame): Unit = {
+      spark.sparkContext.setJobGroup("__dwp", "graft build: tokenize forward index")
+      try {
+        dwpRef = extractDwp(src).persist(StorageLevel.MEMORY_AND_DISK)
+        dwpRef.count()
+      } finally spark.sparkContext.clearJobGroup()
     }
+    done("__dwp") =
+      if (readsOwnOutput)
+        done(T.Documents).map(_ =>
+          tokenizeInto(spark.read.parquet(s"$dir/${T.Documents}")))
+      else Future(tokenizeInto(docs))
     def dwp = dwpRef
 
     val efSeq = exactFids.toSeq.map(Integer.valueOf)
@@ -423,7 +456,7 @@ class IndexBuilder(spark: SparkSession, settings: IndexSettings) extends Seriali
       if (dwpRef != null) dwpRef.unpersist()
       pool.shutdown()
     }
-    finishBuild(manifest, taskAgg, listener, dir, t0)
+    finishBuild(manifest, taskAgg, stageGroup, listener, dir, t0)
     manifest
   }
 
@@ -678,6 +711,7 @@ class IndexBuilder(spark: SparkSession, settings: IndexSettings) extends Seriali
   private def finishBuild(
       manifest: Manifest,
       taskAgg: java.util.concurrent.ConcurrentHashMap[Int, Array[Long]],
+      stageGroup: java.util.concurrent.ConcurrentHashMap[Int, String],
       listener: org.apache.spark.scheduler.SparkListener,
       dir: String,
       t0: Long): Unit = {
@@ -688,6 +722,20 @@ class IndexBuilder(spark: SparkSession, settings: IndexSettings) extends Seriali
     stages.values.foreach(a => (0 until 5).foreach(i => totals(i) += a(i)))
     manifest.recordTaskMetrics(dir, stages.size, totals(0), totals(1),
       totals(2), totals(3), totals(4))
+    // per-BUILD-STAGE executor time (job-group attribution): the compute
+    // cost of each table independent of job-queue wait — the number to
+    // read when diagnosing scaling efficiency
+    stages.toSeq
+      .groupBy { case (sid, _) => stageGroup.getOrDefault(sid, "?") }
+      .toSeq.sortBy(-_._2.map(_._2(4)).sum)
+      .foreach { case (group, ss) =>
+        val t = Array(0L, 0L, 0L, 0L, 0L)
+        ss.foreach { case (_, a) => (0 until 5).foreach(i => t(i) += a(i)) }
+        Manifest.appendLine(dir,
+          s"""{"table":"__stage__","name":"$group","tasks":${t(0)},""" +
+            s""""records_read":${t(1)},"records_written":${t(2)},""" +
+            s""""bytes_written":${t(3)},"executor_ms":${t(4)}}""")
+      }
     SettingsIO.save(dir, settings) // self-describing index dir
     manifest.finish((System.nanoTime() - t0) / 1e9, settings, dir)
   }
@@ -789,6 +837,97 @@ object IndexBuilder extends Serializable {
     * tail, plus same-word consecutive-occurrence pairs.
     */
   def pairProximities(rows: Seq[DwpRow]): Map[(String, String), Int] = {
+    // Fast path: the heap algorithm's observable output re-derived from a
+    // flat position-sorted array (see [[pairProximitiesHeap]] for the
+    // line-faithful port and the equivalence argument):
+    //  - every stream's "current position" when position p is head equals
+    //    that word's first occurrence after p (positions are unique, heads
+    //    are consumed in global position order);
+    //  - the 7-entry window = head + the first 6 DISTINCT other words in
+    //    flat order after p; entries at cross-attribute or distance ≥ 8
+    //    never emit, and since distance is monotone along the sorted array
+    //    the walk can stop there outright;
+    //  - same-word consecutive pairs are emitted on head advance
+    //    regardless of the window, i.e. exactly the consecutive pairs of
+    //    each row's own sorted positions array.
+    // This turns ~12 O(log k) heap operations + tuple allocations per
+    // token into a ≤ 8-entry primitive forward scan (the stage was 53% of
+    // total build executor time as the heap port).
+    val nWords = rows.length
+    if (nWords == 0) return Map.empty
+    if (nWords >= (1 << 20)) return pairProximitiesHeap(rows) // can't pack
+    val words = new Array[String](nWords)
+    var total = 0
+    var k = 0
+    rows.foreach { r => words(k) = r.word; total += r.positions.length; k += 1 }
+    val out = new scala.collection.mutable.LongMap[Int](math.max(16, total))
+    @inline def putMin(w1: Int, w2: Int, prox: Int): Unit = {
+      val key = (w1.toLong << 20) | w2
+      if (out.getOrElse(key, Int.MaxValue) > prox) out(key) = prox
+    }
+    // same-word consecutive-occurrence pairs: directly from each row
+    k = 0
+    rows.foreach { r =>
+      val ps = r.positions
+      var i = 1
+      while (i < ps.length) {
+        val prox = Proximity.positionsProximity(ps(i - 1), ps(i))
+        if (prox > 0 && prox < Proximity.MaxDistance) putMin(k, k, prox)
+        i += 1
+      }
+      k += 1
+    }
+    // flat (position, wordIdx) packed into longs, globally position-sorted
+    val flat = new Array[Long](total)
+    var n = 0
+    k = 0
+    rows.foreach { r =>
+      val ps = r.positions
+      var i = 0
+      while (i < ps.length) { flat(n) = (ps(i).toLong << 20) | k; n += 1; i += 1 }
+      k += 1
+    }
+    java.util.Arrays.sort(flat)
+    val seenEpoch = new Array[Int](nWords)
+    var epoch = 0
+    var i = 0
+    while (i < n) {
+      epoch += 1
+      val pi = (flat(i) >>> 20).toInt
+      val wi = (flat(i) & 0xFFFFF).toInt
+      val attrI = pi >>> 16
+      val idxI = pi & 0xFFFF
+      var others = 0
+      var j = i + 1
+      while (j < n && others < 6) {
+        val pj = (flat(j) >>> 20).toInt
+        if ((pj >>> 16) != attrI || (pj & 0xFFFF) - idxI >= Proximity.MaxDistance) {
+          j = n // monotone along the sorted array: nothing later can emit
+        } else {
+          val wj = (flat(j) & 0xFFFFF).toInt
+          if (wj != wi && seenEpoch(wj) != epoch) {
+            seenEpoch(wj) = epoch
+            others += 1
+            val d = (pj & 0xFFFF) - idxI
+            if (d > 0) putMin(wi, wj, d)
+          }
+          j += 1
+        }
+      }
+      i += 1
+    }
+    val b = Map.newBuilder[(String, String), Int]
+    out.foreachEntry { (key, prox) =>
+      b += (((words((key >>> 20).toInt), words((key & 0xFFFFF).toInt)), prox))
+    }
+    b.result()
+  }
+
+  /** Line-faithful heap port of `document_word_positions_into_sorter`
+    * (`extract_word_pair_proximity_docids.rs:85-152`) — the oracle for
+    * [[pairProximities]]' flat-walk reformulation, and its fallback for
+    * pathological documents with ≥ 2^20 distinct words. */
+  def pairProximitiesHeap(rows: Seq[DwpRow]): Map[(String, String), Int] = {
     final case class Peeked(word: String, var position: Int, it: Iterator[Int])
     implicit val ord: Ordering[Peeked] = Ordering.by[Peeked, Int](_.position).reverse
     val heap = mutable.PriorityQueue.empty[Peeked]

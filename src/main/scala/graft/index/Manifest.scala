@@ -21,9 +21,10 @@ final class Manifest private (entries: mutable.LinkedHashMap[String, Manifest.En
   def isDone(table: String, dir: String): Boolean =
     entries.contains(table) && Files.exists(Paths.get(s"$dir/$table/_SUCCESS"))
 
-  def record(table: String, rows: Long, seconds: Double, dir: String): Unit = {
+  def record(table: String, rows: Long, seconds: Double, dir: String,
+      startOffsetSec: Double = -1.0): Unit = {
     val bytes = dirSize(Paths.get(s"$dir/$table"))
-    val e = Entry(table, rows, seconds, bytes)
+    val e = Entry(table, rows, seconds, bytes, startOffsetSec)
     entries(table) = e
     append(dir, e.toJson)
   }
@@ -50,10 +51,12 @@ final class Manifest private (entries: mutable.LinkedHashMap[String, Manifest.En
 }
 
 object Manifest {
-  final case class Entry(table: String, rows: Long, seconds: Double, bytes: Long) {
+  final case class Entry(table: String, rows: Long, seconds: Double, bytes: Long,
+      startOffsetSec: Double = -1.0) {
     def toJson: String = {
       val rate = if (seconds > 0) rows / seconds else 0.0
-      s"""{"table":"$table","rows":$rows,"seconds":$seconds,"bytes":$bytes,"rows_per_sec":$rate}"""
+      val start = if (startOffsetSec >= 0) s""","start":$startOffsetSec""" else ""
+      s"""{"table":"$table","rows":$rows,"seconds":$seconds,"bytes":$bytes,"rows_per_sec":$rate$start}"""
     }
   }
 
@@ -91,6 +94,9 @@ object Manifest {
     * rotates on it. Also the audit trail of what changed the index when. */
   def recordUpdate(dir: String, kind: String, detail: String): Unit =
     append(dir, s"""{"table":"__update__","kind":"$kind","detail":"$detail"}""")
+
+  /** Append one raw JSON line (per-stage task metrics). */
+  def appendLine(dir: String, line: String): Unit = append(dir, line)
 
   private def append(dir: String, line: String): Unit = {
     Files.createDirectories(Paths.get(dir))

@@ -1,0 +1,67 @@
+package graft.index
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** The flat-walk pair-proximity sweep must be observationally identical to
+  * the line-faithful heap port of the reference's
+  * `document_word_positions_into_sorter`
+  * (`extract_word_pair_proximity_docids.rs:85-152`) — the fixture suites
+  * pin the heap port against milli; this pins the fast path against the
+  * heap port on adversarial random documents. */
+class PairProximitySpec extends AnyFunSuite with Matchers {
+
+  private def randomDoc(rng: scala.util.Random): Seq[DwpRow] = {
+    val nFields = 1 + rng.nextInt(3)
+    val vocab = 1 + rng.nextInt(30)
+    // tokens per field: dense runs so windows overflow the 7-entry cap
+    val occ = scala.collection.mutable.Map.empty[String, scala.collection.mutable.ArrayBuffer[Int]]
+    (0 until nFields).foreach { fid =>
+      val len = rng.nextInt(60)
+      var idx = 0
+      (0 until len).foreach { _ =>
+        // occasional gaps so some pairs fall beyond MaxDistance
+        idx += 1 + (if (rng.nextInt(10) == 0) rng.nextInt(20) else 0)
+        val w = s"w${rng.nextInt(vocab)}"
+        occ.getOrElseUpdate(w, scala.collection.mutable.ArrayBuffer.empty) +=
+          ((fid << 16) | idx)
+      }
+    }
+    occ.toSeq.sortBy(_._1).map { case (w, ps) => DwpRow(0, w, ps.sorted.toArray) }
+  }
+
+  test("flat-walk sweep ≡ heap port on 500 random documents") {
+    val rng = new scala.util.Random(20260817L)
+    (0 until 500).foreach { i =>
+      val doc = randomDoc(rng)
+      val fast = IndexBuilder.pairProximities(doc)
+      val heap = IndexBuilder.pairProximitiesHeap(doc)
+      withClue(s"doc #$i (${doc.size} words): ") { fast shouldBe heap }
+    }
+  }
+
+  test("hand cases: cap overflow, same-word runs, cross-attribute") {
+    def doc(rows: (String, Seq[Int])*): Seq[DwpRow] =
+      rows.map { case (w, ps) => DwpRow(0, w, ps.toArray) }
+    // 8 distinct words all within distance 7 of the head: only the first
+    // 6 others may pair with it
+    val crowded = doc(
+      "a" -> Seq(1), "b" -> Seq(2), "c" -> Seq(3), "d" -> Seq(4),
+      "e" -> Seq(5), "f" -> Seq(6), "g" -> Seq(7), "h" -> Seq(8))
+    IndexBuilder.pairProximities(crowded) shouldBe
+      IndexBuilder.pairProximitiesHeap(crowded)
+    IndexBuilder.pairProximities(crowded) should not contain key(("a", "h"))
+    // same word twice with 6 distinct words in between: self pair must
+    // still be emitted even though the walk's other-cap fills first
+    val selfBeyondCap = doc(
+      "x" -> Seq(1, 8), "b" -> Seq(2), "c" -> Seq(3), "d" -> Seq(4),
+      "e" -> Seq(5), "f" -> Seq(6), "g" -> Seq(7))
+    val fast = IndexBuilder.pairProximities(selfBeyondCap)
+    fast shouldBe IndexBuilder.pairProximitiesHeap(selfBeyondCap)
+    fast(("x", "x")) shouldBe 7
+    // cross-attribute: maximally distant, never a pair
+    val cross = doc("a" -> Seq(1), "b" -> Seq((1 << 16) | 2))
+    IndexBuilder.pairProximities(cross) shouldBe empty
+    IndexBuilder.pairProximitiesHeap(cross) shouldBe empty
+  }
+}
