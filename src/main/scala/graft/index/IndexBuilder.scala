@@ -6,7 +6,9 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
-import graft.core.{Proximity, Tokenizer}
+import org.roaringbitmap.RoaringBitmap
+
+import graft.core.{Bitmaps, Proximity, Tokenizer}
 import graft.functions.{GraftFunctions => F}
 
 /** One extracted token occurrence: the row shape of the forward-index
@@ -210,6 +212,15 @@ class IndexBuilder(spark: SparkSession, settings: IndexSettings) extends Seriali
     val manifest = Manifest.load(dir)
     val t0 = System.nanoTime()
 
+    // Every bitmap table aggregates millions of (key → roaring bitmap)
+    // groups through ObjectHashAggregate; Spark's default sort-based
+    // fallback threshold (128 in-memory keys) would external-sort every
+    // map partition's full row set. Memory per task stays bounded by the
+    // partition's distinct-key count (a few hundred thousand small
+    // bitmaps), so keep the hash path for realistic cardinalities.
+    spark.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+      sys.env.getOrElse("SPARK_GRAFT_AGG_FALLBACK", (4 << 20).toString))
+
     // per-task lineage + metrics (north rule): aggregate task metrics per
     // stage while the build runs; flushed into the manifest at the end.
     val taskAgg = new java.util.concurrent.ConcurrentHashMap[Int, Array[Long]]()
@@ -227,13 +238,14 @@ class IndexBuilder(spark: SparkSession, settings: IndexSettings) extends Seriali
       override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
         val m = te.taskMetrics
         if (m != null) {
-          val a = taskAgg.computeIfAbsent(te.stageId, _ => new Array[Long](5))
+          val a = taskAgg.computeIfAbsent(te.stageId, _ => new Array[Long](6))
           a.synchronized {
             a(0) += 1 // tasks
             a(1) += m.inputMetrics.recordsRead
             a(2) += m.outputMetrics.recordsWritten
             a(3) += m.outputMetrics.bytesWritten + m.shuffleWriteMetrics.bytesWritten
             a(4) += m.executorRunTime
+            a(5) += m.jvmGCTime
           }
         }
       }
@@ -289,6 +301,7 @@ class IndexBuilder(spark: SparkSession, settings: IndexSettings) extends Seriali
     // shuffle via consecutive-run grouping; only word-keyed aggregations
     // shuffle, and those move (word, docid) pairs, not raw tokens.
     var dwpRef: Dataset[DwpRow] = null
+    var pairPartialRef: DataFrame = null
     // tokenize from the INPUT frame, not the committed documents table:
     // the extraction only needs (docid, searchable columns), so it runs
     // concurrently with the documents write instead of serializing the
@@ -364,19 +377,26 @@ class IndexBuilder(spark: SparkSession, settings: IndexSettings) extends Seriali
       IndexBuilder.perDocFidWordCounts(spark, dwp)
     }
     stageF(T.WordPairProximityDocids, Seq("__dwp")) {
-      // per-doc plane sweep on doc-contiguous rows: no docid shuffle
-      dwp.mapPartitions { it =>
-        IndexBuilder.groupConsecutive(it).flatMap { case (docid, rows) =>
-          IndexBuilder.pairProximities(rows).iterator.map {
-            case ((w1, w2), prox) => (prox, w1, w2, docid)
-          }
-        }
-      }
-      .toDF("prox", "w1", "w2", "docid")
-      .groupBy($"prox", $"w1", $"w2")
-      .agg(F.bitmap_or_agg($"docid").as("docids"))
-      .repartitionByRange($"w1", $"w2", $"prox")
-      .sortWithinPartitions("w1", "w2", "prox")
+      // per-doc plane sweep on doc-contiguous rows (no docid shuffle) with
+      // partition-local combine: ~16 raw pair emissions per output group
+      // collapse into interned-key partial bitmaps before the (single)
+      // range shuffle; sorted equal-key runs then merge streaming. One
+      // shuffle of partials replaces the old hash-agg shuffle + second
+      // range shuffle, and no per-emission row ever crosses an encoder.
+      // persisted because repartitionByRange SAMPLES its child: the range
+      // boundary pass materializes the cache, the shuffle then reads it —
+      // without the persist the whole extraction would run twice.
+      pairPartialRef = dwp.mapPartitions(it => IndexBuilder.pairProximityPartials(it))
+        .toDF("w1", "w2", "prox", "partial")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      pairPartialRef
+        .repartitionByRange($"w1", $"w2", $"prox")
+        .sortWithinPartitions("w1", "w2", "prox")
+        .mapPartitions(it => IndexBuilder.mergePairPartialRuns(it))
+        .toDF("prox", "w1", "w2", "docids")
+    }
+    done(T.WordPairProximityDocids).onComplete { _ =>
+      if (pairPartialRef != null) pairPartialRef.unpersist()
     }
     stageF(T.TermDict, Seq("__dwp")) {
       IndexBuilder.termDictFromDwp(spark, dwp.toDF(), exactFids)
@@ -729,12 +749,12 @@ class IndexBuilder(spark: SparkSession, settings: IndexSettings) extends Seriali
       .groupBy { case (sid, _) => stageGroup.getOrDefault(sid, "?") }
       .toSeq.sortBy(-_._2.map(_._2(4)).sum)
       .foreach { case (group, ss) =>
-        val t = Array(0L, 0L, 0L, 0L, 0L)
-        ss.foreach { case (_, a) => (0 until 5).foreach(i => t(i) += a(i)) }
+        val t = new Array[Long](6)
+        ss.foreach { case (_, a) => a.indices.foreach(i => t(i) += a(i)) }
         Manifest.appendLine(dir,
           s"""{"table":"__stage__","name":"$group","tasks":${t(0)},""" +
             s""""records_read":${t(1)},"records_written":${t(2)},""" +
-            s""""bytes_written":${t(3)},"executor_ms":${t(4)}}""")
+            s""""bytes_written":${t(3)},"executor_ms":${t(4)},"gc_ms":${t(5)}}""")
       }
     SettingsIO.save(dir, settings) // self-describing index dir
     manifest.finish((System.nanoTime() - t0) / 1e9, settings, dir)
@@ -837,6 +857,24 @@ object IndexBuilder extends Serializable {
     * tail, plus same-word consecutive-occurrence pairs.
     */
   def pairProximities(rows: Seq[DwpRow]): Map[(String, String), Int] = {
+    val nWords = rows.length
+    if (nWords == 0) return Map.empty
+    if (nWords >= (1 << 20)) return pairProximitiesHeap(rows) // can't pack
+    val out = pairProximitiesPacked(rows)
+    val b = Map.newBuilder[(String, String), Int]
+    out.foreachEntry { (key, prox) =>
+      b += (((rows((key >>> 20).toInt).word, rows((key & 0xFFFFF).toInt).word), prox))
+    }
+    b.result()
+  }
+
+  /** [[pairProximities]] core over LOCAL word indices: returns a map keyed
+    * `(w1Idx << 20 | w2Idx)` (indices into `rows`) → min proximity. Callers
+    * that already intern words (the partial-combine extraction) translate
+    * indices without touching strings per pair. Requires
+    * `rows.length < 2^20` (callers fall back to [[pairProximitiesHeap]]).
+    */
+  def pairProximitiesPacked(rows: Seq[DwpRow]): scala.collection.mutable.LongMap[Int] = {
     // Fast path: the heap algorithm's observable output re-derived from a
     // flat position-sorted array (see [[pairProximitiesHeap]] for the
     // line-faithful port and the equivalence argument):
@@ -854,12 +892,9 @@ object IndexBuilder extends Serializable {
     // token into a ≤ 8-entry primitive forward scan (the stage was 53% of
     // total build executor time as the heap port).
     val nWords = rows.length
-    if (nWords == 0) return Map.empty
-    if (nWords >= (1 << 20)) return pairProximitiesHeap(rows) // can't pack
-    val words = new Array[String](nWords)
     var total = 0
+    rows.foreach { r => total += r.positions.length }
     var k = 0
-    rows.foreach { r => words(k) = r.word; total += r.positions.length; k += 1 }
     val out = new scala.collection.mutable.LongMap[Int](math.max(16, total))
     @inline def putMin(w1: Int, w2: Int, prox: Int): Unit = {
       val key = (w1.toLong << 20) | w2
@@ -916,12 +951,101 @@ object IndexBuilder extends Serializable {
       }
       i += 1
     }
-    val b = Map.newBuilder[(String, String), Int]
-    out.foreachEntry { (key, prox) =>
-      b += (((words((key >>> 20).toInt), words((key & 0xFFFFF).toInt)), prox))
-    }
-    b.result()
+    out
   }
+
+  /** Per-partition pair-proximity extraction WITH local combine — the
+    * grenad-sorter twin for this table: the sweep's raw per-doc pair
+    * emissions (~16× the distinct (w1,w2,prox) group count) collapse into
+    * a partition-local map of roaring bitmaps BEFORE anything reaches an
+    * encoder or the shuffle. Words intern once per partition; pair keys
+    * pack as `(w1 << 33 | w2 << 3 | prox)` longs, so the hot loop does no
+    * string hashing and no tuple allocation. The map flushes to partial
+    * (w1, w2, prox, cbo-bitmap) rows at `flushKeys` entries (memory bound,
+    * like grenad's max-memory sorter dumps); downstream one range shuffle
+    * + [[mergePairPartialRuns]] produces the final table.
+    */
+  def pairProximityPartials(
+      it: Iterator[DwpRow],
+      flushKeys: Int = sys.env.getOrElse("SPARK_GRAFT_PAIR_FLUSH_KEYS",
+        (4 << 20).toString).toInt): Iterator[(String, String, Int, Array[Byte])] = {
+    val intern = new mutable.AnyRefMap[String, Int]()
+    val internWords = new mutable.ArrayBuffer[String]()
+    val agg = new mutable.LongMap[RoaringBitmap]()
+    def internOf(w: String): Int =
+      intern.getOrElseUpdate(w, { internWords += w; internWords.length - 1 })
+    def add(w1: Int, w2: Int, prox: Int, docid: Int): Unit =
+      agg.getOrElseUpdate((w1.toLong << 33) | (w2.toLong << 3) | prox,
+        new RoaringBitmap()).add(docid)
+    def addDoc(docid: Int, rows: Seq[DwpRow]): Unit = {
+      val nWords = rows.length
+      if (nWords == 0) return
+      if (nWords < (1 << 20)) {
+        val localToIntern = new Array[Int](nWords)
+        var k = 0
+        rows.foreach { r => localToIntern(k) = internOf(r.word); k += 1 }
+        pairProximitiesPacked(rows).foreachEntry { (key, prox) =>
+          add(localToIntern((key >>> 20).toInt),
+            localToIntern((key & 0xFFFFF).toInt), prox, docid)
+        }
+      } else {
+        pairProximitiesHeap(rows).foreach { case ((w1, w2), prox) =>
+          add(internOf(w1), internOf(w2), prox, docid)
+        }
+      }
+    }
+    def drain(): Iterator[(String, String, Int, Array[Byte])] = {
+      if (agg.isEmpty) return Iterator.empty
+      val buf = new mutable.ArrayBuffer[(String, String, Int, Array[Byte])](agg.size)
+      agg.foreachEntry { (key, bm) =>
+        buf += ((internWords((key >>> 33).toInt),
+          internWords(((key >>> 3) & ((1L << 30) - 1)).toInt),
+          (key & 7).toInt, Bitmaps.cboSerialize(bm)))
+      }
+      agg.clear()
+      buf.iterator
+    }
+    val docs = groupConsecutive(it)
+    new Iterator[(String, String, Int, Array[Byte])] {
+      private var batch: Iterator[(String, String, Int, Array[Byte])] = Iterator.empty
+      private def pump(): Unit =
+        while (!batch.hasNext && (docs.hasNext || agg.nonEmpty)) {
+          while (docs.hasNext && agg.size < flushKeys) {
+            val (docid, rows) = docs.next()
+            addDoc(docid, rows)
+          }
+          batch = drain()
+        }
+      override def hasNext: Boolean = { pump(); batch.hasNext }
+      override def next(): (String, String, Int, Array[Byte]) = { pump(); batch.next() }
+    }
+  }
+
+  /** Reduce side of the pair-proximity build: rows arrive range-partitioned
+    * and sorted on (w1, w2, prox); equal-key runs OR together in one
+    * streaming pass (single-partial runs — the overwhelming majority —
+    * pass their cbo bytes through untouched). The k-way grenad merge,
+    * re-expressed as a sorted-run walk.
+    */
+  def mergePairPartialRuns(
+      it: Iterator[org.apache.spark.sql.Row]): Iterator[(Int, String, String, Array[Byte])] =
+    new Iterator[(Int, String, String, Array[Byte])] {
+      private val src = it.buffered
+      override def hasNext: Boolean = src.hasNext
+      override def next(): (Int, String, String, Array[Byte]) = {
+        val h = src.next()
+        val w1 = h.getString(0); val w2 = h.getString(1); val prox = h.getInt(2)
+        var single = h.getAs[Array[Byte]](3)
+        var bm: RoaringBitmap = null
+        while (src.hasNext && src.head.getString(0) == w1 &&
+            src.head.getString(1) == w2 && src.head.getInt(2) == prox) {
+          val bytes = src.next().getAs[Array[Byte]](3)
+          if (bm == null) { bm = Bitmaps.cboDeserialize(single); single = null }
+          bm.or(Bitmaps.cboDeserialize(bytes))
+        }
+        (prox, w1, w2, if (bm == null) single else Bitmaps.cboSerialize(bm))
+      }
+    }
 
   /** Line-faithful heap port of `document_word_positions_into_sorter`
     * (`extract_word_pair_proximity_docids.rs:85-152`) — the oracle for

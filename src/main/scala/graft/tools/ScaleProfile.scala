@@ -45,7 +45,7 @@ object ScaleProfile {
             .takeWhile(c => c != ',' && c != '}' && c != '"')
         }
         if (f("table") == "__stage__")
-          println(f"[profile-exec] ${f("name")}%-36s executor_ms=${f("executor_ms")}%9s tasks=${f("tasks")}%5s read=${f("records_read")}%10s")
+          println(f"[profile-exec] ${f("name")}%-36s executor_ms=${f("executor_ms")}%9s gc_ms=${f("gc_ms")}%8s tasks=${f("tasks")}%5s read=${f("records_read")}%10s")
         else if (f("table") != "-" && !f("table").startsWith("__"))
           println(f"[profile] ${f("table")}%-36s start=${f("start")}%8s dur=${f("seconds")}%8s rows=${f("rows")}%9s")
       }

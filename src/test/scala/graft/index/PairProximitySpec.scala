@@ -64,4 +64,49 @@ class PairProximitySpec extends AnyFunSuite with Matchers {
     IndexBuilder.pairProximities(cross) shouldBe empty
     IndexBuilder.pairProximitiesHeap(cross) shouldBe empty
   }
+
+  test("distributed stage parity: local-combine partials + run merge ≡ groupBy bitmap agg") {
+    val spark = graft.TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val F = graft.functions.GraftFunctions
+    val rng = new scala.util.Random(7L)
+    val rows = (0 until 400).flatMap { docid =>
+      randomDoc(rng).map(r => r.copy(docid = docid))
+    }
+    // doc-contiguous, several partitions, plus a tiny flush cap so the
+    // multi-flush (duplicate partial keys per partition) path is exercised
+    val dwp = spark.createDataset(rows).repartitionByRange(4, $"docid")
+      .sortWithinPartitions("docid").as[DwpRow]
+    val reference = dwp.mapPartitions { it =>
+      IndexBuilder.groupConsecutive(it).flatMap { case (docid, drows) =>
+        IndexBuilder.pairProximities(drows).iterator.map {
+          case ((w1, w2), prox) => (prox, w1, w2, docid)
+        }
+      }
+    }.toDF("prox", "w1", "w2", "docid")
+      .groupBy($"prox", $"w1", $"w2")
+      .agg(F.bitmap_or_agg($"docid").as("docids"))
+    val fast = dwp.mapPartitions(it => IndexBuilder.pairProximityPartials(it, flushKeys = 64))
+      .toDF("w1", "w2", "prox", "partial")
+      .repartitionByRange(4, $"w1", $"w2", $"prox")
+      .sortWithinPartitions("w1", "w2", "prox")
+      .mapPartitions(it => IndexBuilder.mergePairPartialRuns(it))
+      .toDF("prox", "w1", "w2", "docids")
+    def decode(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map { r =>
+        ((r.getInt(0), r.getString(1), r.getString(2)),
+          graft.core.Bitmaps.cboDeserialize(r.getAs[Array[Byte]](3)).toArray.toSeq)
+      }.toMap
+    val a = decode(reference)
+    val b = decode(fast)
+    b.size shouldBe a.size
+    b shouldBe a
+    // and the serialized bytes must be codec-identical per key
+    val bytesA = reference.collect().map(r =>
+      ((r.getInt(0), r.getString(1), r.getString(2)), r.getAs[Array[Byte]](3).toSeq)).toMap
+    val bytesB = fast.collect().map(r =>
+      ((r.getInt(0), r.getString(1), r.getString(2)), r.getAs[Array[Byte]](3).toSeq)).toMap
+    bytesB shouldBe bytesA
+  }
 }
