@@ -54,6 +54,37 @@ object Bitmaps extends Serializable {
     }
   }
 
+  /** Cbo bytes straight from a SORTED-ASCENDING distinct id prefix
+    * `ids[0, n)` — byte-identical to `cboSerialize(fromInts(...))` (the
+    * raw-u32 form writes ids in ascending order, which is also roaring
+    * iteration order) without allocating a bitmap for the ≤7-id case that
+    * dominates map-side partial aggregation. */
+  def cboSerializeInts(ids: Array[Int], n: Int): Array[Byte] = {
+    var i = 1
+    while (i < n && ids(i - 1) < ids(i)) i += 1
+    if (i < n) { // defensive: a non-ascending caller still gets codec bytes
+      val sorted = java.util.Arrays.copyOf(ids, n)
+      java.util.Arrays.sort(sorted)
+      var w = 1
+      var r = 1
+      while (r < n) {
+        if (sorted(r) != sorted(w - 1)) { sorted(w) = sorted(r); w += 1 }
+        r += 1
+      }
+      return cboSerializeInts(sorted, w)
+    }
+    if (n <= CboThreshold) {
+      val buf = ByteBuffer.allocate(n * 4).order(ByteOrder.LITTLE_ENDIAN)
+      var i = 0
+      while (i < n) { buf.putInt(ids(i)); i += 1 }
+      buf.array()
+    } else {
+      val bm = new RoaringBitmap()
+      bm.addN(ids, 0, n)
+      cboSerialize(bm)
+    }
+  }
+
   def fromInts(ids: Iterable[Int]): RoaringBitmap = {
     val bm = new RoaringBitmap()
     ids.foreach(bm.add)

@@ -302,6 +302,7 @@ class IndexBuilder(spark: SparkSession, settings: IndexSettings) extends Seriali
     // shuffle, and those move (word, docid) pairs, not raw tokens.
     var dwpRef: Dataset[DwpRow] = null
     var pairPartialRef: DataFrame = null
+    var wordPosPartialRef: DataFrame = null
     // tokenize from the INPUT frame, not the committed documents table:
     // the extraction only needs (docid, searchable columns), so it runs
     // concurrently with the documents write instead of serializing the
@@ -330,12 +331,6 @@ class IndexBuilder(spark: SparkSession, settings: IndexSettings) extends Seriali
       else Future(tokenizeInto(docs))
     def dwp = dwpRef
 
-    val efSeq = exactFids.toSeq.map(Integer.valueOf)
-    def hasTolerant = if (exactFids.isEmpty) lit(true)
-      else exists($"positions", p => !(shiftright(p, 16).isin(efSeq: _*)))
-    def hasExact = if (exactFids.isEmpty) lit(false)
-      else exists($"positions", p => shiftright(p, 16).isin(efSeq: _*))
-
     // everything derived from the forward index (launches when __dwp lands)
     stageF(T.DocWordPositions, Seq("__dwp")) {
       // WORD-MAJOR on disk (the physical twin of milli's LMDB key order,
@@ -349,27 +344,49 @@ class IndexBuilder(spark: SparkSession, settings: IndexSettings) extends Seriali
       dwp.toDF().repartitionByRange($"word", $"docid")
         .sortWithinPartitions("word", "docid")
     }
-    stageF(T.WordDocids, Seq("__dwp")) {
-        // occurrences in exact_attributes fields live ONLY in
-        // exact_word_docids (extract_word_docids.rs:25-88)
-        dwp.toDF().where(hasTolerant)
-          .groupBy($"word")
-          .agg(F.bitmap_or_agg($"docid").as("docids"))
-          .withColumn("df", F.bitmap_cardinality($"docids"))
-          .repartitionByRange(col("word"))
-          .sortWithinPartitions("word")
+    // one dwp scan + one tiny shuffle feeds word_docids,
+    // exact_word_docids AND term_dict (occurrences in exact_attributes
+    // fields live ONLY in exact_word_docids, extract_word_docids.rs:25-88)
+    var wordAggRef: DataFrame = null
+    done("__wordAgg") = done("__dwp").map { _ =>
+      spark.sparkContext.setJobGroup("__wordAgg", "graft build: word-table partials")
+      try {
+        wordAggRef = dwp.mapPartitions(it =>
+            IndexBuilder.wordAggPartials(it, exactFids))
+          .toDF("word", "tol", "exact", "df", "tol_df", "ttf")
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        wordAggRef.count()
+        ()
+      } finally spark.sparkContext.clearJobGroup()
     }
-    stageF(T.ExactWordDocids, Seq("__dwp")) {
-      dwp.toDF().where(hasExact)
-        .groupBy($"word").agg(F.bitmap_or_agg($"docid").as("docids"))
-        .repartitionByRange(col("word")).sortWithinPartitions("word")
+    def mergedWordAgg =
+      wordAggRef.repartitionByRange($"word").sortWithinPartitions("word")
+        .mapPartitions(it => IndexBuilder.mergeWordAggRuns(it))
+        .toDF("word", "docids", "tol_df", "exact_docids", "df", "exact_only", "ttf")
+    stageF(T.WordDocids, Seq("__wordAgg")) {
+      mergedWordAgg.where(length($"docids") > 0)
+        .select($"word", $"docids", $"tol_df".as("df"))
+    }
+    stageF(T.ExactWordDocids, Seq("__wordAgg")) {
+      mergedWordAgg.where(length($"exact_docids") > 0)
+        .select($"word", $"exact_docids".as("docids"))
     }
     stageF(T.WordPositionDocids, Seq("__dwp")) {
-      dwp.toDF().select($"word", explode($"positions").as("position"), $"docid")
-        .groupBy($"word", $"position")
-        .agg(F.bitmap_or_agg($"docid").as("docids"))
-        .repartitionByRange(col("word"), col("position"))
+      // partition-local combine (see pairProximityPartials): one shuffle
+      // of pre-merged (word, position, partial-bitmap) rows, then a
+      // streaming sorted-run merge — no position explode ever crosses an
+      // encoder. Persisted across the range sampler's extra pass.
+      wordPosPartialRef = dwp.mapPartitions(it => IndexBuilder.wordPositionPartials(it))
+        .toDF("word", "position", "partial")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      wordPosPartialRef
+        .repartitionByRange($"word", $"position")
         .sortWithinPartitions("word", "position")
+        .mapPartitions(it => IndexBuilder.mergeWordPositionRuns(it))
+        .toDF("word", "position", "docids")
+    }
+    done(T.WordPositionDocids).onComplete { _ =>
+      if (wordPosPartialRef != null) wordPosPartialRef.unpersist()
     }
     stageF(T.DocFidWordCounts, Seq("__dwp")) {
       // word count = last relative position + 1, kept only when ≤ 10
@@ -398,9 +415,11 @@ class IndexBuilder(spark: SparkSession, settings: IndexSettings) extends Seriali
     done(T.WordPairProximityDocids).onComplete { _ =>
       if (pairPartialRef != null) pairPartialRef.unpersist()
     }
-    stageF(T.TermDict, Seq("__dwp")) {
-      IndexBuilder.termDictFromDwp(spark, dwp.toDF(), exactFids)
+    stageF(T.TermDict, Seq("__wordAgg")) {
+      mergedWordAgg.select($"word", $"df", $"exact_only", $"ttf")
     }
+    Future.sequence(Seq(done(T.WordDocids), done(T.ExactWordDocids), done(T.TermDict)))
+      .onComplete(_ => if (wordAggRef != null) wordAggRef.unpersist())
     stageF(T.DocStats, Seq("__dwp")) { IndexBuilder.perDocStats(spark, dwp) }
     stageF(T.PostingBlocks, Seq(T.DocWordPositions)) {
       // derive from the COMMITTED word-major table: rows are already
@@ -954,6 +973,24 @@ object IndexBuilder extends Serializable {
     out
   }
 
+  /** Growable primitive int buffer for map-side partial posting sets —
+    * appended in ascending docid order so the filled prefix is a sorted
+    * distinct set ready for [[Bitmaps.cboSerializeInts]]. */
+  final class IntBuf(var arr: Array[Int], var n: Int) {
+    def add(v: Int): Unit = {
+      if (n == arr.length) arr = java.util.Arrays.copyOf(arr, arr.length << 1)
+      arr(n) = v
+      n += 1
+    }
+  }
+  object IntBuf {
+    def of(v: Int): IntBuf = {
+      val b = new IntBuf(new Array[Int](2), 0)
+      b.add(v)
+      b
+    }
+  }
+
   /** Per-partition pair-proximity extraction WITH local combine — the
     * grenad-sorter twin for this table: the sweep's raw per-doc pair
     * emissions (~16× the distinct (w1,w2,prox) group count) collapse into
@@ -971,12 +1008,19 @@ object IndexBuilder extends Serializable {
         (4 << 20).toString).toInt): Iterator[(String, String, Int, Array[Byte])] = {
     val intern = new mutable.AnyRefMap[String, Int]()
     val internWords = new mutable.ArrayBuffer[String]()
-    val agg = new mutable.LongMap[RoaringBitmap]()
+    // per-key docid buffer: docids arrive strictly ascending (doc-contiguous
+    // input over docid-sorted partitions), so a growable int array IS the
+    // sorted set — no per-key RoaringBitmap until a key outgrows the raw-u32
+    // cbo form. ~5 fewer allocations per key on the dominant ≤7-id path.
+    val agg = new mutable.LongMap[IndexBuilder.IntBuf]()
     def internOf(w: String): Int =
       intern.getOrElseUpdate(w, { internWords += w; internWords.length - 1 })
-    def add(w1: Int, w2: Int, prox: Int, docid: Int): Unit =
-      agg.getOrElseUpdate((w1.toLong << 33) | (w2.toLong << 3) | prox,
-        new RoaringBitmap()).add(docid)
+    def add(w1: Int, w2: Int, prox: Int, docid: Int): Unit = {
+      val key = (w1.toLong << 33) | (w2.toLong << 3) | prox
+      val buf = agg.getOrNull(key)
+      if (buf == null) agg(key) = IndexBuilder.IntBuf.of(docid)
+      else buf.add(docid)
+    }
     def addDoc(docid: Int, rows: Seq[DwpRow]): Unit = {
       val nWords = rows.length
       if (nWords == 0) return
@@ -997,10 +1041,10 @@ object IndexBuilder extends Serializable {
     def drain(): Iterator[(String, String, Int, Array[Byte])] = {
       if (agg.isEmpty) return Iterator.empty
       val buf = new mutable.ArrayBuffer[(String, String, Int, Array[Byte])](agg.size)
-      agg.foreachEntry { (key, bm) =>
+      agg.foreachEntry { (key, ids) =>
         buf += ((internWords((key >>> 33).toInt),
           internWords(((key >>> 3) & ((1L << 30) - 1)).toInt),
-          (key & 7).toInt, Bitmaps.cboSerialize(bm)))
+          (key & 7).toInt, Bitmaps.cboSerializeInts(ids.arr, ids.n)))
       }
       agg.clear()
       buf.iterator
@@ -1020,6 +1064,174 @@ object IndexBuilder extends Serializable {
       override def next(): (String, String, Int, Array[Byte]) = { pump(); batch.next() }
     }
   }
+
+  /** Per-partition (word, position) → docids partial combine — the same
+    * grenad-sorter shape as [[pairProximityPartials]] for the
+    * word-position table: packed `wordIdx << 32 | position` keys, docids
+    * appended ascending, flush-capped. Replaces a 10^8-position explode
+    * through the encoder + hash agg + second range shuffle with one
+    * shuffle of pre-merged partials. */
+  def wordPositionPartials(
+      it: Iterator[DwpRow],
+      flushKeys: Int = sys.env.getOrElse("SPARK_GRAFT_PAIR_FLUSH_KEYS",
+        (4 << 20).toString).toInt): Iterator[(String, Int, Array[Byte])] = {
+    val intern = new mutable.AnyRefMap[String, Int]()
+    val internWords = new mutable.ArrayBuffer[String]()
+    val agg = new mutable.LongMap[IntBuf]()
+    def drain(): Iterator[(String, Int, Array[Byte])] = {
+      if (agg.isEmpty) return Iterator.empty
+      val buf = new mutable.ArrayBuffer[(String, Int, Array[Byte])](agg.size)
+      agg.foreachEntry { (key, ids) =>
+        buf += ((internWords((key >>> 32).toInt), key.toInt,
+          Bitmaps.cboSerializeInts(ids.arr, ids.n)))
+      }
+      agg.clear()
+      buf.iterator
+    }
+    new Iterator[(String, Int, Array[Byte])] {
+      private var batch: Iterator[(String, Int, Array[Byte])] = Iterator.empty
+      private def pump(): Unit =
+        while (!batch.hasNext && (it.hasNext || agg.nonEmpty)) {
+          while (it.hasNext && agg.size < flushKeys) {
+            val r = it.next()
+            val w = intern.getOrElseUpdate(r.word,
+              { internWords += r.word; internWords.length - 1 })
+            val ps = r.positions
+            var i = 0
+            while (i < ps.length) {
+              val key = (w.toLong << 32) | (ps(i).toLong & 0xFFFFFFFFL)
+              val buf = agg.getOrNull(key)
+              if (buf == null) agg(key) = IntBuf.of(r.docid)
+              else buf.add(r.docid)
+              i += 1
+            }
+          }
+          batch = drain()
+        }
+      override def hasNext: Boolean = { pump(); batch.hasNext }
+      override def next(): (String, Int, Array[Byte]) = { pump(); batch.next() }
+    }
+  }
+
+  /** Reduce side of [[wordPositionPartials]]: range-partitioned rows sorted
+    * on (word, position); equal-key runs OR together streaming. */
+  def mergeWordPositionRuns(
+      it: Iterator[org.apache.spark.sql.Row]): Iterator[(String, Int, Array[Byte])] =
+    new Iterator[(String, Int, Array[Byte])] {
+      private val src = it.buffered
+      override def hasNext: Boolean = src.hasNext
+      override def next(): (String, Int, Array[Byte]) = {
+        val h = src.next()
+        val w = h.getString(0); val pos = h.getInt(1)
+        var single = h.getAs[Array[Byte]](2)
+        var bm: RoaringBitmap = null
+        while (src.hasNext && src.head.getString(0) == w && src.head.getInt(1) == pos) {
+          val bytes = src.next().getAs[Array[Byte]](2)
+          if (bm == null) { bm = Bitmaps.cboDeserialize(single); single = null }
+          bm.or(Bitmaps.cboDeserialize(bytes))
+        }
+        (w, pos, if (bm == null) single else Bitmaps.cboSerialize(bm))
+      }
+    }
+
+  /** Per-partition per-WORD combine feeding three tables from ONE dwp scan
+    * and ONE shuffle: word_docids (tolerant-occurrence bitmap + df),
+    * exact_word_docids (exact-occurrence bitmap), term_dict (df,
+    * exact_only, ttf). Emits (word, tolerantBytes, exactBytes, df,
+    * tolerantDf, ttf) partials; docids append ascending per key. */
+  def wordAggPartials(
+      it: Iterator[DwpRow],
+      exactFids: Set[Int]): Iterator[(String, Array[Byte], Array[Byte], Long, Long, Long)] = {
+    final class Acc {
+      var tol: IntBuf = null
+      var exa: IntBuf = null
+      var df = 0L
+      var tolDf = 0L
+      var ttf = 0L
+    }
+    val agg = new mutable.AnyRefMap[String, Acc]()
+    val noExact = exactFids.isEmpty
+    it.foreach { r =>
+      val a = agg.getOrElseUpdate(r.word, new Acc)
+      val ps = r.positions
+      var tolerant = noExact
+      var exact = false
+      if (!noExact) {
+        var i = 0
+        while (i < ps.length && !(tolerant && exact)) {
+          if (exactFids(ps(i) >>> 16)) exact = true else tolerant = true
+          i += 1
+        }
+      }
+      if (tolerant) {
+        if (a.tol == null) a.tol = IntBuf.of(r.docid) else a.tol.add(r.docid)
+        a.tolDf += 1
+      }
+      if (exact) {
+        if (a.exa == null) a.exa = IntBuf.of(r.docid) else a.exa.add(r.docid)
+      }
+      a.df += 1
+      a.ttf += ps.length
+    }
+    val empty = Array.emptyByteArray
+    val buf = new mutable.ArrayBuffer[(String, Array[Byte], Array[Byte], Long, Long, Long)](agg.size)
+    agg.foreachEntry { (w, a) =>
+      buf += ((w,
+        if (a.tol == null) empty else Bitmaps.cboSerializeInts(a.tol.arr, a.tol.n),
+        if (a.exa == null) empty else Bitmaps.cboSerializeInts(a.exa.arr, a.exa.n),
+        a.df, a.tolDf, a.ttf))
+    }
+    buf.iterator
+  }
+
+  /** Reduce side of [[wordAggPartials]]: word-sorted runs fold into
+    * (word, tolerant docids, tolerant cardinality, exact docids, df,
+    * exact_only, ttf) — one row per word, in word order. */
+  def mergeWordAggRuns(
+      it: Iterator[org.apache.spark.sql.Row]): Iterator[(String, Array[Byte], Long, Array[Byte], Long, Boolean, Long)] =
+    new Iterator[(String, Array[Byte], Long, Array[Byte], Long, Boolean, Long)] {
+      private val src = it.buffered
+      override def hasNext: Boolean = src.hasNext
+      override def next(): (String, Array[Byte], Long, Array[Byte], Long, Boolean, Long) = {
+        val w = src.head.getString(0)
+        var tol: RoaringBitmap = null
+        var tolSingle: Array[Byte] = null
+        var exa: RoaringBitmap = null
+        var exaSingle: Array[Byte] = null
+        var df = 0L
+        var tolDf = 0L
+        var ttf = 0L
+        while (src.hasNext && src.head.getString(0) == w) {
+          val r = src.next()
+          val tb = r.getAs[Array[Byte]](1)
+          if (tb.nonEmpty) {
+            if (tolSingle == null && tol == null) tolSingle = tb
+            else {
+              if (tol == null) { tol = Bitmaps.cboDeserialize(tolSingle); tolSingle = null }
+              tol.or(Bitmaps.cboDeserialize(tb))
+            }
+          }
+          val eb = r.getAs[Array[Byte]](2)
+          if (eb.nonEmpty) {
+            if (exaSingle == null && exa == null) exaSingle = eb
+            else {
+              if (exa == null) { exa = Bitmaps.cboDeserialize(exaSingle); exaSingle = null }
+              exa.or(Bitmaps.cboDeserialize(eb))
+            }
+          }
+          df += r.getLong(3)
+          tolDf += r.getLong(4)
+          ttf += r.getLong(5)
+        }
+        val tolBytes = if (tol != null) Bitmaps.cboSerialize(tol)
+          else if (tolSingle != null) tolSingle else Array.emptyByteArray
+        val exaBytes = if (exa != null) Bitmaps.cboSerialize(exa)
+          else if (exaSingle != null) exaSingle else Array.emptyByteArray
+        // one dwp row per (word, docid) → the tolerant bitmap's
+        // cardinality IS the tolerant row count
+        (w, tolBytes, tolDf, exaBytes, df, tolDf == 0L, ttf)
+      }
+    }
 
   /** Reduce side of the pair-proximity build: rows arrive range-partitioned
     * and sorted on (w1, w2, prox); equal-key runs OR together in one

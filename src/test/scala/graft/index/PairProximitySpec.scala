@@ -109,4 +109,34 @@ class PairProximitySpec extends AnyFunSuite with Matchers {
       ((r.getInt(0), r.getString(1), r.getString(2)), r.getAs[Array[Byte]](3).toSeq)).toMap
     bytesB shouldBe bytesA
   }
+
+  test("word-position stage parity: partials + run merge ≡ explode + groupBy bitmap agg") {
+    val spark = graft.TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val F = graft.functions.GraftFunctions
+    val rng = new scala.util.Random(11L)
+    val rows = (0 until 400).flatMap { docid =>
+      randomDoc(rng).map(r => r.copy(docid = docid))
+    }
+    val dwp = spark.createDataset(rows).repartitionByRange(4, $"docid")
+      .sortWithinPartitions("docid").as[DwpRow]
+    val reference = dwp.toDF().select($"word", explode($"positions").as("position"), $"docid")
+      .groupBy($"word", $"position")
+      .agg(F.bitmap_or_agg($"docid").as("docids"))
+    val fast = dwp.mapPartitions(it => IndexBuilder.wordPositionPartials(it, flushKeys = 64))
+      .toDF("word", "position", "partial")
+      .repartitionByRange(4, $"word", $"position")
+      .sortWithinPartitions("word", "position")
+      .mapPartitions(it => IndexBuilder.mergeWordPositionRuns(it))
+      .toDF("word", "position", "docids")
+    def decode(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map { r =>
+        ((r.getString(0), r.getInt(1)), r.getAs[Array[Byte]](2).toSeq)
+      }.toMap
+    val a = decode(reference)
+    val b = decode(fast)
+    b.size shouldBe a.size
+    b shouldBe a
+  }
 }
