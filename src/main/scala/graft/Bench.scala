@@ -58,14 +58,18 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val benchDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "100000").toLong
     val scaleDocs = sys.env.getOrElse("SPARK_GRAFT_SCALE_DOCS", "300000").toLong
-    // N vs 4N executor-slot stand-in. Default 4→16: with both levels on
-    // one box, 32 threads saturate the DRAM bus (measured: same build does
-    // ~40% more core-seconds at local[32] than local[8], GC excluded), so
-    // the 8→32 pair measures the single-node memory ceiling, not the
-    // architecture. 4→16 keeps the high level under the bandwidth wall —
-    // the honest emulation of ADDING EXECUTOR NODES, each with its own
-    // memory bus. Both pairs are reported in BASELINE.md.
-    val lowN = sys.env.getOrElse("SPARK_GRAFT_LOW_N", "4").toInt
+    // N vs 4N executor-slot stand-in. Default 2→8: with both levels on
+    // one box the build saturates the shared DRAM bus around 8-10 threads
+    // (measured round-4: local[8] 43.7s ≈ local[16] 41.8s on the same
+    // 300k corpus — the last doubling buys ~5%), so any pair whose high
+    // level sits ON the bandwidth wall measures the single-node memory
+    // ceiling, not the architecture. 2→8 keeps BOTH levels under the
+    // wall — the honest emulation of ADDING EXECUTOR NODES, each with
+    // its own memory bus. The saturated 4→16 pair is ALSO measured and
+    // reported in BASELINE.md with the per-stage core-second evidence
+    // (executor_ms inflation, gc_ms) so the ceiling is documented, not
+    // hidden.
+    val lowN = sys.env.getOrElse("SPARK_GRAFT_LOW_N", "2").toInt
     val highN = math.min(lowN * 4, 32)
     // phase selection for focused re-runs (e.g. "serving" while iterating on
     // the read path, or "scaling" to re-measure on a quiet host); the
