@@ -493,6 +493,7 @@ class IndexBuilder(spark: SparkSession, settings: IndexSettings) extends Seriali
     try Await.result(Future.sequence(done.values.toSeq), Duration.Inf)
     finally {
       if (dwpRef != null) dwpRef.unpersist()
+      releaseTransients()
       pool.shutdown()
     }
     finishBuild(manifest, taskAgg, stageGroup, listener, dir, t0)
@@ -554,43 +555,73 @@ class IndexBuilder(spark: SparkSession, settings: IndexSettings) extends Seriali
       .repartitionByRange($"prefix").sortWithinPartitions("prefix")
   }
 
+  /** Transient persists made for a repartitionByRange child (the range
+    * sampler executes its child once BEFORE the shuffle — unpersisted,
+    * the partial-combine extraction would run twice). Released by
+    * finishBuild / the refresh drivers once the consuming tables commit. */
+  private val transients = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+  private def transient(df: DataFrame): DataFrame = {
+    val p = df.persist(StorageLevel.MEMORY_AND_DISK)
+    transients.add(p)
+    p
+  }
+  def releaseTransients(): Unit = {
+    var d = transients.poll()
+    while (d != null) { d.unpersist(); d = transients.poll() }
+  }
+  /** Driver-side prefix set for the partial-combine prefix builders. The
+    * prefix dictionary is df-thresholded and length-capped exactly like
+    * the reference's prefix FST (words_prefixes_fst.rs:43-96), so its
+    * size is bounded by the alphabet's short-prefix space — thousands of
+    * entries even at web scale, safe to pin. */
+  private def prefixSet(dir: String, only: Option[DataFrame], maxLen: Int): Set[String] =
+    pdUse(dir, only, maxLen).collect().map(_.getString(0)).toSet
+
   def buildWordPrefixPositionDocids(dir: String, only: Option[DataFrame] = None): DataFrame = {
+    // partition-local combine over the word-sorted source (a prefix's
+    // word rows are contiguous, so per-partition key sets barely overlap)
+    // + ONE range shuffle of pre-unioned partials + sorted-run merge —
+    // see prefixPositionPartials
     val wp = spark.read.parquet(s"$dir/${T.WordPositionDocids}")
-    val exploded = wp.select($"word", $"position", $"docids",
-        explode(sequence(lit(1), least(length($"word"), lit(settings.maxPrefixLength)))).as("n"))
-      .select($"word".substr(lit(1), $"n").as("prefix"), $"position", $"docids")
-    exploded.join(broadcast(pdUse(dir, only)), Seq("prefix"))
-      .groupBy($"prefix", $"position").agg(F.bitmap_union_agg($"docids").as("docids"))
-      .repartitionByRange($"prefix", $"position")
+    val prefixes = prefixSet(dir, only, settings.maxPrefixLength)
+    val maxLen = settings.maxPrefixLength
+    val partials = transient(
+      wp.select($"word", $"position", $"docids")
+        .mapPartitions(it =>
+          IndexBuilder.prefixPositionPartials(it, prefixes, maxLen))
+        .toDF("prefix", "position", "partial"))
+    partials.repartitionByRange($"prefix", $"position")
       .sortWithinPartitions("prefix", "position")
+      .mapPartitions(it => IndexBuilder.mergeWordPositionRuns(it))
+      .toDF("prefix", "position", "docids")
   }
 
   def buildWordPrefixPairProximity(dir: String, only: Option[DataFrame] = None): DataFrame = {
     val wpp = spark.read.parquet(s"$dir/${T.WordPairProximityDocids}")
-    val exploded = wpp.where($"prox" <= 4)
-      .select($"prox", $"w1", $"docids",
-        explode(sequence(lit(1), least(length($"w2"), lit(2)))).as("n"),
-        $"w2")
-      .select($"prox", $"w1", $"w2".substr(lit(1), $"n").as("prefix"), $"docids")
-    exploded.join(broadcast(pdUse(dir, only, maxLen = 2)), Seq("prefix"))
-      .groupBy($"prox", $"w1", $"prefix")
-      .agg(F.bitmap_union_agg($"docids").as("docids"))
-      .repartitionByRange($"prefix", $"w1", $"prox")
+    val prefixes = prefixSet(dir, only, maxLen = 2)
+    val partials = transient(
+      wpp.select($"prox", $"w1", $"w2", $"docids")
+        .mapPartitions(it =>
+          IndexBuilder.prefixPairPartials(it, prefixes, rightSide = true))
+        .toDF("w1", "prefix", "prox", "partial"))
+    partials.repartitionByRange($"prefix", $"w1", $"prox")
       .sortWithinPartitions("prefix", "w1", "prox")
+      .mapPartitions(it => IndexBuilder.mergePairPartialRuns(it))
+      .toDF("prox", "w1", "prefix", "docids")
   }
 
   def buildPrefixWordPairProximity(dir: String, only: Option[DataFrame] = None): DataFrame = {
     val wpp = spark.read.parquet(s"$dir/${T.WordPairProximityDocids}")
-    val exploded = wpp.where($"prox" <= 4)
-      .select($"prox", $"w2", $"docids",
-        explode(sequence(lit(1), least(length($"w1"), lit(2)))).as("n"),
-        $"w1")
-      .select($"prox", $"w1".substr(lit(1), $"n").as("prefix"), $"w2", $"docids")
-    exploded.join(broadcast(pdUse(dir, only, maxLen = 2)), Seq("prefix"))
-      .groupBy($"prox", $"prefix", $"w2")
-      .agg(F.bitmap_union_agg($"docids").as("docids"))
-      .repartitionByRange($"prefix", $"w2", $"prox")
+    val prefixes = prefixSet(dir, only, maxLen = 2)
+    val partials = transient(
+      wpp.select($"prox", $"w1", $"w2", $"docids")
+        .mapPartitions(it =>
+          IndexBuilder.prefixPairPartials(it, prefixes, rightSide = false))
+        .toDF("prefix", "w2", "prox", "partial"))
+    partials.repartitionByRange($"prefix", $"w2", $"prox")
       .sortWithinPartitions("prefix", "w2", "prox")
+      .mapPartitions(it => IndexBuilder.mergePairPartialRuns(it))
+      .toDF("prox", "prefix", "w2", "docids")
   }
 
   /** Geo cell table: (cell, docid, lat, lng), one row per geo point,
@@ -646,6 +677,7 @@ class IndexBuilder(spark: SparkSession, settings: IndexSettings) extends Seriali
     writeOver(buildPrefixWordPairProximity(dir), s"$dir/${T.PrefixWordPairProximityDocids}")
     writeOver(buildFacetNumberLevels(dir), s"$dir/${T.FacetNumberLevels}")
     writeOver(buildFacetStringLevels(dir), s"$dir/${T.FacetStringLevels}")
+    releaseTransients()
   }
 
   /** Prefix-DIFF incremental refresh — the Spark twin of the reference's
@@ -744,7 +776,10 @@ class IndexBuilder(spark: SparkSession, settings: IndexSettings) extends Seriali
         buildFacetNumberLevels(dir, _))
       refreshLevels(T.FacetStringLevels, T.DocFacetStrings, "norm",
         buildFacetStringLevels(dir, _))
-    } finally affected.unpersist(false)
+    } finally {
+      affected.unpersist(false)
+      releaseTransients()
+    }
   }
 
   private def finishBuild(
@@ -1232,6 +1267,140 @@ object IndexBuilder extends Serializable {
         (w, tolBytes, tolDf, exaBytes, df, tolDf == 0L, ttf)
       }
     }
+
+  /** Lazy bitmap-union accumulator for partial combines whose inputs are
+    * already-serialized cbo bitmaps: a single contribution passes its bytes
+    * through untouched (byte-identical, zero decode), a second deserializes
+    * and ORs. */
+  final class BmAcc {
+    private var single: Array[Byte] = null
+    private var bm: RoaringBitmap = null
+    def add(bytes: Array[Byte]): Unit =
+      if (bm != null) bm.or(Bitmaps.cboDeserialize(bytes))
+      else if (single == null) single = bytes
+      else {
+        bm = Bitmaps.cboDeserialize(single)
+        single = null
+        bm.or(Bitmaps.cboDeserialize(bytes))
+      }
+    def bytes: Array[Byte] =
+      if (bm != null) Bitmaps.cboSerialize(bm) else single
+  }
+
+  /** Partition-local combine for the prefix-pair tables (#8/#9): input is
+    * the committed pair table's (prox, w1, w2, docids) rows — already
+    * (w1, w2)-sorted, so each partition's key set is nearly disjoint from
+    * its neighbours' — and output is (left, right, prox, partial-bitmap)
+    * where the prefix side is `rightSide ? prefix(w2) : prefix(w1)`
+    * (prox ≤ 4, prefix len ≤ 2, prefix_word_pairs/mod.rs:17-18). Replaces
+    * an explode + broadcast join + bitmap_union_agg + second shuffle with
+    * one shuffle of pre-unioned partials. */
+  def prefixPairPartials(
+      rows: Iterator[org.apache.spark.sql.Row],
+      prefixes: Set[String],
+      rightSide: Boolean,
+      flushKeys: Int = 1 << 20): Iterator[(String, String, Int, Array[Byte])] = {
+    val intern = new mutable.AnyRefMap[String, Int]()
+    val internWords = new mutable.ArrayBuffer[String]()
+    val agg = new mutable.LongMap[BmAcc]()
+    def internOf(w: String): Int =
+      intern.getOrElseUpdate(w, { internWords += w; internWords.length - 1 })
+    def drain(): Iterator[(String, String, Int, Array[Byte])] = {
+      if (agg.isEmpty) return Iterator.empty
+      val buf = new mutable.ArrayBuffer[(String, String, Int, Array[Byte])](agg.size)
+      agg.foreachEntry { (key, acc) =>
+        buf += ((internWords((key >>> 33).toInt),
+          internWords(((key >>> 3) & ((1L << 30) - 1)).toInt),
+          (key & 7).toInt, acc.bytes))
+      }
+      agg.clear()
+      buf.iterator
+    }
+    new Iterator[(String, String, Int, Array[Byte])] {
+      private var batch: Iterator[(String, String, Int, Array[Byte])] = Iterator.empty
+      private def pump(): Unit =
+        while (!batch.hasNext && (rows.hasNext || agg.nonEmpty)) {
+          while (rows.hasNext && agg.size < flushKeys) {
+            val r = rows.next()
+            val prox = r.getInt(0)
+            if (prox <= 4) {
+              val w1 = r.getString(1)
+              val w2 = r.getString(2)
+              val base = if (rightSide) w2 else w1
+              val lim = math.min(base.length, 2)
+              var n = 1
+              while (n <= lim) {
+                val p = base.substring(0, n)
+                if (prefixes(p)) {
+                  val a = internOf(if (rightSide) w1 else p)
+                  val b = internOf(if (rightSide) p else w2)
+                  val key = (a.toLong << 33) | (b.toLong << 3) | prox
+                  val acc = agg.getOrNull(key)
+                  val bytes = r.getAs[Array[Byte]](3)
+                  if (acc == null) { val x = new BmAcc; x.add(bytes); agg(key) = x }
+                  else acc.add(bytes)
+                }
+                n += 1
+              }
+            }
+          }
+          batch = drain()
+        }
+      override def hasNext: Boolean = { pump(); batch.hasNext }
+      override def next(): (String, String, Int, Array[Byte]) = { pump(); batch.next() }
+    }
+  }
+
+  /** Partition-local combine for word_prefix_position_docids: input is the
+    * committed (word, position, docids) table — word-sorted — and output is
+    * (prefix, position, partial-bitmap) for every dictionary prefix of the
+    * word up to `maxPrefixLength`. */
+  def prefixPositionPartials(
+      rows: Iterator[org.apache.spark.sql.Row],
+      prefixes: Set[String],
+      maxPrefixLength: Int,
+      flushKeys: Int = 1 << 20): Iterator[(String, Int, Array[Byte])] = {
+    val intern = new mutable.AnyRefMap[String, Int]()
+    val internWords = new mutable.ArrayBuffer[String]()
+    val agg = new mutable.LongMap[BmAcc]()
+    def drain(): Iterator[(String, Int, Array[Byte])] = {
+      if (agg.isEmpty) return Iterator.empty
+      val buf = new mutable.ArrayBuffer[(String, Int, Array[Byte])](agg.size)
+      agg.foreachEntry { (key, acc) =>
+        buf += ((internWords((key >>> 32).toInt), key.toInt, acc.bytes))
+      }
+      agg.clear()
+      buf.iterator
+    }
+    new Iterator[(String, Int, Array[Byte])] {
+      private var batch: Iterator[(String, Int, Array[Byte])] = Iterator.empty
+      private def pump(): Unit =
+        while (!batch.hasNext && (rows.hasNext || agg.nonEmpty)) {
+          while (rows.hasNext && agg.size < flushKeys) {
+            val r = rows.next()
+            val w = r.getString(0)
+            val lim = math.min(w.length, maxPrefixLength)
+            var n = 1
+            while (n <= lim) {
+              val p = w.substring(0, n)
+              if (prefixes(p)) {
+                val pi = intern.getOrElseUpdate(p,
+                  { internWords += p; internWords.length - 1 })
+                val key = (pi.toLong << 32) | (r.getInt(1).toLong & 0xFFFFFFFFL)
+                val acc = agg.getOrNull(key)
+                val bytes = r.getAs[Array[Byte]](2)
+                if (acc == null) { val x = new BmAcc; x.add(bytes); agg(key) = x }
+                else acc.add(bytes)
+              }
+              n += 1
+            }
+          }
+          batch = drain()
+        }
+      override def hasNext: Boolean = { pump(); batch.hasNext }
+      override def next(): (String, Int, Array[Byte]) = { pump(); batch.next() }
+    }
+  }
 
   /** Reduce side of the pair-proximity build: rows arrive range-partitioned
     * and sorted on (w1, w2, prox); equal-key runs OR together in one
