@@ -351,18 +351,26 @@ class IndexBuilder(spark: SparkSession, settings: IndexSettings) extends Seriali
     done("__wordAgg") = done("__dwp").map { _ =>
       spark.sparkContext.setJobGroup("__wordAgg", "graft build: word-table partials")
       try {
-        wordAggRef = dwp.mapPartitions(it =>
+        // partials persist only until the MERGED frame materializes (the
+        // range sampler would otherwise re-run the dwp scan); the merged
+        // result is what every consumer reads — word_docids /
+        // exact_word_docids / term_dict / prefix_dict become cheap
+        // filter+selects instead of four repeat shuffles of the partials
+        val partials = dwp.mapPartitions(it =>
             IndexBuilder.wordAggPartials(it, exactFids))
           .toDF("word", "tol", "exact", "df", "tol_df", "ttf")
           .persist(StorageLevel.MEMORY_AND_DISK)
+        wordAggRef = partials
+          .repartitionByRange($"word").sortWithinPartitions("word")
+          .mapPartitions(it => IndexBuilder.mergeWordAggRuns(it))
+          .toDF("word", "docids", "tol_df", "exact_docids", "df", "exact_only", "ttf")
+          .persist(StorageLevel.MEMORY_AND_DISK)
         wordAggRef.count()
+        partials.unpersist()
         ()
       } finally spark.sparkContext.clearJobGroup()
     }
-    def mergedWordAgg =
-      wordAggRef.repartitionByRange($"word").sortWithinPartitions("word")
-        .mapPartitions(it => IndexBuilder.mergeWordAggRuns(it))
-        .toDF("word", "docids", "tol_df", "exact_docids", "df", "exact_only", "ttf")
+    def mergedWordAgg = wordAggRef
     stageF(T.WordDocids, Seq("__wordAgg")) {
       mergedWordAgg.where(length($"docids") > 0)
         .select($"word", $"docids", $"tol_df".as("df"))
@@ -418,8 +426,8 @@ class IndexBuilder(spark: SparkSession, settings: IndexSettings) extends Seriali
     stageF(T.TermDict, Seq("__wordAgg")) {
       mergedWordAgg.select($"word", $"df", $"exact_only", $"ttf")
     }
-    Future.sequence(Seq(done(T.WordDocids), done(T.ExactWordDocids), done(T.TermDict)))
-      .onComplete(_ => if (wordAggRef != null) wordAggRef.unpersist())
+    // wordAggRef's unpersist barrier is registered AFTER the PrefixDict
+    // stage below (it consumes the partials too)
     stageF(T.DocStats, Seq("__dwp")) { IndexBuilder.perDocStats(spark, dwp) }
     stageF(T.PostingBlocks, Seq(T.DocWordPositions)) {
       // derive from the COMMITTED word-major table: rows are already
@@ -437,8 +445,17 @@ class IndexBuilder(spark: SparkSession, settings: IndexSettings) extends Seriali
         .agg(F.bitmap_or_agg($"docid").as("docids"))
     }
 
-    // prefix dictionary (words_prefixes_fst) + prefix posting tables
-    stageF(T.PrefixDict, Seq(T.TermDict)) { buildPrefixDict(dir) }
+    // prefix dictionary (words_prefixes_fst) + prefix posting tables.
+    // The dict derives from the word-agg PARTIALS (distinct word set =
+    // term_dict's word set) so it lands ~when the word tables start
+    // committing rather than after term_dict's own shuffle+commit — the
+    // prefix stages' gate moves off the term_dict tail.
+    stageF(T.PrefixDict, Seq("__wordAgg")) {
+      buildPrefixDictFrom(mergedWordAgg.select($"word"))
+    }
+    Future.sequence(Seq(done(T.WordDocids), done(T.ExactWordDocids),
+        done(T.TermDict), done(T.PrefixDict)))
+      .onComplete(_ => if (wordAggRef != null) wordAggRef.unpersist())
     stageF(T.WordPrefixDocids, Seq(T.WordDocids, T.PrefixDict)) {
       buildWordPrefixDocids(dir)
     }
@@ -449,7 +466,11 @@ class IndexBuilder(spark: SparkSession, settings: IndexSettings) extends Seriali
       buildWordPrefixPositionDocids(dir)
     }
     // prefix-pair proximity tables (#8, #9) — prox ≤ 4, prefix len ≤ 2
-    // (prefix_word_pairs/mod.rs:17-18)
+    // (prefix_word_pairs/mod.rs:17-18). These read the COMMITTED pair
+    // table: consuming the pre-merge partials instead was measured
+    // (300k-doc profile) to cost ~50% more stage CPU — the partials cache
+    // holds ~1.6× the rows and decompresses twice — for no wall gain on a
+    // saturated box.
     stageF(T.WordPrefixPairProximityDocids,
       Seq(T.WordPairProximityDocids, T.PrefixDict)) {
       buildWordPrefixPairProximity(dir)
@@ -508,17 +529,19 @@ class IndexBuilder(spark: SparkSession, settings: IndexSettings) extends Seriali
   // merged bases, cheap in parquet).
 
   /** prefixes of length 1..=4 shared by ≥ threshold words
-    * (words_prefixes_fst.rs:43-96) */
-  def buildPrefixDict(dir: String): DataFrame = {
-    val dict = spark.read.parquet(s"$dir/${T.TermDict}")
+    * (words_prefixes_fst.rs:43-96). `words`: one row per distinct word. */
+  def buildPrefixDictFrom(words: DataFrame): DataFrame =
     (1 to settings.maxPrefixLength).map { n =>
-      dict.where(length($"word") > n)
+      words.where(length($"word") > n)
         .select(substring($"word", 1, n).as("prefix"))
         .groupBy($"prefix").agg(count(lit(1)).as("n_words"))
         .where($"n_words" >= settings.prefixThreshold)
     }.reduce(_ unionAll _)
       .repartitionByRange($"prefix").sortWithinPartitions("prefix")
-  }
+
+  def buildPrefixDict(dir: String): DataFrame =
+    buildPrefixDictFrom(
+      spark.read.parquet(s"$dir/${T.TermDict}").select($"word"))
 
   /** prefix set actually used by a build: the whole dict, or (incremental
     * refresh) its intersection with an affected-prefix set. */
@@ -596,33 +619,42 @@ class IndexBuilder(spark: SparkSession, settings: IndexSettings) extends Seriali
       .toDF("prefix", "position", "docids")
   }
 
-  def buildWordPrefixPairProximity(dir: String, only: Option[DataFrame] = None): DataFrame = {
-    val wpp = spark.read.parquet(s"$dir/${T.WordPairProximityDocids}")
-    val prefixes = prefixSet(dir, only, maxLen = 2)
+  /** Core of the prefix-pair builds: `src` is any (prox, w1, w2, bitmap)
+    * frame — the committed pair table (refresh paths) or the pair-stage
+    * PARTIALS (full build, where consuming pre-merge partials lets these
+    * stages overlap the pair table's own shuffle+commit instead of
+    * serializing behind it; bitmap union is associative, so merged groups
+    * and partial fragments aggregate to identical bytes). */
+  private def prefixPairFrom(src: DataFrame, prefixes: Set[String],
+      rightSide: Boolean): DataFrame = {
     val partials = transient(
-      wpp.select($"prox", $"w1", $"w2", $"docids")
-        .mapPartitions(it =>
-          IndexBuilder.prefixPairPartials(it, prefixes, rightSide = true))
-        .toDF("w1", "prefix", "prox", "partial"))
-    partials.repartitionByRange($"prefix", $"w1", $"prox")
-      .sortWithinPartitions("prefix", "w1", "prox")
-      .mapPartitions(it => IndexBuilder.mergePairPartialRuns(it))
-      .toDF("prox", "w1", "prefix", "docids")
+      src.mapPartitions(it =>
+          IndexBuilder.prefixPairPartials(it, prefixes, rightSide))
+        .toDF((if (rightSide) Seq("w1", "prefix") else Seq("prefix", "w2")) ++
+          Seq("prox", "partial"): _*))
+    if (rightSide)
+      partials.repartitionByRange($"prefix", $"w1", $"prox")
+        .sortWithinPartitions("prefix", "w1", "prox")
+        .mapPartitions(it => IndexBuilder.mergePairPartialRuns(it))
+        .toDF("prox", "w1", "prefix", "docids")
+    else
+      partials.repartitionByRange($"prefix", $"w2", $"prox")
+        .sortWithinPartitions("prefix", "w2", "prox")
+        .mapPartitions(it => IndexBuilder.mergePairPartialRuns(it))
+        .toDF("prox", "prefix", "w2", "docids")
   }
 
-  def buildPrefixWordPairProximity(dir: String, only: Option[DataFrame] = None): DataFrame = {
-    val wpp = spark.read.parquet(s"$dir/${T.WordPairProximityDocids}")
-    val prefixes = prefixSet(dir, only, maxLen = 2)
-    val partials = transient(
-      wpp.select($"prox", $"w1", $"w2", $"docids")
-        .mapPartitions(it =>
-          IndexBuilder.prefixPairPartials(it, prefixes, rightSide = false))
-        .toDF("prefix", "w2", "prox", "partial"))
-    partials.repartitionByRange($"prefix", $"w2", $"prox")
-      .sortWithinPartitions("prefix", "w2", "prox")
-      .mapPartitions(it => IndexBuilder.mergePairPartialRuns(it))
-      .toDF("prox", "prefix", "w2", "docids")
-  }
+  def buildWordPrefixPairProximity(dir: String, only: Option[DataFrame] = None): DataFrame =
+    prefixPairFrom(
+      spark.read.parquet(s"$dir/${T.WordPairProximityDocids}")
+        .select($"prox", $"w1", $"w2", $"docids"),
+      prefixSet(dir, only, maxLen = 2), rightSide = true)
+
+  def buildPrefixWordPairProximity(dir: String, only: Option[DataFrame] = None): DataFrame =
+    prefixPairFrom(
+      spark.read.parquet(s"$dir/${T.WordPairProximityDocids}")
+        .select($"prox", $"w1", $"w2", $"docids"),
+      prefixSet(dir, only, maxLen = 2), rightSide = false)
 
   /** Geo cell table: (cell, docid, lat, lng), one row per geo point,
     * range-partitioned + sorted by the 52-bit Morton cell (core.GeoCell) so
