@@ -324,8 +324,14 @@ class IndexBuilder(spark: SparkSession, settings: IndexSettings) extends Seriali
         dwpRef.count()
       } finally spark.sparkContext.clearJobGroup()
     }
+    // full-resume fast path: when every build table is already committed,
+    // no stage thunk will ever evaluate — skip the tokenize and word-agg
+    // pseudo-stages too (a resumed `Main index` replays timings without
+    // re-running the forward-index extraction)
+    val fullResume = resume && T.buildStages.forall(manifest.isDone(_, dir))
     done("__dwp") =
-      if (readsOwnOutput)
+      if (fullResume) Future.successful(())
+      else if (readsOwnOutput)
         done(T.Documents).map(_ =>
           tokenizeInto(spark.read.parquet(s"$dir/${T.Documents}")))
       else Future(tokenizeInto(docs))
@@ -348,7 +354,7 @@ class IndexBuilder(spark: SparkSession, settings: IndexSettings) extends Seriali
     // exact_word_docids AND term_dict (occurrences in exact_attributes
     // fields live ONLY in exact_word_docids, extract_word_docids.rs:25-88)
     var wordAggRef: DataFrame = null
-    done("__wordAgg") = done("__dwp").map { _ =>
+    done("__wordAgg") = if (fullResume) Future.successful(()) else done("__dwp").map { _ =>
       spark.sparkContext.setJobGroup("__wordAgg", "graft build: word-table partials")
       try {
         // partials persist only until the MERGED frame materializes (the

@@ -59,5 +59,16 @@ object IndexSettings {
     val GeoCells = "geo_cells"
     val PostingBlocks = "posting_blocks"
     val DeletedDocids = "deleted_docids"
+
+    /** Every table the full build writes (NOT DeletedDocids — that is an
+      * updates-side table). Used by the resume fast path. */
+    val buildStages: Seq[String] = Seq(Documents, DocWordPositions,
+      WordDocids, ExactWordDocids, WordPrefixDocids, ExactWordPrefixDocids,
+      WordPositionDocids, WordPrefixPositionDocids, FidWordCountDocids,
+      DocFidWordCounts, WordPairProximityDocids,
+      WordPrefixPairProximityDocids, PrefixWordPairProximityDocids,
+      FacetStringLevels, TermDict, PrefixDict, DocFacetNumbers,
+      DocFacetStrings, FacetExistsDocids, FacetNumberLevels, DocStats,
+      GeoCells, PostingBlocks)
   }
 }
