@@ -95,7 +95,7 @@ object Bench {
     // identical input AND identical partitioning strategy (32 shuffle
     // partitions) at both levels — only the executor-slot count varies,
     // the in-sandbox stand-in for N vs 4N executors.
-    def buildAt(threads: Int): (Double, Long) = {
+    def buildAt(threads: Int, nDocs: Long = scaleDocs): (Double, Long) = {
       val s = SparkSession.builder()
         .master(s"local[$threads]")
         .appName(s"graft-bench-$threads")
@@ -107,12 +107,12 @@ object Bench {
       s.sparkContext.setLogLevel("ERROR")
       try {
         val dir = java.nio.file.Files.createTempDirectory(s"graft-bench-$threads").toString
-        val docs = graft.webgen.WebPages.generate(s, scaleDocs)
+        val docs = graft.webgen.WebPages.generate(s, nDocs)
         val settings = IndexSettings(searchableFields = Seq("text"))
         val (_, sec) = timed {
           new IndexBuilder(s, settings).build(docs, dir, resume = false)
         }
-        (sec, scaleDocs)
+        (sec, nDocs)
       } finally s.stop()
     }
     // Load-robust protocol (round-3, extended round-4): interleaved
@@ -150,6 +150,14 @@ object Bench {
       math.max(p._3, p._4) <= calmLoad && eff(p) >= 0.6 && eff(p) < 1.0
     val scalingSkipped = !phases("scaling")
     if (!scalingSkipped) {
+      // JIT warmup: one small DISCARDED build before the first pair. The
+      // builds run in this same JVM, so whichever level runs first after a
+      // cold start pays the C2 compilation of the tokenizer/bitmap/sweep
+      // hot loops — measured to move a 2-thread 300k build by ~15%
+      // (139.7 s battery-warmed vs 163.1 s cold), which alone swings the
+      // pair efficiency 0.78 ↔ 0.89. Warming both levels equally makes the
+      // ratio a hardware property again.
+      buildAt(highN, math.max(scaleDocs / 10, 20000))
       def measurePair(): Unit = {
         val l1 = waitForCalm()
         val low = buildAt(lowN)._1
@@ -158,11 +166,15 @@ object Bench {
         pairs :+= ((low, high, l1, l2))
       }
       measurePair()
-      // retry until a calm + plausible pair exists (or attempts exhaust):
-      // > 1.0 is physically impossible, < 0.6 is collapse-level — both
-      // host-contention signatures, not engine properties
+      // retry until ≥2 pairs AND a calm + plausible pair exist (or attempts
+      // exhaust): > 1.0 is physically impossible, < 0.6 is collapse-level —
+      // both host-contention signatures, not engine properties. The
+      // reported efficiency combines the fastest low and fastest high run
+      // ACROSS pairs, so a second pair halves the one-noisy-run variance
+      // (external load hits the high level ~4× harder than the low).
       while (pairs.length < maxPairs &&
-          (!pairs.exists(calmPair) || bestEff > 1.0 || bestEff < 0.6)) {
+          (pairs.length < 2 || !pairs.exists(calmPair) ||
+            bestEff > 1.0 || bestEff < 0.6)) {
         System.err.println(f"[bench] no calm plausible pair yet " +
           f"(best-of eff $bestEff%.3f, loadavg ${loadavg()}%.2f) — retrying")
         measurePair()
@@ -277,7 +289,11 @@ object Bench {
       else {
         val calm = pairs.filter(calmPair)
         val calmJson = calm.headOption
-          .map(p => s""""calm_pair_efficiency":${f(eff(p))},""").getOrElse("")
+          .map(p => s""""calm_pair_efficiency":${f(eff(p))},""").getOrElse(
+            // attempts exhausted without one calm plausible pair: the
+            // number above is what the host allowed, not what the engine
+            // scales to — say so instead of letting it read as a property
+            """"load_contaminated":true,""")
         s"""{"n":$lowN,"n4":$highN,"efficiency":${f(efficiency)},$calmJson""" +
           s""""pairs":[${pairs.map(p =>
             s"[${f(p._1)},${f(p._2)},${f(p._3)},${f(p._4)}]").mkString(",")}],""" +
