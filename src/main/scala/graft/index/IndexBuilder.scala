@@ -269,8 +269,7 @@ class IndexBuilder(spark: SparkSession, settings: IndexSettings) extends Seriali
         val s0 = System.nanoTime()
         spark.sparkContext.setJobGroup(name, s"graft build: $name")
         try {
-          val out = df
-          out.write.mode("overwrite").parquet(s"$dir/$name")
+          TableIO.writeParquet(df, s"$dir/$name")
         } finally spark.sparkContext.clearJobGroup()
         val rows = Manifest.parquetRowCount(spark, s"$dir/$name")
         manifest.synchronized {

@@ -83,14 +83,17 @@ class SettingsUpdater(spark: org.apache.spark.sql.SparkSession) {
       val (fNum, fStr, fEx) = builder.extractFacets(docs)
       import org.apache.spark.sql.functions._
       val F = graft.functions.GraftFunctions
-      fNum.repartitionByRange(col("field"), col("value"))
-        .sortWithinPartitions("field", "value")
-        .write.mode("overwrite").parquet(s"$dir/${T.DocFacetNumbers}")
-      fStr.repartitionByRange(col("field"), col("norm"))
-        .sortWithinPartitions("field", "norm")
-        .write.mode("overwrite").parquet(s"$dir/${T.DocFacetStrings}")
-      fEx.groupBy(col("field")).agg(F.bitmap_or_agg(col("docid")).as("docids"))
-        .write.mode("overwrite").parquet(s"$dir/${T.FacetExistsDocids}")
+      TableIO.writeParquet(
+        fNum.repartitionByRange(col("field"), col("value"))
+          .sortWithinPartitions("field", "value"),
+        s"$dir/${T.DocFacetNumbers}")
+      TableIO.writeParquet(
+        fStr.repartitionByRange(col("field"), col("norm"))
+          .sortWithinPartitions("field", "norm"),
+        s"$dir/${T.DocFacetStrings}")
+      TableIO.writeParquet(
+        fEx.groupBy(col("field")).agg(F.bitmap_or_agg(col("docid")).as("docids")),
+        s"$dir/${T.FacetExistsDocids}")
     }
     SettingsIO.save(dir, newSettings)
     p

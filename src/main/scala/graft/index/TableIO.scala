@@ -12,10 +12,26 @@ import org.apache.spark.sql.functions._
   * table it lands in. */
 object TableIO {
 
+  /** Row-group byte cap for index-table writes. Parquet's 128 MB default
+    * puts a whole output file in ONE row group, so footer min/max stats
+    * can't prune INSIDE a file: a point read of one hot word (or a
+    * docid-restricted rank fetch within a word's span) decodes the file's
+    * every row. 4 MB groups keep each footer interval tight on the tables'
+    * (key, docid) sort order — serving point reads and the cells' pair
+    * bitmap fetches decode only the groups whose interval matches. */
+  val RowGroupBytes: Int =
+    sys.env.get("SPARK_GRAFT_ROW_GROUP_BYTES").map(_.toInt).getOrElse(4 << 20)
+
+  /** Parquet write with the serving row-group cap. */
+  def writeParquet(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite")
+      .option("parquet.block.size", RowGroupBytes.toString)
+      .parquet(path)
+
   /** Atomic-ish table replace: write to side dir then swap. */
   def writeOver(spark: SparkSession)(df: DataFrame, path: String): Unit = {
     val tmp = path + "__tmp"
-    df.write.mode("overwrite").parquet(tmp)
+    writeParquet(df, tmp)
     swapIn(tmp, path)
     invalidate(spark, path)
   }
@@ -125,7 +141,7 @@ object TableIO {
     val touchedDf =
       if (touchedF.isEmpty) spark.read.parquet(oldPath).limit(0)
       else spark.read.parquet(touchedF.map(_._1): _*)
-    merge(touchedDf, deltaDf).write.mode("overwrite").parquet(tmp)
+    writeParquet(merge(touchedDf, deltaDf), tmp)
     keepF.foreach { case (f, _) =>
       val src = java.nio.file.Paths.get(f)
       java.nio.file.Files.copy(src,

@@ -173,6 +173,8 @@ final class DwpCache(index: GraftIndex, maxBytes: Long = 256L << 20) {
   import index.spark
   import spark.implicits._
 
+  type Rows = Array[(Int, String, Array[Int])]
+
   /** byte budget (prewarm sizes its head against it). */
   def budgetBytes: Long = maxBytes
 
@@ -196,13 +198,9 @@ final class DwpCache(index: GraftIndex, maxBytes: Long = 256L << 20) {
     * scan per miss batch. Values are docid-sorted (binary-searchable).
     * The scan runs OUTSIDE the lock (cold misses must not serialize
     * concurrent serving clients; duplicate racing fetches tolerated). */
-  def get(words: Seq[String], prefixes: Seq[String])
-      : (Map[String, Array[(Int, String, Array[Int])]],
-         Map[String, Array[(Int, String, Array[Int])]]) = {
-    type Rows = Array[(Int, String, Array[Int])]
-    val dw = words.distinct
-    val dp = prefixes.distinct
-    val (hitW, hitP, missW, missP) = synchronized {
+  private def splitHits(dw: Seq[String], dp: Seq[String])
+      : (Map[String, Rows], Map[String, Rows], Seq[String], Seq[String]) =
+    synchronized {
       val hw = Map.newBuilder[String, Rows]
       val hp = Map.newBuilder[String, Rows]
       val mw = Vector.newBuilder[String]
@@ -215,27 +213,38 @@ final class DwpCache(index: GraftIndex, maxBytes: Long = 256L << 20) {
       }
       (hw.result(), hp.result(), mw.result(), mp.result())
     }
-    if (missW.isEmpty && missP.isEmpty) return (hitW, hitP)
-    // pinned-dictionary guard: novel ngram/typo'd words and dead prefixes
-    // have no forward rows — cache them empty without a distributed scan.
-    // Small prefix ranges expand to their dictionary extensions so the
-    // whole predicate is word In-lists (pruned point reads), not ranges.
+
+  /** One pruned scan for a miss batch. Pinned-dictionary guard: novel
+    * ngram/typo'd words and dead prefixes have no forward rows — they
+    * contribute nothing to the predicate (and cache empty). Small prefix
+    * ranges expand to their dictionary extensions so the whole predicate is
+    * word In-lists (pruned point reads), not ranges. `docFilter`: restrict
+    * to these docids (the rank-drain cold path) instead of the words'
+    * whole forward ranges. */
+  private def scanRows(missW: Seq[String], missP: Seq[String],
+      docFilter: Option[Array[Int]]): Rows = {
     val liveW = index.dictWords(missW)
     val liveP = index.livePrefixes(missP)
     val expanded: Map[String, Seq[String]] =
       liveP.flatMap(p => index.prefixExtensions(p).map(p -> _)).toMap
     val rangedP = liveP.filterNot(expanded.contains)
     val inWords = (liveW ++ expanded.valuesIterator.flatten).distinct
-    val rows: Array[(Int, String, Array[Int])] =
-      if (inWords.isEmpty && rangedP.isEmpty) Array.empty
-      else {
-        val in = if (inWords.nonEmpty) Seq(col("word").isin(inWords: _*)) else Nil
-        val pref = rangedP.map(p => col("word").startsWith(p))
-        val predicate = (in ++ pref).reduce(_ || _)
-        index.docWordPositions.where(predicate)
-          .select(col("docid"), col("word"), col("positions"))
-          .as[(Int, String, Array[Int])].collect()
-      }
+    if (inWords.isEmpty && rangedP.isEmpty) return Array.empty
+    val in = if (inWords.nonEmpty) Seq(col("word").isin(inWords: _*)) else Nil
+    val pref = rangedP.map(p => col("word").startsWith(p))
+    val wordPred = (in ++ pref).reduce(_ || _)
+    val predicate = docFilter.fold(wordPred)(ds =>
+      wordPred && col("docid").isin(ds.map(Int.box).toSeq: _*))
+    index.docWordPositions.where(predicate)
+      .select(col("docid"), col("word"), col("positions"))
+      .as[(Int, String, Array[Int])].collect()
+  }
+
+  def get(words: Seq[String], prefixes: Seq[String])
+      : (Map[String, Rows], Map[String, Rows]) = {
+    val (hitW, hitP, missW, missP) = splitHits(words.distinct, prefixes.distinct)
+    if (missW.isEmpty && missP.isEmpty) return (hitW, hitP)
+    val rows = scanRows(missW, missP, None)
     // entries are docid-SORTED (collect() order is per-partition only):
     // the rank path binary-searches each array by docid
     val fetchedW: Map[String, Rows] =
@@ -251,5 +260,54 @@ final class DwpCache(index: GraftIndex, maxBytes: Long = 256L << 20) {
       evict()
       (hitW ++ fetchedW, hitP ++ fetchedP)
     }
+  }
+
+  /** Keys whose complete fill is in flight on the background filler. */
+  private val filling = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private val filler = java.util.concurrent.Executors.newSingleThreadExecutor(
+    (r: Runnable) => { val t = new Thread(r, "graft-dwp-fill"); t.setDaemon(true); t })
+
+  /** Rank-drain fetch: rows for `words`/`prefixes` restricted to the chosen
+    * docids. Cached (complete) entries hit as usual. Missing HEAVY words —
+    * estimated fetch above `asyncFillMinBytes` via the pinned-dict df/ttf
+    * prices — are fetched DOCID-RESTRICTED (O(|chosen|) rows collected
+    * instead of the word's whole forward range: a stop word pages in ~df
+    * rows to rank 50 docs otherwise) and their complete fill is scheduled
+    * on a background thread so the NEXT query on the same words is a
+    * cache hit — serve this query from the rows it needs, warm the rest
+    * behind it. Restricted results are never installed in the LRU (they
+    * are incomplete by construction). Missing LIGHT words take the normal
+    * blocking fill — one scan instead of two. */
+  def getForDocs(words: Seq[String], prefixes: Seq[String], docids: Array[Int],
+      asyncFillMinBytes: Long = 4L << 20)
+      : (Map[String, Rows], Map[String, Rows]) = {
+    val (hitW, hitP, missW, missP) = splitHits(words.distinct, prefixes.distinct)
+    if (missW.isEmpty && missP.isEmpty) return (hitW, hitP)
+    if (docids.isEmpty) // nothing to rank: misses contribute no rows
+      return (hitW ++ missW.map(_ -> Array.empty[(Int, String, Array[Int])]),
+        hitP ++ missP.map(_ -> Array.empty[(Int, String, Array[Int])]))
+    val est = index.estimatePostingBytes(missW, missP)
+    // no pinned dict to price with, a small miss batch, or a drain so large
+    // the restriction stops paying: one blocking complete fill
+    if (docids.length > 4096 || est.forall(_ <= asyncFillMinBytes)) {
+      val (w, p) = get(missW, missP)
+      return (hitW ++ w, hitP ++ p)
+    }
+    val rows = scanRows(missW, missP, Some(docids))
+    val fetchedW: Map[String, Rows] =
+      missW.iterator.map(w => w -> rows.filter(_._2 == w).sortBy(_._1)).toMap
+    val fetchedP: Map[String, Rows] =
+      missP.iterator.map(p => p -> rows.filter(_._2.startsWith(p)).sortBy(_._1)).toMap
+    val fillW = missW.filter(w => filling.add("w:" + w))
+    val fillP = missP.filter(p => filling.add("p:" + p))
+    if (fillW.nonEmpty || fillP.nonEmpty) filler.execute { () =>
+      try get(fillW, fillP)
+      catch { case _: Throwable => () } // rotated/poisoned handle: drop
+      finally {
+        fillW.foreach(w => filling.remove("w:" + w))
+        fillP.foreach(p => filling.remove("p:" + p))
+      }
+    }
+    (hitW ++ fetchedW, hitP ++ fetchedP)
   }
 }

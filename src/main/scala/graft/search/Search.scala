@@ -694,7 +694,10 @@ class Search(index: GraftIndex,
           bIdx += 1
         }
         val (wRows, pRows) = Search.traced("dwp-fetch") {
-          index.dwpCache.get(relevantWords, prefixWords)
+          // docid-restricted cold fetch for heavy words (async complete
+          // fill warms the cache behind this query) — the drain only needs
+          // positions for the CHOSEN docs
+          index.dwpCache.getForDocs(relevantWords, prefixWords, chosenIds.toArray)
         }
         val arrays = (wRows.valuesIterator ++ pRows.valuesIterator).toArray
         val fetched = fetchFwc(chosenIds.toSeq)
