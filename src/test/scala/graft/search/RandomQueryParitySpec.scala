@@ -28,7 +28,12 @@ class RandomQueryParitySpec extends AnyFunSuite with Matchers {
   private lazy val local = new Search(index)
   private lazy val dist = new Search(index, maxLocalPostings = 0)
 
-  private val rng = new scala.util.Random(20260817L)
+  // deeper sweeps on demand: SPARK_GRAFT_PARITY_CASES=200
+  // SPARK_GRAFT_PARITY_SEED=<n> sbt "testOnly *RandomQueryParitySpec"
+  private val nCases =
+    sys.env.get("SPARK_GRAFT_PARITY_CASES").map(_.toInt).getOrElse(40)
+  private val rng = new scala.util.Random(
+    sys.env.get("SPARK_GRAFT_PARITY_SEED").map(_.toLong).getOrElse(20260817L))
 
   private def randomWord(): String = {
     val r = rng.nextDouble()
@@ -48,8 +53,8 @@ class RandomQueryParitySpec extends AnyFunSuite with Matchers {
     if (rng.nextDouble() < 0.5) base + " " else base // trailing space = no prefix
   }
 
-  test("40 random queries: local path ≡ distributed path (ids + counts)") {
-    (1 to 40).foreach { i =>
+  test(s"$nCases random queries: local path ≡ distributed path (ids + counts)") {
+    (1 to nCases).foreach { i =>
       val q = randomQuery()
       val typos = rng.nextBoolean()
       val filter =
