@@ -216,9 +216,14 @@ class IndexBuilder(spark: SparkSession, settings: IndexSettings) extends Seriali
     // groups through ObjectHashAggregate; Spark's default sort-based
     // fallback threshold (128 in-memory keys) would external-sort every
     // map partition's full row set. Memory per task stays bounded by the
-    // partition's distinct-key count (a few hundred thousand small
-    // bitmaps), so keep the hash path for realistic cardinalities.
-    spark.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+    // partition's distinct-key count: keys are interned words/pairs and
+    // values pre-unioned cbo partials, so 4M keys ≈ a few hundred MB per
+    // task — under the executor share at our partition sizing. Saved and
+    // restored after the build so the shared session's serving queries
+    // keep Spark's spill-capable default.
+    val aggFallbackKey = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
+    val aggFallbackPrev = spark.conf.getOption(aggFallbackKey)
+    spark.conf.set(aggFallbackKey,
       sys.env.getOrElse("SPARK_GRAFT_AGG_FALLBACK", (4 << 20).toString))
 
     // per-task lineage + metrics (north rule): aggregate task metrics per
@@ -313,9 +318,20 @@ class IndexBuilder(spark: SparkSession, settings: IndexSettings) extends Seriali
     // for the commit and tokenize the committed table instead.
     val docsDirPath = java.nio.file.Paths.get(s"$dir/${T.Documents}")
       .toAbsolutePath.normalize.toString
-    val readsOwnOutput =
-      try docs.inputFiles.exists(_.contains(docsDirPath))
+    // The concurrent tokenize evaluates the input lineage a second time,
+    // so the committed documents table and the posting tables MUST agree
+    // on what that lineage produces. A non-deterministic expression
+    // anywhere in the plan (monotonically_increasing_id docids, rand
+    // sampling) could hand the two consumers different docid↔document
+    // mappings — those inputs are routed through the committed table.
+    val inputNondeterministic =
+      try docs.queryExecution.analyzed
+        .exists(_.expressions.exists(_.exists(!_.deterministic)))
       catch { case scala.util.control.NonFatal(_) => true }
+    val readsOwnOutput =
+      (try docs.inputFiles.exists(_.contains(docsDirPath))
+       catch { case scala.util.control.NonFatal(_) => true }) ||
+      inputNondeterministic
     def tokenizeInto(src: DataFrame): Unit = {
       spark.sparkContext.setJobGroup("__dwp", "graft build: tokenize forward index")
       try {
@@ -521,6 +537,10 @@ class IndexBuilder(spark: SparkSession, settings: IndexSettings) extends Seriali
       if (dwpRef != null) dwpRef.unpersist()
       releaseTransients()
       pool.shutdown()
+      aggFallbackPrev match {
+        case Some(v) => spark.conf.set(aggFallbackKey, v)
+        case None    => spark.conf.unset(aggFallbackKey)
+      }
     }
     finishBuild(manifest, taskAgg, stageGroup, listener, dir, t0)
     manifest
@@ -1329,9 +1349,15 @@ object IndexBuilder extends Serializable {
     * (w1, w2)-sorted, so each partition's key set is nearly disjoint from
     * its neighbours' — and output is (left, right, prox, partial-bitmap)
     * where the prefix side is `rightSide ? prefix(w2) : prefix(w1)`
-    * (prox ≤ 4, prefix len ≤ 2, prefix_word_pairs/mod.rs:17-18). Replaces
-    * an explode + broadcast join + bitmap_union_agg + second shuffle with
-    * one shuffle of pre-unioned partials. */
+    * (prefix len ≤ 2, prefix_word_pairs/mod.rs:17-18). DIVERGENCE: the
+    * reference also caps prox ≤ 4 and degrades prefix proximity beyond it
+    * (`criteria/mod.rs:656-707`); we keep the full stored prox range 1..7
+    * so the serving prefix-pair path (`GraftIndex.pairProxPrefixBitmaps`)
+    * is pure point reads — no query-time ranged aggregation over the pair
+    * table, ever. Long-range pairs are the rarest rows, so the extra
+    * storage is small. Replaces an explode + broadcast join +
+    * bitmap_union_agg + second shuffle with one shuffle of pre-unioned
+    * partials. */
   def prefixPairPartials(
       rows: Iterator[org.apache.spark.sql.Row],
       prefixes: Set[String],
@@ -1360,7 +1386,7 @@ object IndexBuilder extends Serializable {
           while (rows.hasNext && agg.size < flushKeys) {
             val r = rows.next()
             val prox = r.getInt(0)
-            if (prox <= 4) {
+            if (prox <= 7) {
               val w1 = r.getString(1)
               val w2 = r.getString(2)
               val base = if (rightSide) w2 else w1

@@ -44,14 +44,31 @@ object TableIO {
   private def invalidate(spark: SparkSession, path: String): Unit =
     spark.catalog.refreshByPath(path)
 
+  /** Table replace that can never leave the table missing: the live dir is
+    * first renamed ASIDE (atomic, same filesystem), the tmp dir renamed in,
+    * and only then is the old copy deleted. If the rename-in fails the old
+    * dir is restored; every rename's result is checked, so a cross-device
+    * tmp or an open-handle failure raises instead of silently dropping the
+    * table. */
   def swapIn(tmp: String, path: String): Unit = {
-    val target = new java.io.File(path)
+    import java.nio.file.{Files, Paths, StandardCopyOption}
     def rec(f: java.io.File): Unit = {
       if (f.isDirectory) f.listFiles().foreach(rec)
-      f.delete()
+      if (!f.delete() && f.exists())
+        throw new java.io.IOException(s"swapIn: failed to delete ${f.getPath}")
     }
-    if (target.exists()) rec(target)
-    new java.io.File(tmp).renameTo(target)
+    val target = Paths.get(path)
+    val old = Paths.get(path + "__old")
+    if (Files.exists(old)) rec(old.toFile) // leftover from a crashed swap
+    val hadLive = Files.exists(target)
+    if (hadLive) Files.move(target, old, StandardCopyOption.ATOMIC_MOVE)
+    try Files.move(Paths.get(tmp), target, StandardCopyOption.ATOMIC_MOVE)
+    catch {
+      case e: Throwable =>
+        if (hadLive) Files.move(old, target, StandardCopyOption.ATOMIC_MOVE)
+        throw e
+    }
+    if (hadLive) rec(old.toFile)
   }
 
   /** UTF-8 byte comparison — the order parquet binary stats and Spark's

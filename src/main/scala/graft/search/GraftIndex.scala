@@ -135,12 +135,14 @@ class GraftIndex(val spark: SparkSession, val dir: String, val settings: IndexSe
     // bitmaps (ns p/q) and the rank path's forward rows per prefix range —
     // the latter sized via dictionary prefix sums against a quarter of the
     // dwp budget so the word-head prewarm above survives.
+    var headPfxs: Seq[String] = Nil
     if (new java.io.File(s"$dir/${T.PrefixDict}").exists()) {
       val pd: Seq[(String, Long)] = table(T.PrefixDict)
         .orderBy(col("n_words").desc).limit(maxWords)
         .select(col("prefix"), col("n_words").cast("long"))
         .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
       val pfxs = pd.map(_._1)
+      headPfxs = pfxs
       pfxs.grouped(1024).foreach { b =>
         bitmapCache.get("p", b)(ks => bitmapRows(wordPrefixDocids, ks, "prefix"))
         bitmapCache.get("q", b)(ks => bitmapRows(exactWordPrefixDocids, ks, "prefix"))
@@ -170,6 +172,21 @@ class GraftIndex(val spark: SparkSession, val dir: String, val settings: IndexSe
     val pairHead = byDf.map(_._1).take(32)
     pairProxBitmaps(
       for (a <- pairHead; b <- pairHead if a != b) yield (a, b))
+    // precomputed prefix-pair heads (#8/#9): trailing-prefix queries drain
+    // prox cells against (query word, prefix) rows — prewarm head-word ×
+    // head-prefix combinations on both sides so those cells assemble with
+    // zero jobs cold (absent combinations cache as Absent)
+    val ppPfx = headPfxs.filter(prefixPairDict.contains).take(16)
+    if (ppPfx.nonEmpty) {
+      val items = for (w <- pairHead; p <- ppPfx; r <- Seq(true, false))
+        yield (w, p, r)
+      items.grouped(256).foreach { batch =>
+        val batchKeys = batch.flatMap { case (w, p, r) =>
+          (1 to 7).map(x => yKey(w, p, if (r) "r" else "l", x))
+        }
+        bitmapCache.get("y", batchKeys)(_ => prefixPairPointRead(batch))
+      }
+    }
     ()
   }
 
@@ -819,19 +836,116 @@ class GraftIndex(val spark: SparkSession, val dir: String, val settings: IndexSe
     }
   }
 
-  /** Prefix-side pair rows: ONE ranged aggregation per (word, prefix, side)
-    * over the pair table — Σ docids over every extension of the prefix,
-    * grouped by prox. EXACT for any prefix length/proximity, unlike the
-    * reference's prefix-pair databases which cap at len ≤ 2 / prox ≤ 4 and
-    * otherwise "disable" proximity for the prefix
-    * (`criteria/mod.rs:656-707`) — and it never enumerates the dictionary.
+  /** Pinned prefix membership of the precomputed prefix-pair tables
+    * (#8/#9): the len ≤ 2 slice of the prefix dictionary — their exact key
+    * set (the builder derives both from `prefixSet(maxLen = 2)`). The
+    * prefix dict is df-thresholded and length-capped like the reference's
+    * prefix FST, so this is thousands of entries even at web scale. Empty
+    * when the tables (older index) or the dict are missing → callers keep
+    * the extension/ranged paths. */
+  private lazy val prefixPairDict: Set[String] = {
+    val haveTables =
+      new java.io.File(s"$dir/${T.WordPrefixPairProximityDocids}").exists() &&
+      new java.io.File(s"$dir/${T.PrefixWordPairProximityDocids}").exists() &&
+      new java.io.File(s"$dir/${T.PrefixDict}").exists()
+    if (!haveTables) Set.empty
+    else table(T.PrefixDict).where(length($"prefix") <= 2)
+      .select($"prefix").as[String].collect().toSet
+  }
+
+  private lazy val wordPrefixPairProx: DataFrame =
+    table(T.WordPrefixPairProximityDocids)
+  private lazy val prefixWordPairProx: DataFrame =
+    table(T.PrefixWordPairProximityDocids)
+
+  /** Batched point reads of the precomputed prefix-pair tables — milli's
+    * `word_prefix_pair_proximity_docids` / `prefix_word_pair_proximity_docids`
+    * LMDB gets (`criteria/mod.rs:656-707`). One footer-pruned scan per side
+    * per batch (the tables are (prefix, word, prox)-sorted, so the In
+    * predicates prune to a handful of row groups). Items: (word, prefix,
+    * prefixIsRight). Returns yKey → bitmap for every stored prox row of
+    * the requested items. */
+  /** Observability: fetches served from the precomputed tables vs from the
+    * per-query ranged aggregation (specs pin that dict prefixes never
+    * aggregate). */
+  val prefixPairPointReads = new java.util.concurrent.atomic.AtomicLong()
+  val prefixPairRangedReads = new java.util.concurrent.atomic.AtomicLong()
+
+  private[search] def prefixPairPointRead(items: Seq[(String, String, Boolean)])
+      : Map[String, RoaringBitmap] = {
+    prefixPairPointReads.incrementAndGet()
+    def fetch(side: Seq[(String, String, Boolean)], tbl: DataFrame,
+        wordCol: String, sideTag: String): Iterator[(String, RoaringBitmap)] = {
+      // pinned-dictionary guard: a non-dictionary word has no rows
+      val live = side.filter(it => dictWords(Seq(it._1)).nonEmpty)
+      if (live.isEmpty) Iterator.empty
+      else {
+        val words = live.map(_._1).distinct
+        val pfxs = live.map(_._2).distinct
+        val want = live.map(it => (it._1, it._2)).toSet
+        tbl.where(col(wordCol).isin(words: _*) && col("prefix").isin(pfxs: _*))
+          .select(col(wordCol), col("prefix"), col("prox"), col("docids"))
+          .as[(String, String, Int, Array[Byte])].collect().iterator
+          .filter { case (w, p, _, _) => want((w, p)) }
+          .map { case (w, p, x, b) =>
+            yKey(w, p, sideTag, x) -> Bitmaps.cboDeserialize(b)
+          }
+      }
+    }
+    (fetch(items.filter(_._3), wordPrefixPairProx, "w1", "r") ++
+      fetch(items.filterNot(_._3), prefixWordPairProx, "w2", "l")).toMap
+  }
+
+  /** True when (word, prefix) prox rows can be POINT-READ from the
+    * precomputed prefix-pair tables (#8/#9). */
+  private[search] def prefixPairServable(prefix: String): Boolean =
+    prefixPairDict.contains(prefix)
+
+  /** Batched [[pairProxPrefixBitmaps]]: all table-servable items resolve
+    * through ONE miss fetch (one pruned scan per side) instead of a job per
+    * (word, prefix, side); the rest fall through to the per-item path. */
+  private[search] def pairProxPrefixBitmapsBatch(
+      items: Seq[(String, String, Boolean)])
+      : Map[(String, String, Boolean), Map[Int, RoaringBitmap]] = {
+    val (servable, rest) = items.distinct.partition(it => prefixPairServable(it._2))
+    val batched: Map[(String, String, Boolean), Map[Int, RoaringBitmap]] =
+      if (servable.isEmpty) Map.empty
+      else {
+        val keys = servable.flatMap { case (w, p, r) =>
+          (1 to 7).map(x => yKey(w, p, if (r) "r" else "l", x))
+        }
+        val got = bitmapCache.get("y", keys)(_ => prefixPairPointRead(servable))
+        servable.map { case it @ (w, p, r) =>
+          val side = if (r) "r" else "l"
+          it -> (1 to 7).flatMap(x =>
+            got.getOrElse(yKey(w, p, side, x), None).map(x -> _)).toMap
+        }.toMap
+      }
+    batched ++ rest.map(it => it -> pairProxPrefixBitmaps(it._1, it._2, it._3))
+  }
+
+  /** Prefix-side pair rows, grouped by prox. Resolution order:
+    *
+    *  1. prefix in the precomputed prefix-pair tables (#8/#9, len ≤ 2,
+    *     full stored prox 1..7 — IndexBuilder.prefixPairPartials): batched
+    *     POINT READS, the reference's own read path
+    *     (`criteria/mod.rs:656-707`) — no query-time aggregation even cold;
+    *  2. pinned dictionary with ≤ 64 extensions: per-prox unions assembled
+    *     from (cached, batch-fetched) pair point reads — zero extra jobs
+    *     when the pairs are warm;
+    *  3. otherwise ONE ranged aggregation per (word, prefix, side) over
+    *     the pair table — EXACT for any prefix length, where the reference
+    *     simply degrades beyond its caps (`criteria/mod.rs:656-707`).
+    *
     * `prefixIsRight`: rows (word, ext*) else (ext*, word). Cached per prox. */
   private[search] def pairProxPrefixBitmaps(word: String, prefix: String,
       prefixIsRight: Boolean): Map[Int, RoaringBitmap] = {
     val side = if (prefixIsRight) "r" else "l"
     val keys = (1 to 7).map(p => s"$word\u0000$prefix\u0000$side\u0000$p")
     val got = bitmapCache.get("y", keys) { _ =>
-      prefixExtensions(prefix) match {
+      if (prefixPairDict.contains(prefix))
+        prefixPairPointRead(Seq((word, prefix, prefixIsRight)))
+      else prefixExtensions(prefix) match {
         case Some(exts) =>
           // pinned-dictionary path: ≤ 64 known extension words — assemble
           // the per-prox unions from (cached, batch-fetched) pair point
@@ -856,6 +970,7 @@ class GraftIndex(val spark: SparkSession, val dir: String, val settings: IndexSe
     * aggregation job per (word, prefix, side), grouped by prox. */
   private def pairProxPrefixRanged(word: String, prefix: String,
       prefixIsRight: Boolean, side: String): Map[String, RoaringBitmap] = {
+    prefixPairRangedReads.incrementAndGet()
     val base =
       if (prefixIsRight) pairProx.where($"w1" === word && $"w2".startsWith(prefix))
       else pairProx.where($"w1".startsWith(prefix) && $"w2" === word)

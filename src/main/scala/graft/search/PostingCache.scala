@@ -286,28 +286,46 @@ final class DwpCache(index: GraftIndex, maxBytes: Long = 256L << 20) {
     if (docids.isEmpty) // nothing to rank: misses contribute no rows
       return (hitW ++ missW.map(_ -> Array.empty[(Int, String, Array[Int])]),
         hitP ++ missP.map(_ -> Array.empty[(Int, String, Array[Int])]))
-    val est = index.estimatePostingBytes(missW, missP)
-    // no pinned dict to price with, a small miss batch, or a drain so large
-    // the restriction stops paying: one blocking complete fill
-    if (docids.length > 4096 || est.forall(_ <= asyncFillMinBytes)) {
+    // Price each miss INDIVIDUALLY (pinned-dict lookups, no IO) so one
+    // heavy word doesn't drag the batch's light misses into the uncached
+    // restricted path: light misses take the normal blocking complete
+    // fill (cached for the next query), only heavy ones go restricted.
+    // No pinned dict → no prices → everything is "light" → blocking fill.
+    val heavyW = missW.filter(w =>
+      index.estimatePostingBytes(Seq(w), Nil).exists(_ > asyncFillMinBytes))
+    val heavyP = missP.filter(p =>
+      index.estimatePostingBytes(Nil, Seq(p)).exists(_ > asyncFillMinBytes))
+    // a drain so large the restriction stops paying: one blocking fill
+    if (docids.length > 4096 || (heavyW.isEmpty && heavyP.isEmpty)) {
       val (w, p) = get(missW, missP)
       return (hitW ++ w, hitP ++ p)
     }
-    val rows = scanRows(missW, missP, Some(docids))
+    val lightW = missW.filterNot(heavyW.contains)
+    val lightP = missP.filterNot(heavyP.contains)
+    val (lightFedW, lightFedP) =
+      if (lightW.nonEmpty || lightP.nonEmpty) get(lightW, lightP)
+      else (Map.empty[String, Rows], Map.empty[String, Rows])
+    val rows = scanRows(heavyW, heavyP, Some(docids))
     val fetchedW: Map[String, Rows] =
-      missW.iterator.map(w => w -> rows.filter(_._2 == w).sortBy(_._1)).toMap
+      heavyW.iterator.map(w => w -> rows.filter(_._2 == w).sortBy(_._1)).toMap
     val fetchedP: Map[String, Rows] =
-      missP.iterator.map(p => p -> rows.filter(_._2.startsWith(p)).sortBy(_._1)).toMap
-    val fillW = missW.filter(w => filling.add("w:" + w))
-    val fillP = missP.filter(p => filling.add("p:" + p))
+      heavyP.iterator.map(p => p -> rows.filter(_._2.startsWith(p)).sortBy(_._1)).toMap
+    val fillW = heavyW.filter(w => filling.add("w:" + w))
+    val fillP = heavyP.filter(p => filling.add("p:" + p))
     if (fillW.nonEmpty || fillP.nonEmpty) filler.execute { () =>
       try get(fillW, fillP)
-      catch { case _: Throwable => () } // rotated/poisoned handle: drop
+      catch {
+        // rotated/poisoned handle is expected churn; anything else is
+        // surfaced (repeated silent fill failures would pin every query
+        // on the restricted path forever). Fatal errors propagate.
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(s"graft: async dwp fill dropped: $e")
+      }
       finally {
         fillW.foreach(w => filling.remove("w:" + w))
         fillP.foreach(p => filling.remove("p:" + p))
       }
     }
-    (hitW ++ fetchedW, hitP ++ fetchedP)
+    (hitW ++ lightFedW ++ fetchedW, hitP ++ lightFedP ++ fetchedP)
   }
 }

@@ -17,10 +17,12 @@ import QueryTree._
   *    (`criteria/proximity.rs:185-347`): query bucket p unions pair rows
   *    (left, right, prox ≤ p+1) ∪ (right, left, prox ≤ p) over every
   *    derivation-word pair (`word_pair_overall_proximity_docids`,
-  *    `criteria/mod.rs:203-220`). Prefix sides use ONE ranged aggregation
-  *    per (word, prefix, side) over the pair table — exact for any prefix
-  *    length, where the reference caps its prefix-pair databases at
-  *    len ≤ 2 / prox ≤ 4 and degrades.
+  *    `criteria/mod.rs:203-220`). Prefix sides point-read the precomputed
+  *    prefix-pair tables (#8/#9) when the prefix is in their key set
+  *    (len ≤ 2 dict prefixes — `criteria/mod.rs:656-707`), batched across
+  *    the whole cell build; longer prefixes fall back to one exact ranged
+  *    aggregation per (word, prefix, side) over the pair table, where the
+  *    reference simply degrades beyond its caps.
   *
   * EXACTNESS BAND: the index-time pair extractor sweeps a 7-entry window
   * (`extract_word_pair_proximity_docids.rs:85-152`), so a stored proximity
@@ -227,9 +229,13 @@ object RankCells {
         // IS the union of its extensions).
         def expand(side: (Seq[String], Seq[String])): (Seq[String], Seq[String]) = {
           val (ws, ps) = side
-          val exts = ps.map(p => index.prefixExtensions(p, cap = 256))
-          if (ps.isEmpty || exts.exists(_.isEmpty)) side
-          else ((ws ++ exts.flatMap(_.get)).distinct, Nil)
+          // prefixes covered by the precomputed prefix-pair tables (#8/#9)
+          // stay prefixes: one batched point read later beats enumerating
+          // extensions into pair fetches
+          val (tbl, other) = ps.partition(index.prefixPairServable)
+          val exts = other.map(p => index.prefixExtensions(p, cap = 256))
+          if (other.isEmpty || exts.exists(_.isEmpty)) side
+          else ((ws ++ exts.flatMap(_.get)).distinct, tbl)
         }
         for {
           (lw, lp) <- sideWords(der, l).map(expand)
@@ -254,15 +260,15 @@ object RankCells {
         } yield {
           val pairs = (for (a <- lw; b <- rw) yield Seq((a, b), (b, a))).flatten
           val rows = index.pairProxBitmaps(pairs)
-          // ranged prefix-side rows, fetched once per (word, prefix, side)
-          val fwdRanged = for (pfx <- rp; a <- lw)
-            yield index.pairProxPrefixBitmaps(a, pfx, prefixIsRight = true)
-          val revRanged = for (pfx <- rp; a <- lw)
-            yield index.pairProxPrefixBitmaps(a, pfx, prefixIsRight = false)
-          val fwdRangedL = for (pfx <- lp; b <- rw)
-            yield index.pairProxPrefixBitmaps(b, pfx, prefixIsRight = false)
-          val revRangedL = for (pfx <- lp; b <- rw)
-            yield index.pairProxPrefixBitmaps(b, pfx, prefixIsRight = true)
+          // prefix-side rows: ONE batched fetch for every (word, prefix,
+          // side) — table-servable items point-read #8/#9 together
+          val pfxRows = index.pairProxPrefixBitmapsBatch(
+            (for (pfx <- rp; a <- lw; r <- Seq(true, false)) yield (a, pfx, r)) ++
+            (for (pfx <- lp; b <- rw; r <- Seq(true, false)) yield (b, pfx, r)))
+          val fwdRanged = for (pfx <- rp; a <- lw) yield pfxRows((a, pfx, true))
+          val revRanged = for (pfx <- rp; a <- lw) yield pfxRows((a, pfx, false))
+          val fwdRangedL = for (pfx <- lp; b <- rw) yield pfxRows((b, pfx, false))
+          val revRangedL = for (pfx <- lp; b <- rw) yield pfxRows((b, pfx, true))
           (0 to MaxExactProx).map { p =>
             val acc = new RoaringBitmap()
             // left-before-right: query p = stored − 1; right-before-left:

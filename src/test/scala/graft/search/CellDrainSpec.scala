@@ -47,11 +47,32 @@ class CellDrainSpec extends AnyFunSuite with Matchers {
     RankCells.drains.get() should be > before
   }
 
-  test("trailing prefix (ranged prefix-side pair fetch) stays rank-identical") {
+  test("trailing prefix (prefix-side pair fetch) stays rank-identical") {
     val before = RankCells.drains.get()
     compare("the w1") // prefix w1 covers w1, w10..w19, w100..: big, mixed buckets
     compare("w3 w17") // rarer prefix
     RankCells.drains.get() should be > before
+  }
+
+  test("dict-prefix prox cells point-read the precomputed prefix-pair tables") {
+    // "w1" is a len-2 prefix-dict entry → its (word, prefix) prox rows must
+    // come from word_prefix_pair_proximity_docids / prefix_word_pair_…
+    // point reads (#8/#9), NEVER from a per-query ranged aggregation over
+    // the pair table (the reference reads those tables the same way,
+    // criteria/mod.rs:656-707)
+    val ranged0 = index.prefixPairRangedReads.get()
+    val point0 = index.prefixPairPointReads.get()
+    compare("the w1")
+    compare("of w9")
+    index.prefixPairRangedReads.get() shouldBe ranged0
+    assert(index.prefixPairPointReads.get() > point0,
+      "expected the drain to fetch from the precomputed prefix-pair tables")
+    // and warm repeats run from the driver cache: no further fetches of
+    // either kind
+    val point1 = index.prefixPairPointReads.get()
+    compare("the w1")
+    index.prefixPairPointReads.get() shouldBe point1
+    index.prefixPairRangedReads.get() shouldBe ranged0
   }
 
   test("3-word query: prox dim unsupported (And of 3) → typo-only cells, identical") {
