@@ -123,7 +123,7 @@ object Bench {
     // keeps retrying until one pair is both calm AND physically plausible
     // (efficiency in [0.6, 1.0)). All pairs are reported transparently.
     val loadStart = loadavg()
-    val maxPairs = sys.env.getOrElse("SPARK_GRAFT_SCALE_PAIRS", "3").toInt
+    val maxPairs = sys.env.getOrElse("SPARK_GRAFT_SCALE_PAIRS", "5").toInt
     val calmLoad = sys.env.getOrElse("SPARK_GRAFT_CALM_LOAD", "2.0").toDouble
     val calmWaitSec = sys.env.getOrElse("SPARK_GRAFT_CALM_WAIT_SEC", "600").toInt
     var calmBudgetNs = calmWaitSec * 1000000000L
@@ -166,17 +166,17 @@ object Bench {
         pairs :+= ((low, high, l1, l2))
       }
       measurePair()
-      // retry until ≥2 pairs AND a calm + plausible pair exist (or attempts
-      // exhaust): > 1.0 is physically impossible, < 0.6 is collapse-level —
-      // both host-contention signatures, not engine properties. The
-      // reported efficiency combines the fastest low and fastest high run
-      // ACROSS pairs, so a second pair halves the one-noisy-run variance
-      // (external load hits the high level ~4× harder than the low).
+      // retry until ≥2 pairs AND ≥2 calm + plausible pairs exist (or
+      // attempts exhaust): eff > 1.0 is physically impossible, < 0.6 is
+      // collapse-level — both host-contention signatures, not engine
+      // properties. Two calm pairs make the reported number reproducible
+      // on a hostile host instead of a one-lucky-window sample.
       while (pairs.length < maxPairs &&
-          (pairs.length < 2 || !pairs.exists(calmPair) ||
+          (pairs.length < 2 || pairs.count(calmPair) < 2 ||
             bestEff > 1.0 || bestEff < 0.6)) {
-        System.err.println(f"[bench] no calm plausible pair yet " +
-          f"(best-of eff $bestEff%.3f, loadavg ${loadavg()}%.2f) — retrying")
+        System.err.println(f"[bench] need more calm plausible pairs " +
+          f"(${pairs.count(calmPair)} so far, best-of eff $bestEff%.3f, " +
+          f"loadavg ${loadavg()}%.2f) — retrying")
         measurePair()
       }
     } else pairs :+= ((1.0, 4.0, -1.0, -1.0)) // never reported (skipped flag)
@@ -184,10 +184,37 @@ object Bench {
     val secHigh = pairs.map(_._2).min
     val thrLow = scaleDocs / secLow
     val thrHigh = scaleDocs / secHigh
-    val efficiency = thrHigh / (thrLow * (highN.toDouble / lowN))
+    // Cross-pair best-of (fastest low + fastest high run from DIFFERENT
+    // pairs) is a useful diagnostic but can exceed 1.0 when external load
+    // clips one level of one pair — r4's driver headline read 1.262. The
+    // HEADLINE efficiency is therefore: best-of when it is physically
+    // plausible, else the best calm plausible single pair (same-window
+    // runs, loadavg ≤ calmLoad at both levels), else best-of with the
+    // load_contaminated flag already emitted alongside.
+    val bestOfEfficiency = thrHigh / (thrLow * (highN.toDouble / lowN))
+    val efficiency =
+      if (bestOfEfficiency >= 0.6 && bestOfEfficiency < 1.0) bestOfEfficiency
+      else pairs.filter(calmPair).map(eff).maxOption.getOrElse(bestOfEfficiency)
 
     // ---- phase 3: query serving on a persistent index at full parallelism
     val mtClients = sys.env.getOrElse("SPARK_GRAFT_MT_CLIENTS", "8").toInt
+    // The mt throughput numbers swing ~70× with neighbor load (r4 driver:
+    // bm25 mt8 166 QPS at loadavg 7.75 vs 6,255 in r3) — gate them behind
+    // the same calm-wait the scaling pairs use, and record the pre-phase
+    // loadavg so a contaminated window is visible in the JSON.
+    var servingCalmBudgetNs =
+      sys.env.getOrElse("SPARK_GRAFT_MT_CALM_WAIT_SEC", "300").toInt * 1000000000L
+    def waitForCalmServing(): Double = {
+      var l = loadavg()
+      while (l > calmLoad && servingCalmBudgetNs > 0) {
+        System.err.println(f"[bench] loadavg $l%.2f > $calmLoad%.1f — waiting before mt phase")
+        Thread.sleep(15000)
+        servingCalmBudgetNs -= 15000000000L
+        l = loadavg()
+      }
+      l
+    }
+    var mtLoadMax = -1.0
     val (bm25Cold, bm25Times, bm25PerQuery, bm25QpsMt,
          milliCold, milliTimes, milliPerQuery, milliQpsMt) =
       if (!phases("serving"))
@@ -231,6 +258,7 @@ object Bench {
         // scoring runs outside the locks) — the single-box stand-in for a
         // serving tier answering concurrent users
         val mtIters = 10
+        mtLoadMax = math.max(mtLoadMax, waitForCalmServing())
         val pool = java.util.concurrent.Executors.newFixedThreadPool(mtClients)
         val (_, mtWall) = timed {
           val futs = (0 until mtClients).map { c =>
@@ -256,6 +284,7 @@ object Bench {
         val mPer = milliQueries.indices.map { i =>
           milliQueries(i) -> pct(mRuns.map(_(i)), 0.5) * 1000
         }.toMap
+        mtLoadMax = math.max(mtLoadMax, waitForCalmServing())
         val pool2 = java.util.concurrent.Executors.newFixedThreadPool(mtClients)
         val (_, mtWall2) = timed {
           val futs = (0 until mtClients).map { _ =>
@@ -294,7 +323,8 @@ object Bench {
             // number above is what the host allowed, not what the engine
             // scales to — say so instead of letting it read as a property
             """"load_contaminated":true,""")
-        s"""{"n":$lowN,"n4":$highN,"efficiency":${f(efficiency)},$calmJson""" +
+        s"""{"n":$lowN,"n4":$highN,"efficiency":${f(efficiency)},""" +
+          s""""best_of_efficiency":${f(bestOfEfficiency)},$calmJson""" +
           s""""pairs":[${pairs.map(p =>
             s"[${f(p._1)},${f(p._2)},${f(p._3)},${f(p._4)}]").mkString(",")}],""" +
           s""""pair_efficiencies":[${pairs.map(p => f(eff(p))).mkString(",")}],""" +
@@ -302,7 +332,9 @@ object Bench {
       }
     val searchJson =
       if (!phases("serving")) """{"skipped":true}"""
-      else s"""{"bm25_p50_ms":${f(pct(bm25Times, 0.5) * 1000)},""" +
+      else s"""{"mt_loadavg":${f(mtLoadMax)},""" +
+        (if (mtLoadMax > calmLoad) s""""mt_load_contaminated":true,""" else "") +
+        s""""bm25_p50_ms":${f(pct(bm25Times, 0.5) * 1000)},""" +
         s""""bm25_p99_ms":${f(pct(bm25Times, 0.99) * 1000)},""" +
         s""""bm25_qps":${f(if (bm25Times.sum > 0) bm25Times.length / bm25Times.sum else 0.0)},""" +
         s""""bm25_qps_mt${mtClients}":${f(bm25QpsMt)},""" +

@@ -211,6 +211,15 @@ class IndexBuilder(spark: SparkSession, settings: IndexSettings) extends Seriali
       facetOverride: Option[(DataFrame, DataFrame, DataFrame)] = None): Manifest = {
     val manifest = Manifest.load(dir)
     val t0 = System.nanoTime()
+    // format marker (evaluated BEFORE any stage can record): the serving
+    // point-read path (GraftIndex.prefixPairDict) requires BOTH prefix-pair
+    // tables to carry the full prox 1..7 range (older builds capped at 4).
+    // Written after the build only when both tables are fresh from this
+    // builder (or the dir is already marked) — a resume over an old dir
+    // keeps the marker off and serving on its fallback paths.
+    val ppFreshBoth =
+      Seq(T.WordPrefixPairProximityDocids, T.PrefixWordPairProximityDocids)
+        .forall(t => !(resume && manifest.isDone(t, dir)))
 
     // Every bitmap table aggregates millions of (key → roaring bitmap)
     // groups through ObjectHashAggregate; Spark's default sort-based
@@ -542,6 +551,8 @@ class IndexBuilder(spark: SparkSession, settings: IndexSettings) extends Seriali
         case None    => spark.conf.unset(aggFallbackKey)
       }
     }
+    val ppMarker = new java.io.File(s"$dir/${IndexBuilder.PrefixPairsProx7Marker}")
+    if (ppFreshBoth && !ppMarker.exists()) ppMarker.createNewFile()
     finishBuild(manifest, taskAgg, stageGroup, listener, dir, t0)
     manifest
   }
@@ -873,6 +884,11 @@ class IndexBuilder(spark: SparkSession, settings: IndexSettings) extends Seriali
 }
 
 object IndexBuilder extends Serializable {
+
+  /** Root marker: this index's prefix-pair tables (#8/#9) carry the full
+    * stored prox range 1..7 — the serving point-read path requires it
+    * (older builds capped at prox ≤ 4 and must use the fallback paths). */
+  val PrefixPairsProx7Marker = "_graft_prefix_pairs_prox7"
 
   /** Group doc-contiguous DwpRow iterators by docid without shuffling. */
   def groupConsecutive(it: Iterator[DwpRow]): Iterator[(Int, Seq[DwpRow])] =

@@ -847,7 +847,9 @@ class GraftIndex(val spark: SparkSession, val dir: String, val settings: IndexSe
     val haveTables =
       new java.io.File(s"$dir/${T.WordPrefixPairProximityDocids}").exists() &&
       new java.io.File(s"$dir/${T.PrefixWordPairProximityDocids}").exists() &&
-      new java.io.File(s"$dir/${T.PrefixDict}").exists()
+      new java.io.File(s"$dir/${T.PrefixDict}").exists() &&
+      new java.io.File( // full-prox format guard (old builds capped at 4)
+        s"$dir/${graft.index.IndexBuilder.PrefixPairsProx7Marker}").exists()
     if (!haveTables) Set.empty
     else table(T.PrefixDict).where(length($"prefix") <= 2)
       .select($"prefix").as[String].collect().toSet
