@@ -30,14 +30,105 @@ object Tokenizer extends Serializable {
 
   /** Hard separators: chars that end a "sentence-ish" unit.
     * Mirrors charabia's SeparatorKind::Hard classification for the ASCII
-    * punctuation the corpus exercises. Documented divergence: exotic
-    * Unicode separators default to soft.
+    * punctuation the corpus exercises, plus the CJK fullwidth equivalents
+    * (。！？；，、：（）【】「」) web text in those scripts actually uses.
+    * Documented divergence: other exotic Unicode separators default to soft.
     */
-  private val HardSeps: Set[Char] =
-    Set('.', ';', ',', '!', '?', '(', ')', '[', ']', '{', '}', '|', '…')
+  private[graft] val HardSeps: Set[Char] =
+    Set('.', ';', ',', '!', '?', '(', ')', '[', ']', '{', '}', '|', '…',
+      '。', '！', '？', '；', '，', '、', '：', '（', '）', '【', '】', '「', '」')
 
-  @inline private def isWordChar(c: Char): Boolean =
-    Character.isLetterOrDigit(c)
+  @inline def isHardSep(c: Char): Boolean = HardSeps.contains(c)
+
+  /** Word characters: letters, digits, and combining marks (a combining
+    * mark splits its word otherwise — Arabic harakat, Hebrew niqqud, Thai
+    * vowels, NFD Latin accents are all Mn and all belong INSIDE the word;
+    * normalize() strips the ones that should vanish). */
+  @inline def isWordChar(cp: Int): Boolean =
+    Character.isLetterOrDigit(cp) ||
+      Character.getType(cp) == Character.NON_SPACING_MARK
+
+  // ---------------------------------------------- script-aware segmentation
+  //
+  // charabia detects the script of each token run and switches segmenters
+  // (Latin whitespace rules, jieba for Chinese, lindera for Japanese/Korean,
+  // a dictionary segmenter for Thai). Those dictionaries are not available
+  // here, so the fallback is DETERMINISTIC and symmetrical between index and
+  // query time (both sides call [[segmentRun]], so recall is preserved):
+  //  - word-character runs split at script-class boundaries (Han|kana|
+  //    hangul|thai|other), exactly like charabia's script change detection;
+  //  - Han ideographs index as UNIGRAMS (one token per code point, incl.
+  //    supplementary-plane ideographs) — the standard dictionary-free CJK
+  //    fallback; proximity ranking recovers phrase-level precision;
+  //  - kana / hangul / thai runs stay whole tokens (DIVERGENCE from
+  //    lindera's morphological analysis, documented in SURVEY §8);
+  //  - everything else (Latin, Cyrillic, Greek, Arabic, …) keeps the
+  //    normalize() path — lowercase + NFD mark stripping, which also
+  //    removes Arabic harakat and Hebrew niqqud.
+
+  private final val ScOther = 0
+  private final val ScHan = 1
+  private final val ScHira = 2
+  private final val ScKata = 3
+  private final val ScHangul = 4
+  private final val ScThai = 5
+
+  /** Script class of a code point, by range (no Character.UnicodeScript
+    * allocation on the hot path). Hiragana and katakana are SEPARATE
+    * classes: the boundary between them is a real word boundary in
+    * Japanese far more often than not (katakana loanword + hiragana
+    * particle), which recovers part of what lindera's dictionary gives. */
+  @inline private[graft] def scriptClass(cp: Int): Int =
+    if (cp < 0x0E00) ScOther
+    else if (cp <= 0x0E7F) ScThai
+    else if (cp < 0x1100) ScOther
+    else if (cp <= 0x11FF) ScHangul // Hangul Jamo
+    else if (cp < 0x3040) ScOther
+    else if (cp <= 0x309F) ScHira // Hiragana
+    else if (cp <= 0x30FF) ScKata // Katakana
+    else if (cp >= 0x3130 && cp <= 0x318F) ScHangul // compat Jamo
+    else if (cp >= 0x31F0 && cp <= 0x31FF) ScKata // Katakana phonetic ext
+    else if (cp >= 0x3400 && cp <= 0x9FFF) ScHan // ext A + URO
+    else if (cp >= 0xA960 && cp <= 0xA97F) ScHangul // Jamo ext A
+    else if (cp >= 0xAC00 && cp <= 0xD7FF) ScHangul // syllables + Jamo ext B
+    else if (cp >= 0xF900 && cp <= 0xFAFF) ScHan // compat ideographs
+    else if (cp >= 0xFF66 && cp <= 0xFF9D) ScKata // halfwidth Katakana
+    else if (cp >= 0x20000 && cp <= 0x3FFFF) ScHan // ext B..I (supplementary)
+    else ScOther
+
+  /** Segment one maximal run of word characters into index tokens: split at
+    * script-class boundaries, Han → one token per ideograph, kana / hangul /
+    * thai segments whole, all other segments through [[normalize]]. Both the
+    * indexer and the query parser call this — the single source of truth
+    * that keeps index-time and query-time tokens identical. */
+  def segmentRun(raw: String): Vector[String] = {
+    // fast path: pure pre-Thai (ASCII/Latin/…) runs are one normalized word
+    var allOther = true
+    var j = 0
+    while (allOther && j < raw.length) {
+      if (raw.charAt(j) >= 0x0E00) allOther = false else j += 1
+    }
+    if (allOther) return Vector(normalize(raw))
+    val out = Vector.newBuilder[String]
+    var i = 0
+    val n = raw.length
+    while (i < n) {
+      val cp = raw.codePointAt(i)
+      val sc = scriptClass(cp)
+      if (sc == ScHan) {
+        out += raw.substring(i, i + Character.charCount(cp))
+        i += Character.charCount(cp)
+      } else {
+        val start = i
+        while (i < n && {
+          val c2 = raw.codePointAt(i); scriptClass(c2) == sc && scriptClass(c2) != ScHan
+        }) i += Character.charCount(raw.codePointAt(i))
+        val seg = raw.substring(start, i)
+        out += (if (sc == ScOther) normalize(seg) else seg)
+      }
+    }
+    out.result()
+  }
 
   /** Lowercase + strip combining diacritical marks (NFD), with the handful
     * of Latin ligature foldings deunicode applies that NFD alone misses.
@@ -63,6 +154,10 @@ object Tokenizer extends Serializable {
 
   /** Tokenize one attribute's text into (normalized word, relative position)
     * with milli's position semantics. Deterministic, allocation-light.
+    * Word-character runs segment script-aware through [[segmentRun]]; each
+    * segment is its own word (consecutive segments are soft-adjacent, +1
+    * position apart — exactly how charabia's segmenters hand multiple
+    * tokens to `process_tokens` with no separator between them).
     */
   def tokenize(text: String): Vector[Token] = {
     val out = Vector.newBuilder[Token]
@@ -74,25 +169,27 @@ object Tokenizer extends Serializable {
     // 0 = none yet, 1 = soft, 8 = hard
     var pendingSep = 0
     while (i < n && position < MaxPositionPerAttribute) {
-      val c = text.charAt(i)
-      if (isWordChar(c)) {
+      val cp = text.codePointAt(i)
+      if (isWordChar(cp)) {
         val start = i
-        while (i < n && isWordChar(text.charAt(i))) i += 1
+        while (i < n && isWordChar(text.codePointAt(i)))
+          i += Character.charCount(text.codePointAt(i))
         val raw = text.substring(start, i)
-        val word = normalize(raw)
-        if (seenWord) position += (if (pendingSep == 8) 8 else 1)
-        pendingSep = 0
-        seenWord = true
-        if (position < MaxPositionPerAttribute && word.nonEmpty &&
-            word.getBytes(java.nio.charset.StandardCharsets.UTF_8).length <= MaxWordLength) {
-          out += Token(word, position)
+        segmentRun(raw).foreach { word =>
+          if (seenWord) position += (if (pendingSep == 8) 8 else 1)
+          pendingSep = 0
+          seenWord = true
+          if (position < MaxPositionPerAttribute && word.nonEmpty &&
+              word.getBytes(java.nio.charset.StandardCharsets.UTF_8).length <= MaxWordLength) {
+            out += Token(word, position)
+          }
         }
       } else {
         // separator run: hard wins over soft (process_tokens keeps Hard as
         // prev_kind once seen until the next word)
-        if (HardSeps.contains(c)) pendingSep = 8
+        if (cp <= 0xFFFF && HardSeps.contains(cp.toChar)) pendingSep = 8
         else if (pendingSep != 8) pendingSep = 1
-        i += 1
+        i += Character.charCount(cp)
       }
     }
     out.result()

@@ -687,16 +687,27 @@ class GraftIndex(val spark: SparkSession, val dir: String, val settings: IndexSe
     private val zeroWords = enumerated.collect { case (w, 0) => w }.distinct
     private val prefixes = leaves.collect { case QueryTree.Query(true, k) => k.word }.distinct
 
-    val wd: Map[String, Option[RoaringBitmap]] =
-      bitmapCache.get("w", allWords)(ks => bitmapRows(wordDocids, dictWords(ks)))
-    val ewd: Map[String, Option[RoaringBitmap]] =
-      bitmapCache.get("e", zeroWords)(ks => bitmapRows(exactWordDocids, dictWords(ks)))
-    val pfx: Map[String, Option[RoaringBitmap]] =
-      bitmapCache.get("p", prefixes)(ks =>
-        bitmapRows(wordPrefixDocids, livePrefixes(ks), "prefix"))
-    val epfx: Map[String, Option[RoaringBitmap]] =
-      bitmapCache.get("q", prefixes)(ks =>
-        bitmapRows(exactWordPrefixDocids, livePrefixes(ks), "prefix"))
+    // the four namespace fetches are independent and each costs one Spark
+    // job on a cold miss — overlap them (the caches fetch OUTSIDE their
+    // locks, and concurrent job submission is exactly what the serving
+    // tier's client threads do anyway): cold pays ~one job floor, not four
+    private val (fWd, fEwd, fPfx, fEpfx) = {
+      import scala.concurrent.Future
+      implicit val ec: scala.concurrent.ExecutionContext = GraftIndex.fetchEc
+      (Future(bitmapCache.get("w", allWords)(ks => bitmapRows(wordDocids, dictWords(ks)))),
+       Future(bitmapCache.get("e", zeroWords)(ks => bitmapRows(exactWordDocids, dictWords(ks)))),
+       Future(bitmapCache.get("p", prefixes)(ks =>
+         bitmapRows(wordPrefixDocids, livePrefixes(ks), "prefix"))),
+       Future(bitmapCache.get("q", prefixes)(ks =>
+         bitmapRows(exactWordPrefixDocids, livePrefixes(ks), "prefix"))))
+    }
+    private def await[A](f: scala.concurrent.Future[A]): A =
+      scala.concurrent.Await.result(f, scala.concurrent.duration.Duration.Inf)
+
+    val wd: Map[String, Option[RoaringBitmap]] = await(fWd)
+    val ewd: Map[String, Option[RoaringBitmap]] = await(fEwd)
+    val pfx: Map[String, Option[RoaringBitmap]] = await(fPfx)
+    val epfx: Map[String, Option[RoaringBitmap]] = await(fEpfx)
     // dictionary-miss prefixes: one distributed range-union each (bounded
     // result: a single bitmap row reaches the driver), LRU-cached too
     val missingPfx: Map[String, Option[RoaringBitmap]] =
@@ -781,13 +792,7 @@ class GraftIndex(val spark: SparkSession, val dir: String, val settings: IndexSe
     * (positions needed — caller takes the scan path). */
   def resolveTreeBitmap(tree: QueryTree.Op, der: Ranker.Derivations): Option[RoaringBitmap] = {
     import QueryTree._
-    def hasPhrase(op: Op): Boolean = op match {
-      case And(cs)    => cs.exists(hasPhrase)
-      case Or(_, cs)  => cs.exists(hasPhrase)
-      case _: Phrase  => true
-      case _: Query   => false
-    }
-    if (hasPhrase(tree)) return None
+    if (QueryTree.hasPhrase(tree)) return None
     val lt = leafTables(treeLeaves(tree), der)
 
     def eval(op: Op): RoaringBitmap = op match {
@@ -1020,6 +1025,15 @@ class GraftIndex(val spark: SparkSession, val dir: String, val settings: IndexSe
 }
 
 object GraftIndex {
+  /** Shared pool for overlapping independent cold-miss fetch jobs (leaf
+    * bitmap namespaces). Small and daemon: warm paths never touch it. */
+  private[search] val fetchEc: scala.concurrent.ExecutionContext =
+    scala.concurrent.ExecutionContext.fromExecutorService(
+      java.util.concurrent.Executors.newFixedThreadPool(4,
+        (r: Runnable) => {
+          val t = new Thread(r, "graft-leaf-fetch"); t.setDaemon(true); t
+        }))
+
   /** Open a self-describing index directory (settings.json written by the
     * builder). */
   def open(spark: SparkSession, dir: String): GraftIndex = {

@@ -233,10 +233,20 @@ final class DwpCache(index: GraftIndex, maxBytes: Long = 256L << 20) {
     val in = if (inWords.nonEmpty) Seq(col("word").isin(inWords: _*)) else Nil
     val pref = rangedP.map(p => col("word").startsWith(p))
     val wordPred = (in ++ pref).reduce(_ || _)
-    val predicate = docFilter.fold(wordPred)(ds =>
-      wordPred && col("docid").isin(ds.map(Int.box).toSeq: _*))
-    index.docWordPositions.where(predicate)
-      .select(col("docid"), col("word"), col("positions"))
+    val base = index.docWordPositions.where(wordPred)
+    val restricted = docFilter match {
+      case None => base
+      case Some(ds) if ds.length <= 2048 =>
+        // small chosen sets push straight into the scan as an In predicate
+        base.where(col("docid").isin(ds.map(Int.box).toSeq: _*))
+      case Some(ds) =>
+        // large drains: a broadcast semi-join restricts the scan without a
+        // giant In expression — collect volume stays O(|chosen| × words)
+        // at any corpus size (the whole point of the restricted fetch)
+        val candDf = spark.createDataset(ds.toSeq).toDF("docid")
+        base.join(broadcast(candDf), Seq("docid"), "left_semi")
+    }
+    restricted.select(col("docid"), col("word"), col("positions"))
       .as[(Int, String, Array[Int])].collect()
   }
 
@@ -295,8 +305,10 @@ final class DwpCache(index: GraftIndex, maxBytes: Long = 256L << 20) {
       index.estimatePostingBytes(Seq(w), Nil).exists(_ > asyncFillMinBytes))
     val heavyP = missP.filter(p =>
       index.estimatePostingBytes(Nil, Seq(p)).exists(_ > asyncFillMinBytes))
-    // a drain so large the restriction stops paying: one blocking fill
-    if (docids.length > 4096 || (heavyW.isEmpty && heavyP.isEmpty)) {
+    // no heavy miss: one blocking complete fill caches everything (large
+    // drains stay restricted — the semi-join path keeps the collect
+    // O(|chosen| × words) where a complete fill would be O(df))
+    if (heavyW.isEmpty && heavyP.isEmpty) {
       val (w, p) = get(missW, missP)
       return (hitW ++ w, hitP ++ p)
     }

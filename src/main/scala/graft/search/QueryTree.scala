@@ -35,6 +35,15 @@ object QueryTree {
   final case class Phrase(words: Seq[Option[String]]) extends Op
   final case class Query(prefix: Boolean, kind: QueryKind) extends Op
 
+  /** True when the subtree contains a Phrase (positions needed — bitmap
+    * resolution and the cell drain don't apply). */
+  def hasPhrase(op: Op): Boolean = op match {
+    case And(cs)   => cs.exists(hasPhrase)
+    case Or(_, cs) => cs.exists(hasPhrase)
+    case _: Phrase => true
+    case _: Query  => false
+  }
+
   object Op {
     /** `Operation::or`: single child collapses; nested Ors with the same
       * word-branch flag flatten (query_tree.rs:112-129). */
@@ -94,15 +103,18 @@ object QueryTree {
     *  - an unterminated quote keeps the query tail as a phrase. */
   def primitiveQuery(query: String, stopWords: Set[String],
       wordsLimit: Int = 10): Seq[Part] = {
-    val HardSeps = Set('.', ';', ',', '!', '?', '(', ')', '[', ']', '{', '}', '|', '…')
-    // token stream: word runs and separator runs (raw text kept for quotes)
+    // token stream: word runs and separator runs (raw text kept for quotes);
+    // word runs are split by code point so supplementary-plane ideographs
+    // stay word characters, and hard separators come from the shared
+    // tokenizer set (CJK fullwidth punctuation included)
     val tokens = scala.collection.mutable.ArrayBuffer.empty[(String, Boolean)] // (text, isWord)
     var i = 0
     val n = query.length
     while (i < n) {
       val start = i
-      val isWord = Character.isLetterOrDigit(query.charAt(i))
-      while (i < n && Character.isLetterOrDigit(query.charAt(i)) == isWord) i += 1
+      val isWord = graft.core.Tokenizer.isWordChar(query.codePointAt(i))
+      while (i < n && graft.core.Tokenizer.isWordChar(query.codePointAt(i)) == isWord)
+        i += Character.charCount(query.codePointAt(i))
       tokens += ((query.substring(start, i), isWord))
     }
 
@@ -116,11 +128,14 @@ object QueryTree {
       else {
         val (text, isWord) = tokens(k)
         if (isWord) {
-          val w = graft.core.Tokenizer.normalize(text)
-          if (w.nonEmpty) {
+          // script-aware segmentation — the SAME function the indexer uses,
+          // so a CJK query run expands into exactly the tokens the index
+          // stores (Han unigrams, kana/hangul/thai segments, Latin words)
+          val segs = graft.core.Tokenizer.segmentRun(text).filter(_.nonEmpty)
+          segs.zipWithIndex.foreach { case (w, si) =>
             if (quoted) {
               phrase += (if (stopWords.contains(w)) None else Some(w))
-            } else if (k + 1 < tokens.length) {
+            } else if (k + 1 < tokens.length || si + 1 < segs.length) {
               if (!stopWords.contains(w)) parts += PWord(w, prefix = false)
             } else {
               // last token of the query: prefix word, stop word or not
@@ -130,7 +145,7 @@ object QueryTree {
         } else {
           val quoteCount = text.count(_ == '"')
           if (quoteCount % 2 != 0) quoted = !quoted
-          if (quoteCount > 0 || text.exists(HardSeps.contains)) {
+          if (quoteCount > 0 || text.exists(graft.core.Tokenizer.isHardSep)) {
             // all-stop-word phrases are dropped, exactly like the reference
             // (query_tree.rs:832-835 `phrase.iter().any(|w| w.is_some())`)
             val p = phrase.result()

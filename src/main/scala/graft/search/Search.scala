@@ -102,6 +102,15 @@ object Search {
   val MaxLocalBytes: Long =
     sys.env.get("SPARK_GRAFT_MAX_LOCAL_BYTES").map(_.toLong).getOrElse(64L << 20)
 
+  /** Drain cap for the cell-path admission that BYPASSES the volume gate
+    * (Words-led phrase-free queries): at most this many docs may rank
+    * in-process before the query aborts to the distributed path. Sized to
+    * what the parallel per-doc ranker clears in tens of ms (the 63.7k-doc
+    * worst rung ranks in ~15 ms); the docid-restricted forward fetch
+    * collects ≤ words × cap rows — bounded at any corpus size. */
+  val MaxLocalDrain: Long =
+    sys.env.get("SPARK_GRAFT_MAX_LOCAL_DRAIN").map(_.toLong).getOrElse(1L << 17)
+
   /** SPARK_GRAFT_TRACE=1 prints local-path stage timings to stderr. */
   private[search] val trace: Boolean =
     sys.env.get("SPARK_GRAFT_TRACE").contains("1")
@@ -253,7 +262,11 @@ object Search {
 class Search(index: GraftIndex,
     /** queries whose scan provably touches ≤ this many posting rows rank
       * driver-side (small-query path); 0 forces the distributed path. */
-    maxLocalPostings: Long = Search.DefaultMaxLocalPostings) extends Serializable {
+    maxLocalPostings: Long = Search.DefaultMaxLocalPostings,
+    /** cell-drain admission cap: Words-led phrase-free queries past the
+      * volume gate still rank driver-side unless more than this many docs
+      * must drain (then: distributed). */
+    maxLocalDrain: Long = Search.MaxLocalDrain) extends Serializable {
   import index.spark
   import spark.implicits._
 
@@ -455,7 +468,32 @@ class Search(index: GraftIndex,
     if (smallEnough && localSortCmps.isDefined && distinctLocal.isDefined)
       return executeQueryLocal(branches.toVector, derivations, exactParts,
         searchableFids, relevantWords, prefixWords, filterDf, deleted, criteria,
-        req, localSortCmps.get, distinctLocal.get)
+        req, localSortCmps.get, distinctLocal.get).get
+    // Words-led phrase-free queries stay LOCAL even past the postings-volume
+    // gate: their drain is O(offset+limit + drained cells), not O(postings)
+    // — branch candidates resolve via cached bitmap point reads, big buckets
+    // subdivide into (typo, prox) cells, the forward-index fetch is
+    // docid-restricted to the chosen docs, and a filter either intersects as
+    // a cached bitmap or is absent. This is the query shape milli serves
+    // in-process at ANY corpus size (criteria cascade over LMDB bitmaps);
+    // without it, head-word multi-word queries fall off the local path the
+    // moment the corpus outgrows maxLocalPostings and pay 4 distributed
+    // jobs per query. The one unbounded dimension — a giant tie cell, e.g.
+    // a bare stop word whose whole bucket must rank — aborts to the
+    // distributed path via the drain cap.
+    val cellDrainEligible =
+      maxLocalPostings > 0 && !sortish && distinctField.isEmpty &&
+        criteria.headOption.contains(Criterion.Words) &&
+        branches.forall(b => !QueryTree.hasPhrase(b)) &&
+        filterDf.forall(_.isLeft)
+    if (cellDrainEligible) {
+      executeQueryLocal(branches.toVector, derivations, exactParts,
+        searchableFids, relevantWords, prefixWords, filterDf, deleted, criteria,
+        req, Map.empty, None, drainCap = maxLocalDrain) match {
+        case Some(r) => return r
+        case None    => () // drain cap hit — rank distributed below
+      }
+    }
 
     val bBranches = spark.sparkContext.broadcast(branches.toVector)
     val bDerivations = spark.sparkContext.broadcast(derivations)
@@ -569,7 +607,8 @@ class Search(index: GraftIndex,
       criteria: Seq[Criterion],
       req: SearchRequest,
       sortCmps: Map[Criterion, (Int, Int) => Int] = Map.empty,
-      distinctVals: Option[java.util.HashMap[Integer, String]] = None): SearchResult = {
+      distinctVals: Option[java.util.HashMap[Integer, String]] = None,
+      drainCap: Long = Long.MaxValue): Option[SearchResult] = {
     // Lazy words-bucket drain (milli's criterion iterator stops at `limit`,
     // criteria/words.rs:31-106): pass 1 computes only BUCKET MEMBERSHIP per
     // candidate; when the FIRST active criterion is Words, only docs in the
@@ -684,12 +723,17 @@ class Search(index: GraftIndex,
             }
           while (cellIt.hasNext && (!wordsFirst || drained < take)) {
             val cell = cellIt.next()
+            drained += cell.docs.getLongCardinality
+            // drain cap: a tie cell too large to rank in-process sends the
+            // whole query to the distributed rank path (only reachable from
+            // the cell-drain admission; the volume-gated entry passes
+            // Long.MaxValue and keeps its r4 behavior exactly)
+            if (drained > drainCap) return None
             val it = cell.docs.getIntIterator
             while (it.hasNext) {
               chosenIds += it.next(); chosenBuckets += bIdx
               chosenTypo += cell.typo; chosenProx += cell.prox
             }
-            drained += cell.docs.getLongCardinality
           }
           bIdx += 1
         }
@@ -838,7 +882,7 @@ class Search(index: GraftIndex,
             kept += 1
           }
         }
-        SearchResult(ids.result().drop(req.offset), kept)
+        Some(SearchResult(ids.result().drop(req.offset), kept))
       case None =>
         // bounded top-k selection instead of a full sort: a size-
         // (offset+limit) max-heap over the rank order — O(n) peek
@@ -859,9 +903,9 @@ class Search(index: GraftIndex,
             arr.sorted(ord)
           }
         }
-        SearchResult(
+        Some(SearchResult(
           page.iterator.map(_._1).slice(req.offset, req.offset + req.limit).toSeq,
-          totalCandidates)
+          totalCandidates))
     }
   }
 

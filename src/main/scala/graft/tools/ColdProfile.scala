@@ -44,6 +44,7 @@ object ColdProfile {
           .flatMap(p => Option(p.getProperty("spark.job.description")))
           .orElse(Option(js.properties)
             .flatMap(p => Option(p.getProperty("callSite.short"))))
+          .orElse(js.stageInfos.lastOption.map(_.name.takeWhile(_ != '\n')))
           .getOrElse("?")
         starts.put(js.jobId, (d, System.nanoTime()))
       }
@@ -69,9 +70,17 @@ object ColdProfile {
       jobs.clear()
       val (_, warm) = timed(search.execute(
         SearchRequest(query = Some(q), limit = 20, exhaustive = false)))
+      val warmJobs = new java.util.ArrayList(jobs)
+      Thread.sleep(2000) // let async dwp back-fills land before the 2nd warm
+      jobs.clear()
+      val (_, warm2) = timed(search.execute(
+        SearchRequest(query = Some(q), limit = 20, exhaustive = false)))
       println(f"[coldprof] q='$q' prewarm=${warmMs / 1000}%.1fs cold=$cold%.1fms " +
-        f"warm=$warm%.1fms warmJobs=${jobs.size} candidates=${r1.candidates}")
-      coldJobs.forEach { case (d, ms) => println(f"[coldprof]   job $ms%5d ms  $d") }
+        f"warm=$warm%.1fms warm2=$warm2%.1fms warm2Jobs=${jobs.size} " +
+        f"candidates=${r1.candidates}")
+      coldJobs.forEach { case (d, ms) => println(f"[coldprof]   cold job $ms%5d ms  $d") }
+      warmJobs.forEach { case (d, ms) => println(f"[coldprof]   warm job $ms%5d ms  $d") }
+      jobs.forEach { case (d, ms) => println(f"[coldprof]   wrm2 job $ms%5d ms  $d") }
     }
     spark.stop()
   }

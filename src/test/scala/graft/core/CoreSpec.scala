@@ -47,6 +47,62 @@ class TokenizerSpec extends AnyFunSuite with Matchers {
     toks shouldBe Vector(Tokenizer.Token("a", 0), Tokenizer.Token("b", 2))
   }
 
+  // ---- script-aware segmentation goldens (charabia's script switch; our
+  // deterministic fallback: Han unigrams, kana/hangul/thai whole segments,
+  // split at script boundaries — SURVEY §8 documents the divergence from
+  // jieba/lindera dictionary segmentation)
+
+  test("Han ideographs segment as unigrams with adjacent positions") {
+    Tokenizer.tokenize("东京大学") shouldBe Vector(
+      Tokenizer.Token("东", 0), Tokenizer.Token("京", 1),
+      Tokenizer.Token("大", 2), Tokenizer.Token("学", 3))
+  }
+
+  test("CJK fullwidth punctuation is a hard separator") {
+    Tokenizer.tokenize("东京。大学") shouldBe Vector(
+      Tokenizer.Token("东", 0), Tokenizer.Token("京", 1),
+      Tokenizer.Token("大", 9), Tokenizer.Token("学", 10))
+  }
+
+  test("mixed Japanese text splits at script boundaries, kana runs whole") {
+    // 東京タワーに行く: Han 東,京 | katakana タワー | hiragana に | Han 行 | hiragana く
+    Tokenizer.tokenize("東京タワーに行く") shouldBe Vector(
+      Tokenizer.Token("東", 0), Tokenizer.Token("京", 1),
+      Tokenizer.Token("タワー", 2), Tokenizer.Token("に", 3),
+      Tokenizer.Token("行", 4), Tokenizer.Token("く", 5))
+  }
+
+  test("Hangul syllable runs stay whole words (space-separated Korean)") {
+    Tokenizer.tokenize("한국어 검색") shouldBe Vector(
+      Tokenizer.Token("한국어", 0), Tokenizer.Token("검색", 1))
+  }
+
+  test("Thai runs stay whole tokens (documented divergence: no dictionary)") {
+    Tokenizer.tokenize("ภาษาไทย test") shouldBe Vector(
+      Tokenizer.Token("ภาษาไทย", 0), Tokenizer.Token("test", 1))
+  }
+
+  test("Latin embedded in CJK keeps the normalize path; digits split from Han") {
+    Tokenizer.tokenize("Café中文3月") shouldBe Vector(
+      Tokenizer.Token("cafe", 0), Tokenizer.Token("中", 1),
+      Tokenizer.Token("文", 2), Tokenizer.Token("3", 3),
+      Tokenizer.Token("月", 4))
+  }
+
+  test("supplementary-plane ideographs segment as single unigrams") {
+    // U+20000 (𠀀, CJK ext B) is a surrogate pair in UTF-16
+    val extB = new String(Character.toChars(0x20000))
+    Tokenizer.tokenize(s"a$extB${extB}b") shouldBe Vector(
+      Tokenizer.Token("a", 0), Tokenizer.Token(extB, 1),
+      Tokenizer.Token(extB, 2), Tokenizer.Token("b", 3))
+  }
+
+  test("Arabic keeps the normalize path and sheds harakat (NFD marks)") {
+    // كَتَبَ with fatha marks normalizes to كتب
+    Tokenizer.tokenize("كَتَبَ كتب") shouldBe Vector(
+      Tokenizer.Token("كتب", 0), Tokenizer.Token("كتب", 1))
+  }
+
   test("json_to_string renders objects as 'key: value. '") {
     // `milli/src/lib.rs:262-287`
     val obj = scala.collection.immutable.ListMap(
