@@ -122,12 +122,33 @@ class GraftIndex(val spark: SparkSession, val dir: String, val settings: IndexSe
       }.map(_._1)
     }
     val pHead = takeWithin(8L, postingCache.budgetBytes / 2)
-    val dHead = takeWithin(40L, dwpCache.budgetBytes / 2)
-    pHead.grouped(512).foreach(postingCache.get)
-    dHead.grouped(512).foreach(b => dwpCache.get(b, Nil))
-    byDf.map(_._1).grouped(1024).foreach { b =>
-      bitmapCache.get("w", b)(ks => bitmapRows(wordDocids, ks))
-      bitmapCache.get("e", b)(ks => bitmapRows(exactWordDocids, ks))
+    // forward-row prewarm is CAPPED at 256 words on top of the byte budget:
+    // each miss batch is a full forward-index scan + driver decode (the
+    // In predicate doesn't footer-prune at this width), so a long low-df
+    // tail costs ~tens of seconds of startup for rows the docid-restricted
+    // cold fetch + async back-fill now serve in ~100 ms on first touch.
+    // The Zipf head (which the drain hits constantly) still prewarms.
+    val dHead = takeWithin(40L, dwpCache.budgetBytes / 2).take(256)
+    Search.traced(s"prewarm-postings(${pHead.length})") {
+      pHead.grouped(512).foreach(postingCache.get)
+    }
+    Search.traced(s"prewarm-dwp(${dHead.length})") {
+      // the fill cost is driver-side collect DESERIALIZATION (positions
+      // arrays), which is single-threaded per job — overlap several
+      // smaller fills on the fetch pool instead of one giant collect
+      import scala.concurrent.Future
+      implicit val ec: scala.concurrent.ExecutionContext = GraftIndex.fetchEc
+      val fills = dHead.grouped(math.max(32, dHead.length / 8 + 1)).toSeq
+        .map(b => Future(dwpCache.get(b, Nil)))
+      fills.foreach(f =>
+        scala.concurrent.Await.result(f, scala.concurrent.duration.Duration.Inf))
+    }
+    Search.traced(s"prewarm-bitmaps(${byDf.length})") {
+      byDf.map(_._1).grouped(1024).foreach { b =>
+        bitmapCache.get("w", b)(ks => bitmapRowsT(T.WordDocids, wordDocids, ks))
+        bitmapCache.get("e", b)(ks =>
+          bitmapRowsT(T.ExactWordDocids, exactWordDocids, ks))
+      }
     }
     // prefix structures: milli treats the LAST query word as a prefix, so
     // keystroke-style serving traffic hits the prefix tables on almost
@@ -143,9 +164,13 @@ class GraftIndex(val spark: SparkSession, val dir: String, val settings: IndexSe
         .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
       val pfxs = pd.map(_._1)
       headPfxs = pfxs
-      pfxs.grouped(1024).foreach { b =>
-        bitmapCache.get("p", b)(ks => bitmapRows(wordPrefixDocids, ks, "prefix"))
-        bitmapCache.get("q", b)(ks => bitmapRows(exactWordPrefixDocids, ks, "prefix"))
+      Search.traced(s"prewarm-prefix-bitmaps(${pfxs.length})") {
+        pfxs.grouped(1024).foreach { b =>
+          bitmapCache.get("p", b)(ks =>
+            bitmapRowsT(T.WordPrefixDocids, wordPrefixDocids, ks, "prefix"))
+          bitmapCache.get("q", b)(ks =>
+            bitmapRowsT(T.ExactWordPrefixDocids, exactWordPrefixDocids, ks, "prefix"))
+        }
       }
       dictIndex.foreach { case (ws, cum, _) =>
         var used = 0L
@@ -162,7 +187,10 @@ class GraftIndex(val spark: SparkSession, val dir: String, val settings: IndexSe
             keep += p
           }
         }
-        keep.result().grouped(64).foreach(b => dwpCache.get(Nil, b))
+        val ks = keep.result()
+        Search.traced(s"prewarm-prefix-dwp(${ks.length})") {
+          ks.grouped(64).foreach(b => dwpCache.get(Nil, b))
+        }
       }
     }
     // pair-proximity bitmaps for head × head word pairs — the proximity
@@ -170,8 +198,10 @@ class GraftIndex(val spark: SparkSession, val dir: String, val settings: IndexSe
     // as Absent, so cold multi-word head queries skip their first-touch
     // pair fetch entirely)
     val pairHead = byDf.map(_._1).take(32)
-    pairProxBitmaps(
-      for (a <- pairHead; b <- pairHead if a != b) yield (a, b))
+    Search.traced("prewarm-pairs") {
+      pairProxBitmaps(
+        for (a <- pairHead; b <- pairHead if a != b) yield (a, b))
+    }
     // precomputed prefix-pair heads (#8/#9): trailing-prefix queries drain
     // prox cells against (query word, prefix) rows — prewarm head-word ×
     // head-prefix combinations on both sides so those cells assemble with
@@ -256,44 +286,44 @@ class GraftIndex(val spark: SparkSession, val dir: String, val settings: IndexSe
   // ------------------------------------------- pinned sort-value maps
 
   /** Row cap for driver-pinned per-field sort values (≈ 50 MB worst). */
-  private val MaxSortPinRows = 2000000
+  private def MaxSortPinRows = GraftIndex.MaxSortPinRows
 
   private val sortValsCache = scala.collection.concurrent.TrieMap
-    .empty[String, Option[(java.util.HashMap[Integer, java.lang.Double],
-      java.util.HashMap[Integer, String])]]
+    .empty[String, Option[GraftIndex.SortPins]]
 
   /** Per-field sort values pinned driver-side for the local sort path:
-    * docid → numeric value and docid → min string norm (the distributed
-    * plan's groupBy-min twin). None — callers rank distributed — when the
-    * field is too big to pin OR any doc carries MORE than one numeric
-    * value: the distributed plan joins numeric values un-aggregated, so
-    * only single-valued fields are provably order-identical locally
-    * (milli's asc_desc iterates the number tree first too,
-    * `criteria/asc_desc.rs:95-125`). */
+    * docid → min/max numeric value and docid → min/max string norm. milli's
+    * facet sort is keep-first over value groups (facet_sort_ascending.rs:
+    * 14-31), so ascending ranks a doc at its MINIMUM value and descending
+    * at its MAXIMUM — multi-valued fields pin BOTH aggregates and the
+    * comparator picks per direction. None — callers rank distributed —
+    * when the field is too big to pin. */
   private[search] def sortValuesLocal(field: String)
-      : Option[(java.util.HashMap[Integer, java.lang.Double],
-        java.util.HashMap[Integer, String])] =
+      : Option[GraftIndex.SortPins] =
     sortValsCache.getOrElseUpdate(field, {
       val nums = facetNumbers.where($"field" === field)
         .select($"docid", $"value".cast("double"))
         .limit(MaxSortPinRows + 1).as[(Int, Double)].collect()
       if (nums.length > MaxSortPinRows) None
       else {
-        val nm = new java.util.HashMap[Integer, java.lang.Double](nums.length * 2)
-        var dup = false
-        nums.foreach { case (d, v) => if (nm.put(d, v) != null) dup = true }
-        if (dup) None
+        val nMin = new java.util.HashMap[Integer, java.lang.Double](nums.length * 2)
+        val nMax = new java.util.HashMap[Integer, java.lang.Double](nums.length * 2)
+        nums.foreach { case (d, v) =>
+          val pMin = nMin.get(d)
+          if (pMin == null || v < pMin.doubleValue()) nMin.put(d, v)
+          val pMax = nMax.get(d)
+          if (pMax == null || v > pMax.doubleValue()) nMax.put(d, v)
+        }
+        val strs = facetStrings.where($"field" === field)
+          .groupBy($"docid").agg(min($"norm").as("mn"), max($"norm").as("mx"))
+          .select($"docid", $"mn", $"mx")
+          .limit(MaxSortPinRows + 1).as[(Int, String, String)].collect()
+        if (strs.length > MaxSortPinRows) None
         else {
-          val strs = facetStrings.where($"field" === field)
-            .groupBy($"docid").agg(min($"norm").as("n"))
-            .select($"docid", $"n")
-            .limit(MaxSortPinRows + 1).as[(Int, String)].collect()
-          if (strs.length > MaxSortPinRows) None
-          else {
-            val sm = new java.util.HashMap[Integer, String](strs.length * 2)
-            strs.foreach { case (d, s) => sm.put(d, s) }
-            Some((nm, sm))
-          }
+          val sMin = new java.util.HashMap[Integer, String](strs.length * 2)
+          val sMax = new java.util.HashMap[Integer, String](strs.length * 2)
+          strs.foreach { case (d, mn, mx) => sMin.put(d, mn); sMax.put(d, mx) }
+          Some(GraftIndex.SortPins(nMin, nMax, sMin, sMax))
         }
       }
     })
@@ -666,6 +696,43 @@ class GraftIndex(val spark: SparkSession, val dir: String, val settings: IndexSe
 
   // --------------------------------------------- bitmap candidate resolver
 
+  // ------------------------------------------------- direct parquet reads
+
+  /** Per-table footer index for the driver-side point reader (version-
+    * pinned like every serving cache; the staleness guard poisons stale
+    * handles before a swapped table could be read). */
+  private val footerCache = scala.collection.concurrent.TrieMap
+    .empty[String, DirectParquet.TableFooters]
+  private def footersFor(tableName: String, keyCol: String)
+      : DirectParquet.TableFooters =
+    footerCache.getOrElseUpdate(tableName,
+      new DirectParquet.TableFooters(s"$dir/$tableName", keyCol))
+
+  /** Direct (key → docids bitmap) point read off a key-sorted bitmap table
+    * — zero Spark jobs. None → caller runs the Spark scan (fallback AND
+    * source of truth). */
+  private def bitmapRowsDirect(tableName: String, keys: Seq[String],
+      keyCol: String): Option[Map[String, RoaringBitmap]] = {
+    if (!DirectParquet.enabled) return None
+    val fts = footersFor(tableName, keyCol)
+    val want = keys.toSet
+    val out = Map.newBuilder[String, RoaringBitmap]
+    val ok = DirectParquet.scanBands(fts, DirectParquet.keyBands(keys)) { g =>
+      val k = g.getString(keyCol, 0)
+      if (want(k))
+        out += k -> Bitmaps.cboDeserialize(g.getBinary("docids", 0).getBytes)
+    }
+    if (ok) Some(out.result()) else None
+  }
+
+  /** One (key → bitmap) batch read off a bitmap-valued posting table:
+    * direct footer-pruned row-group read first, Spark scan on fallback. */
+  private def bitmapRowsT(tableName: String, df: => DataFrame, keys: Seq[String],
+      keyCol: String = "word"): Map[String, RoaringBitmap] =
+    if (keys.isEmpty) Map.empty
+    else bitmapRowsDirect(tableName, keys, keyCol)
+      .getOrElse(bitmapRows(df, keys, keyCol))
+
   /** One (key → bitmap) batch read off a bitmap-valued posting table. */
   private def bitmapRows(df: DataFrame, keys: Seq[String],
       keyCol: String = "word"): Map[String, RoaringBitmap] =
@@ -673,6 +740,49 @@ class GraftIndex(val spark: SparkSession, val dir: String, val settings: IndexSe
     else df.where(col(keyCol).isin(keys: _*)).select(col(keyCol), col("docids"))
       .as[(String, Array[Byte])].collect()
       .map { case (k, b) => k -> Bitmaps.cboDeserialize(b) }.toMap
+
+  /** Direct footer-pruned (w1, w2, prox) pair point read — zero Spark
+    * jobs; the pair table is (w1, w2, prox)-sorted, so the lefts' point
+    * bands prune to the few row groups holding their pair rows. None →
+    * caller runs the Spark scan. Keys in the returned map use the pair
+    * cache's NUL-separated format. */
+  private def directPairRows(lefts: Seq[String], rights: Seq[String],
+      missSet: Set[String]): Option[Map[String, RoaringBitmap]] = {
+    if (!DirectParquet.enabled) return None
+    val nul = 0.toChar
+    val rightSet = rights.toSet
+    val fts = footersFor(T.WordPairProximityDocids, "w1")
+    val out = Map.newBuilder[String, RoaringBitmap]
+    val ok = DirectParquet.scanBands(fts, DirectParquet.keyBands(lefts)) { g =>
+      val b = g.getString("w2", 0)
+      if (rightSet(b)) {
+        val k = s"${g.getString("w1", 0)}$nul$b$nul${g.getInteger("prox", 0)}"
+        if (missSet(k))
+          out += k -> Bitmaps.cboDeserialize(g.getBinary("docids", 0).getBytes)
+      }
+    }
+    if (ok) Some(out.result()) else None
+  }
+
+  /** Direct union of a dictionary-miss prefix's word/exact rows — the
+    * ranged twin of the Spark bitmap_union_agg fallback. None when the
+    * band spans too many row groups (a very broad prefix: keep the
+    * distributed aggregation) or the direct read fails. */
+  private def directPrefixUnion(p: String,
+      maxGroups: Int = 8): Option[RoaringBitmap] = {
+    if (!DirectParquet.enabled) return None
+    val band = Seq(DirectParquet.prefixBand(p))
+    val acc = new RoaringBitmap()
+    val ok = Seq(T.WordDocids, T.ExactWordDocids).forall { t =>
+      val fts = footersFor(t, "word")
+      DirectParquet.bandGroupCount(fts, band) <= maxGroups &&
+        DirectParquet.scanBands(fts, band) { g =>
+          if (g.getString("word", 0).startsWith(p))
+            acc.or(Bitmaps.cboDeserialize(g.getBinary("docids", 0).getBytes))
+        }
+    }
+    if (ok) Some(acc) else None
+  }
 
   /** One batch of leaf-level bitmap point reads for a query tree: the
     * word / exact / prefix docids rows every leaf can touch, fetched once
@@ -694,12 +804,15 @@ class GraftIndex(val spark: SparkSession, val dir: String, val settings: IndexSe
     private val (fWd, fEwd, fPfx, fEpfx) = {
       import scala.concurrent.Future
       implicit val ec: scala.concurrent.ExecutionContext = GraftIndex.fetchEc
-      (Future(bitmapCache.get("w", allWords)(ks => bitmapRows(wordDocids, dictWords(ks)))),
-       Future(bitmapCache.get("e", zeroWords)(ks => bitmapRows(exactWordDocids, dictWords(ks)))),
+      (Future(bitmapCache.get("w", allWords)(ks =>
+         bitmapRowsT(T.WordDocids, wordDocids, dictWords(ks)))),
+       Future(bitmapCache.get("e", zeroWords)(ks =>
+         bitmapRowsT(T.ExactWordDocids, exactWordDocids, dictWords(ks)))),
        Future(bitmapCache.get("p", prefixes)(ks =>
-         bitmapRows(wordPrefixDocids, livePrefixes(ks), "prefix"))),
+         bitmapRowsT(T.WordPrefixDocids, wordPrefixDocids, livePrefixes(ks), "prefix"))),
        Future(bitmapCache.get("q", prefixes)(ks =>
-         bitmapRows(exactWordPrefixDocids, livePrefixes(ks), "prefix"))))
+         bitmapRowsT(T.ExactWordPrefixDocids, exactWordPrefixDocids,
+           livePrefixes(ks), "prefix"))))
     }
     private def await[A](f: scala.concurrent.Future[A]): A =
       scala.concurrent.Await.result(f, scala.concurrent.duration.Duration.Inf)
@@ -719,18 +832,22 @@ class GraftIndex(val spark: SparkSession, val dir: String, val settings: IndexSe
               // union their (cached, batch-fetched) point bitmaps instead
               // of launching a ranged aggregation job
               val acc = new RoaringBitmap()
-              bitmapCache.get("w", exts)(ks => bitmapRows(wordDocids, ks))
+              bitmapCache.get("w", exts)(ks =>
+                bitmapRowsT(T.WordDocids, wordDocids, ks))
                 .valuesIterator.flatten.foreach(acc.or)
-              bitmapCache.get("e", exts)(ks => bitmapRows(exactWordDocids, ks))
+              bitmapCache.get("e", exts)(ks =>
+                bitmapRowsT(T.ExactWordDocids, exactWordDocids, ks))
                 .valuesIterator.flatten.foreach(acc.or)
               p -> acc
             case None =>
-              val merged = wordDocids.where($"word".startsWith(p)).select($"docids")
-                .unionAll(exactWordDocids.where($"word".startsWith(p)).select($"docids"))
-                .agg(graft.functions.GraftFunctions.bitmap_union_agg($"docids").as("d"))
-                .select($"d").as[Array[Byte]].collect()
-              p -> merged.headOption.flatMap(Option(_)).map(Bitmaps.cboDeserialize)
-                .getOrElse(new RoaringBitmap())
+              p -> directPrefixUnion(p).getOrElse {
+                val merged = wordDocids.where($"word".startsWith(p)).select($"docids")
+                  .unionAll(exactWordDocids.where($"word".startsWith(p)).select($"docids"))
+                  .agg(graft.functions.GraftFunctions.bitmap_union_agg($"docids").as("d"))
+                  .select($"d").as[Array[Byte]].collect()
+                merged.headOption.flatMap(Option(_)).map(Bitmaps.cboDeserialize)
+                  .getOrElse(new RoaringBitmap())
+              }
           }
         }.toMap
       }
@@ -826,7 +943,8 @@ class GraftIndex(val spark: SparkSession, val dir: String, val settings: IndexSe
       val rights = dictWords(parts.map(_(1)).distinct)
       val missSet = misses.toSet
       if (lefts.isEmpty || rights.isEmpty) Map.empty[String, RoaringBitmap]
-      else pairProx.where($"w1".isin(lefts: _*) && $"w2".isin(rights: _*))
+      else directPairRows(lefts, rights, missSet).getOrElse {
+        pairProx.where($"w1".isin(lefts: _*) && $"w2".isin(rights: _*))
         .select($"w1", $"w2", $"prox", $"docids")
         .as[(String, String, Int, Array[Byte])].collect()
         .iterator
@@ -834,6 +952,7 @@ class GraftIndex(val spark: SparkSession, val dir: String, val settings: IndexSe
         .filter(kv => missSet.contains(kv._1))
         .map { case (k, bytes) => k -> Bitmaps.cboDeserialize(bytes) }
         .toMap
+      }
     }
     got.map { case (k, v) =>
       val Array(a, b, p) = k.split('\u0000')
@@ -881,8 +1000,9 @@ class GraftIndex(val spark: SparkSession, val dir: String, val settings: IndexSe
   private[search] def prefixPairPointRead(items: Seq[(String, String, Boolean)])
       : Map[String, RoaringBitmap] = {
     prefixPairPointReads.incrementAndGet()
-    def fetch(side: Seq[(String, String, Boolean)], tbl: DataFrame,
-        wordCol: String, sideTag: String): Iterator[(String, RoaringBitmap)] = {
+    def fetch(side: Seq[(String, String, Boolean)], tblName: String,
+        tbl: DataFrame, wordCol: String, sideTag: String)
+        : Iterator[(String, RoaringBitmap)] = {
       // pinned-dictionary guard: a non-dictionary word has no rows
       val live = side.filter(it => dictWords(Seq(it._1)).nonEmpty)
       if (live.isEmpty) Iterator.empty
@@ -890,17 +1010,40 @@ class GraftIndex(val spark: SparkSession, val dir: String, val settings: IndexSe
         val words = live.map(_._1).distinct
         val pfxs = live.map(_._2).distinct
         val want = live.map(it => (it._1, it._2)).toSet
-        tbl.where(col(wordCol).isin(words: _*) && col("prefix").isin(pfxs: _*))
-          .select(col(wordCol), col("prefix"), col("prox"), col("docids"))
-          .as[(String, String, Int, Array[Byte])].collect().iterator
-          .filter { case (w, p, _, _) => want((w, p)) }
-          .map { case (w, p, x, b) =>
-            yKey(w, p, sideTag, x) -> Bitmaps.cboDeserialize(b)
+        // direct footer-pruned read (tables are prefix-sorted) first
+        val direct: Option[Seq[(String, RoaringBitmap)]] =
+          if (!DirectParquet.enabled) None
+          else {
+            val wordSet = words.toSet
+            val fts = footersFor(tblName, "prefix")
+            val out = Seq.newBuilder[(String, RoaringBitmap)]
+            val ok = DirectParquet.scanBands(fts,
+              DirectParquet.keyBands(pfxs)) { g =>
+              val w = g.getString(wordCol, 0)
+              if (wordSet(w)) {
+                val p = g.getString("prefix", 0)
+                if (want((w, p)))
+                  out += yKey(w, p, sideTag, g.getInteger("prox", 0)) ->
+                    Bitmaps.cboDeserialize(g.getBinary("docids", 0).getBytes)
+              }
+            }
+            if (ok) Some(out.result()) else None
           }
+        direct.map(_.iterator).getOrElse {
+          tbl.where(col(wordCol).isin(words: _*) && col("prefix").isin(pfxs: _*))
+            .select(col(wordCol), col("prefix"), col("prox"), col("docids"))
+            .as[(String, String, Int, Array[Byte])].collect().iterator
+            .filter { case (w, p, _, _) => want((w, p)) }
+            .map { case (w, p, x, b) =>
+              yKey(w, p, sideTag, x) -> Bitmaps.cboDeserialize(b)
+            }
+        }
       }
     }
-    (fetch(items.filter(_._3), wordPrefixPairProx, "w1", "r") ++
-      fetch(items.filterNot(_._3), prefixWordPairProx, "w2", "l")).toMap
+    (fetch(items.filter(_._3), T.WordPrefixPairProximityDocids,
+        wordPrefixPairProx, "w1", "r") ++
+      fetch(items.filterNot(_._3), T.PrefixWordPairProximityDocids,
+        prefixWordPairProx, "w2", "l")).toMap
   }
 
   /** True when (word, prefix) prox rows can be POINT-READ from the
@@ -1025,6 +1168,19 @@ class GraftIndex(val spark: SparkSession, val dir: String, val settings: IndexSe
 }
 
 object GraftIndex {
+  /** Row cap for driver-pinned per-field sort values (≈ 50 MB worst);
+    * a var so specs can force the unpinnable (level-tree walk) path. */
+  private[search] var MaxSortPinRows: Int = 2000000
+
+  /** Driver-pinned per-field sort values: min/max numeric value and min/max
+    * string norm per docid (keep-first facet-sort semantics: asc reads the
+    * min maps, desc the max maps). */
+  final case class SortPins(
+      numMin: java.util.HashMap[Integer, java.lang.Double],
+      numMax: java.util.HashMap[Integer, java.lang.Double],
+      strMin: java.util.HashMap[Integer, String],
+      strMax: java.util.HashMap[Integer, String])
+
   /** Shared pool for overlapping independent cold-miss fetch jobs (leaf
     * bitmap namespaces). Small and daemon: warm paths never touch it. */
   private[search] val fetchEc: scala.concurrent.ExecutionContext =

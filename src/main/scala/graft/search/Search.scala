@@ -171,7 +171,11 @@ object Search {
       : Option[Map[Criterion, (Int, Int) => Int]] = {
 
     def fieldCmp(field: String, asc: Boolean): Option[(Int, Int) => Int] =
-      index.sortValuesLocal(field).map { case (nm, sm) =>
+      index.sortValuesLocal(field).map { pins =>
+        // keep-first facet-sort semantics: asc compares a doc's MIN value,
+        // desc its MAX (matches the distributed per-direction aggregates)
+        val nm = if (asc) pins.numMin else pins.numMax
+        val sm = if (asc) pins.strMin else pins.strMax
         (a: Int, b: Int) => {
           val na = nm.get(a); val nb = nm.get(b)
           val c1 =
@@ -411,7 +415,7 @@ class Search(index: GraftIndex,
     // is O(candidates) — bounded to ≤ 4M candidates.
     if (criteria.isEmpty && req.sortCriteria.isEmpty && maxLocalPostings > 0) {
       val distinctPin: Option[java.util.HashMap[Integer, String]] =
-        distinctField.flatMap(f => index.sortValuesLocal(f).map(_._2))
+        distinctField.flatMap(f => index.sortValuesLocal(f).map(_.strMin))
       val distinctOk = distinctField.isEmpty ||
         (distinctPin.isDefined && !filterDf.exists(_.isRight))
       if (distinctOk) {
@@ -462,9 +466,43 @@ class Search(index: GraftIndex,
       distinctField match {
         case None => Some(None)
         case Some(f) if smallEnough && maxLocalPostings > 0 =>
-          index.sortValuesLocal(f).map { case (_, sm) => Some(sm) }
+          index.sortValuesLocal(f).map(p => Some(p.strMin))
         case _ => None
       }
+    // Sort-only queries on an UNPINNABLE field (too many rows for the
+    // driver maps — localSortCmps is None) walk the facet LEVEL TREE
+    // instead of paying a distributed orderBy: milli's ascending/
+    // descending_facet_sort (facet_sort_ascending.rs:32-110) — keep-first
+    // value-group iteration over the candidates, O(offset+limit · levels)
+    // level-0 band fetches regardless of field cardinality. Candidates
+    // must resolve to a bitmap (phrase-free) and any filter must be a
+    // cached bitmap; deeper criteria cascades keep the distributed path.
+    if (localSortCmps.isEmpty && maxLocalPostings > 0 && distinctField.isEmpty &&
+        branches.forall(b => !QueryTree.hasPhrase(b)) && filterDf.forall(_.isLeft)) {
+      val sortOnly: Option[(String, Boolean)] = criteria match {
+        case Seq(Criterion.Sort) => req.sortCriteria match {
+          case Seq(s) if s.geoPoint.isEmpty => Some((s.field, s.ascending))
+          case _ => None
+        }
+        case Seq(Criterion.Asc(f))  => Some((f, true))
+        case Seq(Criterion.Desc(f)) => Some((f, false))
+        case _ => None
+      }
+      sortOnly.foreach { case (f, asc) =>
+        index.resolveTreeBitmap(tree, derivations).foreach { cand =>
+          cand.andNot(deleted)
+          filterDf.foreach {
+            case Left(fbm) => cand.and(fbm)
+            case Right(_)  => () // unreachable (gate above)
+          }
+          FacetLevels.sortedPage(index, f, asc, cand,
+            req.offset + req.limit).foreach { ids =>
+            return SearchResult(ids.drop(req.offset), cand.getLongCardinality)
+          }
+        }
+      }
+    }
+
     if (smallEnough && localSortCmps.isDefined && distinctLocal.isDefined)
       return executeQueryLocal(branches.toVector, derivations, exactParts,
         searchableFids, relevantWords, prefixWords, filterDf, deleted, criteria,
@@ -970,22 +1008,33 @@ class Search(index: GraftIndex,
 
   // -------------------------------------------------------------- helpers
 
-  /** join numeric+string facet values for every sort-ish criterion. */
+  /** join numeric+string facet values for every sort-ish criterion.
+    * Multi-valued fields aggregate PER DIRECTION — milli's facet sort is
+    * keep-first over value groups ("once a document id is returned by the
+    * iterator, it is never returned again", facet_sort_ascending.rs:14-31),
+    * so ascending ranks a doc at its MINIMUM value and descending at its
+    * MAXIMUM. The former un-aggregated numeric join could even emit the
+    * same docid twice in one page; the aggregation also makes the join
+    * side one row per doc. */
   private def attachSortColumns(
       df: DataFrame,
       criteria: Seq[Criterion],
       sorts: Seq[SortSpec]): DataFrame = {
-    val fields: Seq[String] = criteria.flatMap {
-      case Criterion.Asc(f)  => Seq(f)
-      case Criterion.Desc(f) => Seq(f)
-      case Criterion.Sort    => sorts.filter(_.geoPoint.isEmpty).map(_.field)
+    val fieldDirs: Seq[(String, Boolean)] = criteria.flatMap {
+      case Criterion.Asc(f)  => Seq((f, true))
+      case Criterion.Desc(f) => Seq((f, false))
+      case Criterion.Sort    =>
+        sorts.filter(_.geoPoint.isEmpty).map(s => (s.field, s.ascending))
       case _                 => Nil
     }.distinct
-    val withFacets = fields.foldLeft(df) { (acc, f) =>
+    val withFacets = fieldDirs.foldLeft(df) { case (acc, (f, asc)) =>
+      val dir = if (asc) "asc" else "desc"
+      val nAgg = if (asc) min($"value") else max($"value")
+      val sAgg = if (asc) min($"norm") else max($"norm")
       val nums = index.facetNumbers.where($"field" === f)
-        .select($"docid", $"value".as(s"num__$f"))
+        .groupBy($"docid").agg(nAgg.as(s"num_${dir}__$f"))
       val strs = index.facetStrings.where($"field" === f)
-        .groupBy($"docid").agg(min($"norm").as(s"str__$f"))
+        .groupBy($"docid").agg(sAgg.as(s"str_${dir}__$f"))
       acc.join(nums, Seq("docid"), "left").join(strs, Seq("docid"), "left")
     }
     // geo sort: join the point coordinates once
@@ -1015,9 +1064,9 @@ class Search(index: GraftIndex,
     case Criterion.Attribute => Seq($"r_attribute".asc)
     case Criterion.Exactness => Seq($"r_exactness".asc)
     case Criterion.Asc(f)    =>
-      Seq(col(s"num__$f").asc_nulls_last, col(s"str__$f").asc_nulls_last)
+      Seq(col(s"num_asc__$f").asc_nulls_last, col(s"str_asc__$f").asc_nulls_last)
     case Criterion.Desc(f)   =>
-      Seq(col(s"num__$f").desc_nulls_last, col(s"str__$f").desc_nulls_last)
+      Seq(col(s"num_desc__$f").desc_nulls_last, col(s"str_desc__$f").desc_nulls_last)
     case Criterion.Sort      =>
       sorts.flatMap { s =>
         s.geoPoint match {
@@ -1027,9 +1076,11 @@ class Search(index: GraftIndex,
             Seq(if (s.ascending) dist.asc_nulls_last else dist.desc_nulls_last)
           case None =>
             if (s.ascending)
-              Seq(col(s"num__${s.field}").asc_nulls_last, col(s"str__${s.field}").asc_nulls_last)
+              Seq(col(s"num_asc__${s.field}").asc_nulls_last,
+                col(s"str_asc__${s.field}").asc_nulls_last)
             else
-              Seq(col(s"num__${s.field}").desc_nulls_last, col(s"str__${s.field}").desc_nulls_last)
+              Seq(col(s"num_desc__${s.field}").desc_nulls_last,
+                col(s"str_desc__${s.field}").desc_nulls_last)
         }
       }
   }

@@ -61,7 +61,9 @@ object ColdProfile {
 
     queries.foreach { q =>
       val index = GraftIndex(spark, dir, settings)
-      val (_, warmMs) = timed { if (prewarm) { index.warm(); index.warmServing() } }
+      val (_, cacheMs) = timed { if (prewarm) index.warm() }
+      val (_, warmMs) = timed { if (prewarm) index.warmServing() }
+      println(f"[coldprof] warm()=${cacheMs / 1000}%.1fs warmServing()=${warmMs / 1000}%.1fs")
       val search = new Search(index, maxLocalPostings = 1L << 18)
       jobs.clear()
       val (r1, cold) = timed(search.execute(
