@@ -245,6 +245,10 @@ object Bench {
           Seq("w9000"), Seq("w2500"), Seq("w800"), Seq("w200"),
           Seq("w50"), Seq("w10"), Seq("w3", "w17"), Seq("the", "w100"))
         bm25.topK(Seq("w1"), 20) // compile the plan shapes once
+        // the single-sample cold latencies are the most load-sensitive
+        // numbers in the whole bench (they follow the index build, whose
+        // load tail lingers) — give them the same calm gate as the mt phases
+        mtLoadMax = math.max(mtLoadMax, waitForCalmServing())
         val bCold: Seq[Double] = ladder.map(q => timed(bm25.topK(q, 20))._2)
         val bRuns: Seq[Seq[Double]] = (0 until 5).map { _ =>
           ladder.map(q => timed(bm25.topK(q, 20))._2)
@@ -278,7 +282,13 @@ object Bench {
         val milliQueries = Seq("w3 w17", "w200", "the w100 w2500")
         def rank(q: String): Double = timed(search.execute(
           SearchRequest(query = Some(q), limit = 20, exhaustive = false)))._2
-        val mCold: Seq[Double] = milliQueries.map(rank)
+        // quiesce between samples: a first-touch query schedules async
+        // complete fills; letting them drain keeps each cold sample a
+        // clean first-touch instead of measuring the previous query's
+        // background IO
+        val mCold: Seq[Double] = milliQueries.map { q =>
+          val t = rank(q); index.quiesce(); t
+        }
         val mRuns: Seq[Seq[Double]] = (0 until 5).map(_ => milliQueries.map(rank))
         val mTimes = mRuns.flatten
         val mPer = milliQueries.indices.map { i =>
@@ -343,6 +353,7 @@ object Bench {
         s""""milli_rank_p99_ms":${f(pct(milliTimes, 0.99) * 1000)},""" +
         s""""milli_rank_qps_mt${mtClients}":${f(milliQpsMt)},""" +
         s""""milli_rank_cold_p50_ms":${f(pct(milliCold, 0.5) * 1000)},""" +
+        s""""milli_rank_cold_ms":[${milliCold.map(s => f(s * 1000)).mkString(",")}],""" +
         s""""bm25_warm_ms":${bm25PerQuery.toSeq.sortBy(_._1)
           .map { case (q, ms) => s""""$q":${f(ms)}""" }.mkString("{", ",", "}")},""" +
         s""""milli_rank_warm_ms":${milliPerQuery.toSeq.sortBy(_._1)

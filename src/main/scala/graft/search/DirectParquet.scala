@@ -2,11 +2,15 @@ package graft.search
 
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
+import org.apache.parquet.ParquetReadOptions
 import org.apache.parquet.example.data.Group
 import org.apache.parquet.example.data.simple.convert.GroupRecordConverter
+import org.apache.parquet.filter2.compat.FilterCompat
+import org.apache.parquet.filter2.predicate.FilterApi
 import org.apache.parquet.hadoop.ParquetFileReader
 import org.apache.parquet.hadoop.util.HadoopInputFile
 import org.apache.parquet.io.ColumnIOFactory
+import org.apache.parquet.io.api.Binary
 
 /** Driver-side parquet POINT READER for the serving tier — the Spark twin
   * of milli's LMDB gets taken one level deeper: a cold bitmap / posting
@@ -64,6 +68,7 @@ object DirectParquet {
 
   /** Per-table-dir footer index, built once per (handle, table). */
   final class TableFooters(dir: String, keyCol: String) {
+    private[DirectParquet] def keyColName: String = keyCol
     private[DirectParquet] val groups: Array[RowGroup] = {
       val d = new java.io.File(dir)
       val files = Option(d.listFiles()).getOrElse(Array.empty)
@@ -121,15 +126,37 @@ object DirectParquet {
     * decoded Group to `each`. Returns false when the direct read could not
     * run (caller falls back to the Spark scan). Exceptions propagate as
     * false too — the Spark path is the source of truth. */
+  /** Decode pool: row-group decode is CPU-bound (snappy + Group assembly),
+    * so multi-file reads fan out here instead of running single-threaded. */
+  private val decodeEc: scala.concurrent.ExecutionContext =
+    scala.concurrent.ExecutionContext.fromExecutorService(
+      java.util.concurrent.Executors.newFixedThreadPool(4,
+        (r: Runnable) => {
+          val t = new Thread(r, "graft-direct-decode"); t.setDaemon(true); t
+        }))
+
   def scanBands(footers: TableFooters, bands: Seq[(Array[Byte], Array[Byte])])
       (each: Group => Unit): Boolean = {
     if (!enabled) return false
     try {
-      val byFile = footers.overlapping(bands).groupBy(_.file)
-      byFile.toSeq.sortBy(_._1).foreach { case (file, gs) =>
+      val byFile = footers.overlapping(bands).groupBy(_.file).toSeq.sortBy(_._1)
+      // band predicate pushed into parquet-mr's filtered reads: column
+      // indexes prune PAGES inside a row group and the record reader skips
+      // filtered rows before Group assembly — a point read of a fat band
+      // (a stop word's pair rows) decodes the matching pages only, not the
+      // whole 4 MB group
+      val keyColumn = FilterApi.binaryColumn(footers.keyColName)
+      val bandPred = bands.map { case (lo, hi) =>
+        FilterApi.and(
+          FilterApi.gtEq(keyColumn, Binary.fromConstantByteArray(lo)),
+          FilterApi.ltEq(keyColumn, Binary.fromConstantByteArray(hi)))
+      }.reduce(FilterApi.or(_, _))
+      val filter = FilterCompat.get(bandPred)
+      def readFile(file: String, gs: Seq[RowGroup]): Unit = {
         val want = gs.map(_.idx).toSet
-        val r = ParquetFileReader.open(
-          HadoopInputFile.fromPath(new Path(file), conf))
+        val in = HadoopInputFile.fromPath(new Path(file), conf)
+        val r = new ParquetFileReader(in,
+          ParquetReadOptions.builder().withRecordFilter(filter).build())
         try {
           val schema = r.getFooter.getFileMetaData.getSchema
           val colIO = new ColumnIOFactory().getColumnIO(schema)
@@ -138,18 +165,36 @@ object DirectParquet {
           while (i < nGroups) {
             if (!want(i)) r.skipNextRowGroup()
             else {
-              val pages = r.readNextRowGroup()
-              val rec = colIO.getRecordReader(pages, new GroupRecordConverter(schema))
-              var n = 0L
-              val total = pages.getRowCount
-              while (n < total) {
-                each(rec.read())
-                n += 1
+              val pages = r.readNextFilteredRowGroup()
+              if (pages != null) {
+                val rec = colIO.getRecordReader(pages,
+                  new GroupRecordConverter(schema), filter)
+                var n = 0L
+                val total = pages.getRowCount
+                while (n < total) {
+                  val g = rec.read() // decode OUTSIDE the lock (the CPU cost)
+                  // filtered readers return null / flag skips for rows the
+                  // predicate rejects
+                  if (g != null && !rec.shouldSkipCurrentRecord)
+                    // `each` runs under this lock across files — callers
+                    // hand in plain map builders, not thread-safe sinks
+                    each.synchronized(each(g))
+                  n += 1
+                }
               }
             }
             i += 1
           }
         } finally r.close()
+      }
+      if (byFile.length <= 1)
+        byFile.foreach { case (f, gs) => readFile(f, gs) }
+      else {
+        import scala.concurrent.Future
+        implicit val ec: scala.concurrent.ExecutionContext = decodeEc
+        val futs = byFile.map { case (f, gs) => Future(readFile(f, gs)) }
+        futs.foreach(f =>
+          scala.concurrent.Await.result(f, scala.concurrent.duration.Duration.Inf))
       }
       reads.incrementAndGet()
       true

@@ -217,8 +217,54 @@ class GraftIndex(val spark: SparkSession, val dir: String, val settings: IndexSe
         bitmapCache.get("y", batchKeys)(_ => prefixPairPointRead(batch))
       }
     }
+    // JIT/code-path warmup: drive representative multi-word RANKED queries
+    // through the full drain (cells, plane sweep, attribute/exactness
+    // rankers) so the first real query on a fresh JVM doesn't pay C2
+    // compilation — measured at several hundred ms on the first 3-word
+    // query otherwise. Uses the dictionary head, so it doubles as cache
+    // warmup for the hottest query shapes.
+    Search.traced("prewarm-jit") {
+      // head word + two MID-dictionary words: big enough intersection to
+      // exercise the sweep and rankers, small enough that the warmup drain
+      // ranks hundreds of docs, not a stop-word-pair cell's tens of
+      // thousands (the very first version used the top-3 head words and
+      // spent ~2-3 s draining a 55k-doc cell)
+      val ws = byDf.map(_._1)
+      // shapes matter: the 2-word query uses MID words (a stop-word pair's
+      // exact prox cell holds tens of thousands of docs and the warmup
+      // would rank them all), while the 3-word query NEEDS the head word
+      // so its reduced-branch drain ranks a few hundred docs THROUGH THE
+      // PLANE SWEEP (3-word cells drop the prox dim, so these docs sweep
+      // per-doc — the code path a first real 3-word query would otherwise
+      // JIT at ~200 ms wall)
+      val mid1 = ws.lift(ws.length.min(40) - 1)
+      val mid2 = ws.lift(ws.length.min(80) - 1)
+      val s = new Search(this)
+      try {
+        (mid1, mid2) match {
+          case (Some(a), Some(b)) if a != b =>
+            s.execute(SearchRequest(query = Some(s"$a $b "),
+              limit = 20, exhaustive = false))
+          case _ => ()
+        }
+        (ws.headOption, mid1, mid2) match {
+          case (Some(h), Some(a), Some(b)) if h != a && a != b =>
+            s.execute(SearchRequest(query = Some(s"$h $a $b "),
+              limit = 20, exhaustive = false))
+          case _ => ()
+        }
+      } catch { case scala.util.control.NonFatal(_) => () }
+    }
+    // quiesce: the warmup's async complete fills must not contend with the
+    // first real queries (or a benchmark's cold samples)
+    dwpCache.awaitFills()
     ()
   }
+
+  /** Block until background cache back-fills drain — measurement harnesses
+    * call this between first-touch samples so one query's async complete
+    * fill doesn't contaminate the next query's cold latency. */
+  def quiesce(): Unit = dwpCache.awaitFills()
 
   /** Release executor-cached tables — call when rotating a serving handle
     * to a fresh index version, or the old version's cache blocks leak. */
@@ -752,6 +798,11 @@ class GraftIndex(val spark: SparkSession, val dir: String, val settings: IndexSe
     val nul = 0.toChar
     val rightSet = rights.toSet
     val fts = footersFor(T.WordPairProximityDocids, "w1")
+    // a FREQUENT left word's pair rows can span many row groups — the
+    // direct reader decodes files in parallel (4 threads), but past ~24
+    // groups the fully parallel Spark scan wins
+    if (DirectParquet.bandGroupCount(fts, DirectParquet.keyBands(lefts)) > 24)
+      return None
     val out = Map.newBuilder[String, RoaringBitmap]
     val ok = DirectParquet.scanBands(fts, DirectParquet.keyBands(lefts)) { g =>
       val b = g.getString("w2", 0)
@@ -762,6 +813,25 @@ class GraftIndex(val spark: SparkSession, val dir: String, val settings: IndexSe
       }
     }
     if (ok) Some(out.result()) else None
+  }
+
+  /** Words whose candidate bitmap (tolerant ∪ exact splits) intersects
+    * `docs` — the rank drain fetches positions ONLY for words actually
+    * present in the chosen docs (a Last-strategy derivation set carries
+    * hundreds of words; a 20-doc verification round needs a handful).
+    * Bitmaps come from the presence-aware LRU (warm: zero jobs; cold: one
+    * direct point read per namespace). */
+  private[search] def presentWords(words: Seq[String],
+      docs: RoaringBitmap): Seq[String] = {
+    if (words.isEmpty || docs.isEmpty) return Nil
+    val wd = bitmapCache.get("w", words)(ks =>
+      bitmapRowsT(T.WordDocids, wordDocids, dictWords(ks)))
+    val ed = bitmapCache.get("e", words)(ks =>
+      bitmapRowsT(T.ExactWordDocids, exactWordDocids, dictWords(ks)))
+    words.filter { w =>
+      wd.get(w).flatten.exists(RoaringBitmap.intersects(_, docs)) ||
+        ed.get(w).flatten.exists(RoaringBitmap.intersects(_, docs))
+    }
   }
 
   /** Direct union of a dictionary-miss prefix's word/exact rows — the

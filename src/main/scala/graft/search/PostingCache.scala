@@ -236,18 +236,24 @@ final class DwpCache(index: GraftIndex, maxBytes: Long = 256L << 20) {
     val base = index.docWordPositions.where(wordPred)
     val restricted = docFilter match {
       case None => base
-      case Some(ds) if ds.length <= 2048 =>
-        // small chosen sets push straight into the scan as an In predicate
+      case Some(ds) if ds.length <= 8192 =>
+        // chosen sets up to 8k push as an In predicate — Catalyst converts
+        // it to an InSet hash probe executor-side (cheap per row), and the
+        // plan stays a single scan (a broadcast semi-join costs ~400 ms of
+        // join planning + AQE for the same filter, measured)
         base.where(col("docid").isin(ds.map(Int.box).toSeq: _*))
       case Some(ds) =>
-        // large drains: a broadcast semi-join restricts the scan without a
-        // giant In expression — collect volume stays O(|chosen| × words)
-        // at any corpus size (the whole point of the restricted fetch)
+        // very large drains: a broadcast semi-join restricts the scan
+        // without a giant literal list — collect volume stays
+        // O(|chosen| × words) at any corpus size
         val candDf = spark.createDataset(ds.toSeq).toDF("docid")
         base.join(broadcast(candDf), Seq("docid"), "left_semi")
     }
-    restricted.select(col("docid"), col("word"), col("positions"))
-      .as[(Int, String, Array[Int])].collect()
+    Search.traced(s"dwp-scan(w=${liveW.length},p=${rangedP.length}," +
+        s"in=${inWords.length},docs=${docFilter.map(_.length).getOrElse(-1)})") {
+      restricted.select(col("docid"), col("word"), col("positions"))
+        .as[(Int, String, Array[Int])].collect()
+    }
   }
 
   def get(words: Seq[String], prefixes: Seq[String])
@@ -277,6 +283,14 @@ final class DwpCache(index: GraftIndex, maxBytes: Long = 256L << 20) {
   private val filler = java.util.concurrent.Executors.newSingleThreadExecutor(
     (r: Runnable) => { val t = new Thread(r, "graft-dwp-fill"); t.setDaemon(true); t })
 
+  /** Block until every queued async fill has drained (bounded) — prewarm
+    * calls this so measurement or serving traffic never contends with its
+    * own warmup's back-fills. */
+  def awaitFills(timeoutMs: Long = 30000): Unit =
+    try filler.submit(new Runnable { override def run(): Unit = () })
+      .get(timeoutMs, java.util.concurrent.TimeUnit.MILLISECONDS)
+    catch { case scala.util.control.NonFatal(_) => () }
+
   /** Rank-drain fetch: rows for `words`/`prefixes` restricted to the chosen
     * docids. Cached (complete) entries hit as usual. Missing HEAVY words —
     * estimated fetch above `asyncFillMinBytes` via the pinned-dict df/ttf
@@ -301,9 +315,16 @@ final class DwpCache(index: GraftIndex, maxBytes: Long = 256L << 20) {
     // restricted path: light misses take the normal blocking complete
     // fill (cached for the next query), only heavy ones go restricted.
     // No pinned dict → no prices → everything is "light" → blocking fill.
-    val heavyW = missW.filter(w =>
+    // VOLUME OVERRIDE: when the whole miss batch's estimated rows dwarf
+    // the drain (> 4× chosen docs — e.g. a 140-word derivation set over a
+    // 3k-doc drain collects ~100× the rows it needs), everything goes
+    // restricted and the complete fill runs behind: same total work, off
+    // the query's latency path.
+    val batchRows = index.estimatePostings(missW, missP)
+    val volumeHeavy = batchRows.exists(_ > 4L * docids.length)
+    val heavyW = missW.filter(w => volumeHeavy ||
       index.estimatePostingBytes(Seq(w), Nil).exists(_ > asyncFillMinBytes))
-    val heavyP = missP.filter(p =>
+    val heavyP = missP.filter(p => volumeHeavy ||
       index.estimatePostingBytes(Nil, Seq(p)).exists(_ > asyncFillMinBytes))
     // no heavy miss: one blocking complete fill caches everything (large
     // drains stay restricted — the semi-join path keeps the collect

@@ -44,6 +44,9 @@ object RankCells {
   /** Emitted-drain counter (observability for specs + tracing). */
   val drains = new java.util.concurrent.atomic.AtomicLong()
 
+  /** Bound-cell builds (≥3-word prox convolution) — specs pin engagement. */
+  val boundDrains = new java.util.concurrent.atomic.AtomicLong()
+
   /** max proximity with an exact cell; 6..7 fall into the remainder. */
   private val MaxExactProx = 5
 
@@ -51,12 +54,25 @@ object RankCells {
     * the proximity dimension is dropped (typo cells still apply). */
   private val MaxPairFetch = 1024
 
+  /** Bound cells (≥3-word / nested shapes) only pay past this bucket size:
+    * below it, ranking the bucket per-doc beats the convolution algebra +
+    * verification rounds (measured: a 487-doc bucket ranks in ~15 ms
+    * per-doc vs ~40 ms through bound cells). Var for specs. */
+  private[search] var BoundCellMinBucket: Long = 4096L
+
   /** One drain cell: its docs plus the criterion values the cell PROVES —
     * `typo` / `prox` are the exact per-doc rank components for every member
     * (−1 = unknown, i.e. a remainder cell: the caller computes that
     * component per-doc). Labeled docs skip the per-doc minTypos + plane
-    * sweep entirely — the dominant rank-stage cost on big cells. */
-  final case class Cell(docs: RoaringBitmap, typo: Int, prox: Int)
+    * sweep entirely — the dominant rank-stage cost on big cells.
+    *
+    * `proxBound` = the prox label is a LOWER BOUND, not the exact value
+    * (the ≥3-word permutation-convolution cells): members' true proximity
+    * is ≥ prox but must be computed per-doc, and the caller must VERIFY
+    * the page against the next cell's bound before stopping the drain
+    * (see executeQueryLocal's verification loop). */
+  final case class Cell(docs: RoaringBitmap, typo: Int, prox: Int,
+      proxBound: Boolean = false)
 
   /** Disjoint drain cells of `bucket` for the given criterion dims (⊆
     * {Typo, Proximity}, in criteria order), lexicographically rank-ordered,
@@ -70,16 +86,28 @@ object RankCells {
     if (leaves.isEmpty || hasPhrase(branch)) return None
     val lt = index.leafTables(leaves, der)
 
-    // cells of one dim, paired with the component value each proves
-    // (the remainder appended by withRemainder gets −1 = unknown)
-    def dimCells(c: Criterion): Option[IndexedSeq[RoaringBitmap]] = c match {
-      case Criterion.Typo      => Some(cellsOf(typoCums(lt, der, branch)))
-      case Criterion.Proximity => proxCums(index, der, lt, branch).map(cellsOf)
-      case _                   => None
+    // cells of one dim, paired with the component value each proves (the
+    // remainder appended by withRemainder gets −1 = unknown); `bound` =
+    // the labels are lower bounds (≥3-word prox convolution)
+    final case class DimCells(cells: IndexedSeq[RoaringBitmap], bound: Boolean)
+    def dimCells(c: Criterion): Option[DimCells] = c match {
+      case Criterion.Typo =>
+        Some(DimCells(cellsOf(typoCums(lt, der, branch)), bound = false))
+      case Criterion.Proximity =>
+        proxCums(index, der, lt, branch)
+          .map(cs => DimCells(cellsOf(cs), bound = false))
+          .orElse {
+            if (bucket.getLongCardinality < BoundCellMinBucket) None
+            else proxBoundCums(index, der, lt, branch)
+              .map { cs => boundDrains.incrementAndGet()
+                DimCells(cellsOf(cs), bound = true) }
+          }
+      case _ => None
     }
-    def labeled(c: Criterion, value: Int, inner: RoaringBitmap): Cell = c match {
+    def labeled(c: Criterion, value: Int, bound: Boolean,
+        inner: RoaringBitmap): Cell = c match {
       case Criterion.Typo => Cell(inner, value, -1)
-      case _              => Cell(inner, -1, value)
+      case _              => Cell(inner, -1, value, proxBound = bound)
     }
 
     val first = dimCells(dims.head) match {
@@ -89,24 +117,24 @@ object RankCells {
     val secondDim = dims.drop(1).headOption
     val second = secondDim.flatMap(dimCells)
     drains.incrementAndGet()
-    val outer = withRemainder(first, bucket) // index == label; last = unknown
+    val outer = withRemainder(first.cells, bucket) // index == label; last = unknown
     def lbl(cells: IndexedSeq[RoaringBitmap], i: Int): Int =
       if (i == cells.length - 1) -1 else i
     Some(second match {
       case None =>
         outer.iterator.zipWithIndex
-          .map { case (o, i) => labeled(dims.head, lbl(outer, i), o) }
+          .map { case (o, i) => labeled(dims.head, lbl(outer, i), first.bound, o) }
           .filterNot(_.docs.isEmpty)
       case Some(innerCells) =>
         outer.iterator.zipWithIndex.flatMap { case (o, i) =>
           val oLbl = lbl(outer, i)
-          val inner = withRemainder(innerCells, o)
+          val inner = withRemainder(innerCells.cells, o)
           inner.iterator.zipWithIndex.map { case (c, j) =>
-            val base = labeled(dims.head, oLbl, c)
+            val base = labeled(dims.head, oLbl, first.bound, c)
             val jLbl = lbl(inner, j)
             secondDim.get match {
               case Criterion.Typo => base.copy(typo = jLbl)
-              case _              => base.copy(prox = jLbl)
+              case _ => base.copy(prox = jLbl, proxBound = innerCells.bound)
             }
           }
         }.filterNot(_.docs.isEmpty)
@@ -293,4 +321,137 @@ object RankCells {
         }
       case _ => None
     }
+
+  /** LOWER-BOUND proximity cums for flat And trees of 3 sides — the
+    * ≥3-word case where exact cells are impossible from pair bitmaps
+    * (pair minima lack position consistency: the true plane-sweep value
+    * can exceed any sum of independent pair minima, and query-order
+    * chaining misses position-order configurations — NOTES_ROUND5 #8).
+    *
+    * Soundness: every sweep configuration visits the groups in SOME
+    * position order σ and sums adjusted adjacent terms, each of which is
+    * ≥ the stored pair minimum for that ordered group pair (the stored
+    * prox is the min over occurrences within the extraction window; a
+    * pair beyond the window contributes the cap 7, ≥ any bound ≤ 7). So
+    *   true(d) ≥ min over permutations σ of Σ lbTerm(σ-adjacent pairs)
+    * and the cums C(p) = ∪_σ conv_σ(p) label every doc with a true LOWER
+    * bound. The drain VERIFIES pages against the next cell's bound
+    * (executeQueryLocal), so rank identity is preserved exactly — cells
+    * only bound how many docs rank per-doc.
+    *
+    * Cums span p = 0..14 (two hops × cap 7); C(14) = the full universe
+    * (missing pairs default to 7 per hop), so the remainder is empty. */
+  private def proxBoundCums(index: GraftIndex, der: Ranker.Derivations,
+      lt: GraftIndex#LeafTables, op: Op): Option[IndexedSeq[RoaringBitmap]] = {
+    // all word material of a subtree, prefixes expanded through the pinned
+    // dictionary (None = unexpandable prefix → no bound cells)
+    def subtreeWords(o: Op): Option[Seq[String]] = o match {
+      case q: Query =>
+        val (ws, ps) = sideWords(der, q).get
+        val exts = ps.map(p => index.prefixExtensions(p, cap = 256))
+        if (exts.exists(_.isEmpty)) None
+        else Some((ws ++ exts.flatMap(_.get)).distinct)
+      case Or(_, cs)  => traverse(cs.map(subtreeWords)).map(_.flatten.distinct)
+      case And(cs)    => traverse(cs.map(subtreeWords)).map(_.flatten.distinct)
+      case _: Phrase  => None
+    }
+    def traverse[A](xs: Seq[Option[A]]): Option[Seq[A]] =
+      if (xs.exists(_.isEmpty)) None else Some(xs.map(_.get))
+
+    // conv of two cum vectors capped at `cap` total (standard cum algebra:
+    // cell(a, t) ∩ cum(b, p − t), unioned)
+    def conv(a: IndexedSeq[RoaringBitmap], b: IndexedSeq[RoaringBitmap],
+        cap: Int): IndexedSeq[RoaringBitmap] = {
+      val ac = cellsOf(a)
+      val top = math.min(cap, (a.length - 1) + (b.length - 1))
+      (0 to top).map { p =>
+        val acc = new RoaringBitmap()
+        var t = 0
+        while (t < a.length && t <= p) {
+          acc.or(RoaringBitmap.and(ac(t), b(math.min(p - t, b.length - 1))))
+          t += 1
+        }
+        acc
+      }
+    }
+
+    val Cap = 21 // 3 hops × 7; deeper trees saturate into the last cum
+
+    /** cums of docs whose LOWER-BOUND internal proximity of `o` is ≤ p.
+      * Query → length-1 (internal 0); Or → min over children (pointwise
+      * union); And → permutation-chain pair bounds convolved with every
+      * child's internal cums (the sweep's prox2 accumulation). */
+    def lbCums(o: Op): Option[IndexedSeq[RoaringBitmap]] = o match {
+      case q: Query => Some(IndexedSeq(lt.leafFull(q)))
+      case Or(_, cs) =>
+        traverse(cs.map(lbCums)).map { ccs =>
+          val len = ccs.map(_.length).max
+          (0 until len).map { p =>
+            val acc = new RoaringBitmap()
+            ccs.foreach(cc => acc.or(cc(math.min(p, cc.length - 1))))
+            acc
+          }
+        }
+      case And(cs) if cs.length >= 2 && cs.length <= 3 =>
+        for {
+          childCums <- traverse(cs.map(lbCums))
+          sides <- traverse(cs.map(subtreeWords))
+          budget = sides.map(_.length.toLong)
+          if budget.max * budget.sorted.apply(budget.length - 2) *
+            (if (cs.length == 2) 2 else 6) <= MaxPairFetch
+        } yield {
+          val allPairs = (for {
+            i <- sides.indices; j <- sides.indices if i != j
+            u <- sides(i); v <- sides(j)
+          } yield (u, v)).distinct
+          val rows = index.pairProxBitmaps(allPairs)
+          val universe = {
+            val u = new RoaringBitmap()
+            childCums.foreach(cc => u.or(cc.last))
+            u // superset of the And's docs (cells intersect with the bucket)
+          }
+          // directed per-ordered-pair lb cums: docs whose lbTerm(i→j) ≤ t;
+          // t = 7 covers everything (missing pairs default to the cap)
+          def directedCums(i: Int, j: Int): IndexedSeq[RoaringBitmap] = {
+            val adj = if (i < j) 1 else 0 // left-right stores prox − 1
+            (0 to 7).map { t =>
+              if (t >= 7) universe
+              else {
+                val acc = new RoaringBitmap()
+                for (u <- sides(i); v <- sides(j); x <- 1 to math.min(t + adj, 7))
+                  rows.get((u, v, x)).flatten.foreach(acc.or)
+                acc
+              }
+            }
+          }
+          val dcums = (for (i <- sides.indices; j <- sides.indices if i != j)
+            yield (i, j) -> directedCums(i, j)).toMap
+          // chain bound: min over child permutations of the adjacent-hop sum
+          val chain: IndexedSeq[RoaringBitmap] = {
+            val perms = sides.indices.permutations.toSeq
+            val per = perms.map { perm =>
+              perm.sliding(2).map { case Seq(i, j) => dcums((i, j)) }
+                .reduce((a, b) => conv(a, b, Cap))
+            }
+            val len = per.map(_.length).max
+            (0 until len).map { p =>
+              val acc = new RoaringBitmap()
+              per.foreach(cc => acc.or(cc(math.min(p, cc.length - 1))))
+              acc
+            }
+          }
+          // total = chain + every child's internal proximity
+          childCums.foldLeft(chain)((acc, cc) => conv(acc, cc, Cap))
+        }
+      case _ => None
+    }
+
+    op match {
+      // flat 2-side Ands keep the EXACT cells (proxCums) — bound cells are
+      // only for the shapes exact algebra can't cover
+      case And(cs) if cs.length >= 2 => lbCums(op)
+      case Or(_, cs) if cs.nonEmpty  => lbCums(op)
+      case _                         => None
+    }
+  }
 }

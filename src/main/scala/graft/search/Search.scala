@@ -305,13 +305,14 @@ class Search(index: GraftIndex,
             Right(FilterEvaluator.candidates(index, FilterParser.parse(f)))
         }
       }
-    val deleted = index.deletedDocids
+    val deleted = Search.traced("deleted-bitmap")(index.deletedDocids)
 
     req.query.map(_.trim).filter(_.nonEmpty) match {
       case None =>
         executeNoQuery(criteria, filterDf, deleted, distinctField, req)
       case Some(q) =>
-        executeQuery(q, criteria, filterDf, deleted, distinctField, req)
+        Search.traced("execute-query")(
+          executeQuery(q, criteria, filterDf, deleted, distinctField, req))
     }
   }
 
@@ -695,6 +696,39 @@ class Search(index: GraftIndex,
           .groupBy(_._1).map { case (d, rs) => d -> rs.map(r => r._2 -> r._3).toMap }
       }
 
+    // lexicographic order over the criteria that are active, then docid —
+    // identical to the distributed sortCols. Engine criteria compare
+    // rank-vector components; sort-ish criteria compare driver-pinned
+    // facet/geo values (localSortComparators). Hoisted above the drain:
+    // the bound-cell verification loop needs the full order to find the
+    // page's take-th doc.
+    type R = (Int, (Int, Int, Int, Long, Int))
+    val comps: Array[(R, R) => Int] = criteria.flatMap {
+      case Criterion.Words =>
+        Seq((a: R, b: R) => Integer.compare(a._2._1, b._2._1))
+      case Criterion.Typo =>
+        Seq((a: R, b: R) => Integer.compare(a._2._2, b._2._2))
+      case Criterion.Proximity =>
+        Seq((a: R, b: R) => Integer.compare(a._2._3, b._2._3))
+      case Criterion.Attribute =>
+        Seq((a: R, b: R) => java.lang.Long.compare(a._2._4, b._2._4))
+      case Criterion.Exactness =>
+        Seq((a: R, b: R) => Integer.compare(a._2._5, b._2._5))
+      case c =>
+        sortCmps.get(c).map(f => (a: R, b: R) => f(a._1, b._1)).toSeq
+    }.toArray
+    val ord = new Ordering[R] {
+      override def compare(a: R, b: R): Int = {
+        var i = 0
+        while (i < comps.length) {
+          val c = comps(i)(a, b)
+          if (c != 0) return c
+          i += 1
+        }
+        Integer.compare(a._1, b._1)
+      }
+    }
+
     val (totalCandidates, ranked) = branchBms match {
       case Some(bms) =>
         // disjoint buckets: bucket i = docs whose FIRST matching branch is i
@@ -748,77 +782,160 @@ class Search(index: GraftIndex,
         val chosenTypo = scala.collection.mutable.ArrayBuffer.empty[Int]
         val chosenProx = scala.collection.mutable.ArrayBuffer.empty[Int]
         var drained = 0L
-        var bIdx = 0
-        while (bIdx < buckets.length && (!wordsFirst || drained < take)) {
-          val b = buckets(bIdx)
-          // cells only pay off when the bucket exceeds what must drain anyway
-          val cellIt: Iterator[RankCells.Cell] =
-            if (cellDims.isEmpty || b.getLongCardinality <= math.max(64L, take - drained))
-              Iterator.single(RankCells.Cell(b, -1, -1))
-            else Search.traced(s"cells(bucket $bIdx)") {
-              RankCells.cellIterator(index, branches(bIdx), derivations, cellDims, b)
-                .getOrElse(Iterator.single(RankCells.Cell(b, -1, -1)))
-            }
-          while (cellIt.hasNext && (!wordsFirst || drained < take)) {
-            val cell = cellIt.next()
-            drained += cell.docs.getLongCardinality
-            // drain cap: a tie cell too large to rank in-process sends the
-            // whole query to the distributed rank path (only reachable from
-            // the cell-drain admission; the volume-gated entry passes
-            // Long.MaxValue and keeps its r4 behavior exactly)
-            if (drained > drainCap) return None
-            val it = cell.docs.getIntIterator
-            while (it.hasNext) {
-              chosenIds += it.next(); chosenBuckets += bIdx
-              chosenTypo += cell.typo; chosenProx += cell.prox
-            }
-          }
-          bIdx += 1
-        }
-        val (wRows, pRows) = Search.traced("dwp-fetch") {
-          // docid-restricted cold fetch for heavy words (async complete
-          // fill warms the cache behind this query) — the drain only needs
-          // positions for the CHOSEN docs
-          index.dwpCache.getForDocs(relevantWords, prefixWords, chosenIds.toArray)
-        }
-        val arrays = (wRows.valuesIterator ++ pRows.valuesIterator).toArray
-        val fetched = fetchFwc(chosenIds.toSeq)
-        val fwcOf = fwcFor(fetched) _
-        // positions ONLY for the ranked docs: each cached row array is
-        // docid-sorted (DwpCache sorts at fill), so per chosen doc we
-        // binary-search each array — O(|chosen| · arrays · log rows),
-        // independent of the total cached row count — build its DocData
-        // inline and rank it with the KNOWN bucket (no per-doc branch
-        // matching, no intermediate candidate-wide map); the drain is
-        // embarrassingly parallel and large drains fan out over the
-        // driver's cores
-        if (Search.trace) Ranker.Prof.reset()
-        val out = Search.traced(s"rank(${chosenIds.length} docs)") {
-          Search.parMap(chosenIds.length) { i =>
-            val d = chosenIds(i)
-            val pos = scala.collection.mutable.HashMap.empty[String, Array[Int]]
-            arrays.foreach { a =>
-              var lo = 0
-              var hi = a.length
-              while (lo < hi) { // first row with docid >= d
-                val mid = (lo + hi) >>> 1
-                if (a(mid)._1 < d) lo = mid + 1 else hi = mid
+        var capHit = false
+        var anyBoundCell = false
+        // resumable flattened cell stream across buckets (lazy: a bucket's
+        // cells build only when the drain reaches it, with the CURRENT
+        // drained count sizing the pays-off check exactly like the old loop)
+        val cellStream: BufferedIterator[(RankCells.Cell, Int)] =
+          buckets.iterator.zipWithIndex.flatMap { case (b, bi) =>
+            val cellIt: Iterator[RankCells.Cell] =
+              if (cellDims.isEmpty || b.getLongCardinality <= math.max(64L, take - drained))
+                Iterator.single(RankCells.Cell(b, -1, -1))
+              else Search.traced(s"cells(bucket $bi)") {
+                RankCells.cellIterator(index, branches(bi), derivations, cellDims, b)
+                  .getOrElse(Iterator.single(RankCells.Cell(b, -1, -1)))
               }
-              while (lo < a.length && a(lo)._1 == d) {
-                pos.update(a(lo)._2, a(lo)._3)
-                lo += 1
-              }
-            }
-            val bi = chosenBuckets(i)
-            val doc = Ranker.DocData(pos, fwcOf(d))
-            d -> Ranker.rankVectorAt(doc, branches(bi), bi, derivations,
-              exactParts, searchableFids, flats(bi), branchPrefixKeys(bi),
-              knownTypo = chosenTypo(i), knownProx = chosenProx(i))
+            cellIt.map(c => (c, bi))
+          }.buffered
+        def drainOne(): Unit = {
+          val (cell, bi) = cellStream.next()
+          drained += cell.docs.getLongCardinality
+          // drain cap: a tie cell too large to rank in-process sends the
+          // whole query to the distributed rank path (only reachable from
+          // the cell-drain admission; the volume-gated entry passes
+          // Long.MaxValue and keeps its r4 behavior exactly)
+          if (drained > drainCap) { capHit = true; return }
+          if (cell.proxBound) anyBoundCell = true
+          val it = cell.docs.getIntIterator
+          while (it.hasNext) {
+            chosenIds += it.next(); chosenBuckets += bi
+            chosenTypo += cell.typo
+            // a bound label is NOT the rank component — force the per-doc
+            // plane sweep for these docs
+            chosenProx += (if (cell.proxBound) -1 else cell.prox)
           }
         }
-        if (Search.trace)
-          System.err.println(s"[graft-trace] rank-components ${Ranker.Prof.summary}")
-        (total, out)
+        while (!capHit && cellStream.hasNext && (!wordsFirst || drained < take))
+          drainOne()
+        if (capHit) return None
+        // incremental fetch+rank over chosen index ranges: the verification
+        // loop below may resume the drain, so ranking happens in slices
+        def rankRange(from: Int, until: Int): Array[R] = {
+          if (from >= until) return Array.empty
+          val sliceIds = chosenIds.slice(from, until)
+          // positions are needed only for the DRAINED buckets' branches
+          // (plus the query-level exactness part words): a Last-strategy
+          // query carries every reduced branch's derivations in
+          // relevantWords, but the page usually drains from branch 0 alone
+          val usedKeys: Set[(String, Boolean, Int)] =
+            chosenBuckets.slice(from, until).toSeq.distinct
+              .flatMap(bi => Ranker.derivationKeys(branches(bi))).toSet
+          val neededWordSet: Set[String] =
+            usedKeys.flatMap { case (w, pfx, t) =>
+              derivations.map.getOrElse((w, pfx, t), Nil).map(_._1) ++
+                (if (!pfx) Seq(w) else Nil)
+            } ++ exactParts.flatMap {
+              case Ranker.ESynonyms(ws) => ws
+              case Ranker.EPhrase(ws)   => ws.flatten
+            }
+          // presence filter: of the (possibly hundreds of) derivation
+          // words, fetch positions only for those whose candidate bitmap
+          // intersects this slice's docs — zero jobs warm, and the scan
+          // predicate shrinks to the words that can contribute rows
+          val sliceBm = graft.core.Bitmaps.fromInts(sliceIds.toArray)
+          val fetchW = index.presentWords(
+            relevantWords.filter(neededWordSet), sliceBm)
+          val fetchP = prefixWords.filter(p =>
+            usedKeys.exists { case (w, pfx, _) => pfx && w.startsWith(p) })
+          val (wRows, pRows) = Search.traced("dwp-fetch") {
+            // docid-restricted cold fetch for heavy words (async complete
+            // fill warms the cache behind this query) — the drain only
+            // needs positions for the CHOSEN docs
+            index.dwpCache.getForDocs(fetchW, fetchP, sliceIds.toArray)
+          }
+          val arrays = (wRows.valuesIterator ++ pRows.valuesIterator).toArray
+          val fetched = fetchFwc(sliceIds.toSeq)
+          val fwcOf = fwcFor(fetched) _
+          // positions ONLY for the ranked docs: each cached row array is
+          // docid-sorted (DwpCache sorts at fill), so per chosen doc we
+          // binary-search each array — O(|chosen| · arrays · log rows),
+          // independent of the total cached row count — build its DocData
+          // inline and rank it with the KNOWN bucket; the drain is
+          // embarrassingly parallel and fans out over the driver's cores
+          if (Search.trace) Ranker.Prof.reset()
+          val out = Search.traced(s"rank(${until - from} docs)") {
+            Search.parMap(until - from) { k =>
+              val i = from + k
+              val d = chosenIds(i)
+              val pos = scala.collection.mutable.HashMap.empty[String, Array[Int]]
+              arrays.foreach { a =>
+                var lo = 0
+                var hi = a.length
+                while (lo < hi) { // first row with docid >= d
+                  val mid = (lo + hi) >>> 1
+                  if (a(mid)._1 < d) lo = mid + 1 else hi = mid
+                }
+                while (lo < a.length && a(lo)._1 == d) {
+                  pos.update(a(lo)._2, a(lo)._3)
+                  lo += 1
+                }
+              }
+              val bi = chosenBuckets(i)
+              val doc = Ranker.DocData(pos, fwcOf(d))
+              d -> Ranker.rankVectorAt(doc, branches(bi), bi, derivations,
+                exactParts, searchableFids, flats(bi), branchPrefixKeys(bi),
+                knownTypo = chosenTypo(i), knownProx = chosenProx(i))
+            }
+          }
+          if (Search.trace)
+            System.err.println(s"[graft-trace] rank-components ${Ranker.Prof.summary}")
+          out
+        }
+        val rankedBuf = scala.collection.mutable.ArrayBuffer.empty[R]
+        var rankedUpTo = 0
+        def rankMore(): Unit = {
+          val u = chosenIds.length
+          rankedBuf ++= rankRange(rankedUpTo, u)
+          rankedUpTo = u
+        }
+        rankMore()
+        // BOUND-CELL VERIFICATION: lower-bound prox cells (≥3-word
+        // branches) may have drained docs whose TRUE proximity exceeds the
+        // next cell's bound — keep draining while the next cell could
+        // still place a doc at or above the page's take-th position. The
+        // comparison walks (words bucket, then the cell dims in criteria
+        // order); equality drains too (later dims break the tie). Exact
+        // cell streams never set anyBoundCell and keep the r4 stop rule.
+        if (wordsFirst && anyBoundCell) {
+          def cellCouldBeat(c: RankCells.Cell, bi: Int, kth: R): Boolean = {
+            if (bi != kth._2._1) return bi < kth._2._1
+            var i = 0
+            while (i < cellDims.length) {
+              val (cv, kv) = cellDims(i) match {
+                case Criterion.Typo => (c.typo, kth._2._2)
+                case _              => (c.prox, kth._2._3)
+              }
+              if (cv == -1) return true // unknown label → conservative drain
+              if (cv != kv) return cv < kv
+              i += 1
+            }
+            true // full tie on the proven prefix → later dims could beat
+          }
+          var stop = false
+          while (!stop && !capHit && cellStream.hasNext) {
+            val (nc, nbi) = cellStream.head
+            val mustDrain =
+              rankedBuf.length < take || {
+                val kth = rankedBuf.sorted(ord).apply(take - 1)
+                cellCouldBeat(nc, nbi, kth)
+              }
+            if (mustDrain) { drainOne(); if (!capHit) rankMore() }
+            else stop = true
+          }
+          if (capHit) return None
+        }
+        (total, rankedBuf.toArray)
 
       case None =>
         // phrase fallback: per-doc boolean matching over every candidate row
@@ -869,36 +986,6 @@ class Search(index: GraftIndex,
             .map(v => (docid, v))
         }.toArray
         (total, out)
-    }
-    // lexicographic order over the criteria that are active, then docid —
-    // identical to the distributed sortCols. Engine criteria compare
-    // rank-vector components; sort-ish criteria compare driver-pinned
-    // facet/geo values (localSortComparators).
-    type R = (Int, (Int, Int, Int, Long, Int))
-    val comps: Array[(R, R) => Int] = criteria.flatMap {
-      case Criterion.Words =>
-        Seq((a: R, b: R) => Integer.compare(a._2._1, b._2._1))
-      case Criterion.Typo =>
-        Seq((a: R, b: R) => Integer.compare(a._2._2, b._2._2))
-      case Criterion.Proximity =>
-        Seq((a: R, b: R) => Integer.compare(a._2._3, b._2._3))
-      case Criterion.Attribute =>
-        Seq((a: R, b: R) => java.lang.Long.compare(a._2._4, b._2._4))
-      case Criterion.Exactness =>
-        Seq((a: R, b: R) => Integer.compare(a._2._5, b._2._5))
-      case c =>
-        sortCmps.get(c).map(f => (a: R, b: R) => f(a._1, b._1)).toSeq
-    }.toArray
-    val ord = new Ordering[R] {
-      override def compare(a: R, b: R): Int = {
-        var i = 0
-        while (i < comps.length) {
-          val c = comps(i)(a, b)
-          if (c != 0) return c
-          i += 1
-        }
-        Integer.compare(a._1, b._1)
-      }
     }
     distinctVals match {
       case Some(sm) =>

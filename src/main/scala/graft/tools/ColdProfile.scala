@@ -59,6 +59,17 @@ object ColdProfile {
       val t0 = System.nanoTime(); val a = f; (a, (System.nanoTime() - t0) / 1e6)
     }
 
+    // JIT warmup on a throwaway handle (the bench's cold numbers sit after
+    // its BM25 phase + a w1 w2 ranked query — measure fetch cost, not JIT)
+    {
+      val jit = GraftIndex(spark, dir, settings)
+      val s = new Search(jit, maxLocalPostings = 1L << 18)
+      (0 until 3).foreach { _ =>
+        s.execute(SearchRequest(query = Some("w1 w2"), limit = 20, exhaustive = false))
+        s.execute(SearchRequest(query = Some("w5 w31 w900"), limit = 20, exhaustive = false))
+      }
+    }
+
     queries.foreach { q =>
       val index = GraftIndex(spark, dir, settings)
       val (_, cacheMs) = timed { if (prewarm) index.warm() }
