@@ -146,8 +146,14 @@ object Bench {
       val th = pairs.map(p => scaleDocs / p._2).max
       th / (tl * (highN.toDouble / lowN))
     }
+    // plausibility floor 0.7 for the RETRY criterion: six calm-gated r4
+    // pairs banded 0.73–0.89 and a quiet-host r5 pair measured 0.849, so a
+    // "calm" pair in [0.6, 0.7) is a degraded window (loadavg alone misses
+    // page-cache and bandwidth contention), not an engine property. All
+    // pairs are still REPORTED; the cap (maxPairs) bounds the retries and
+    // an exhausted run keeps its numbers + the load_contaminated flag.
     def calmPair(p: (Double, Double, Double, Double)): Boolean =
-      math.max(p._3, p._4) <= calmLoad && eff(p) >= 0.6 && eff(p) < 1.0
+      math.max(p._3, p._4) <= calmLoad && eff(p) >= 0.7 && eff(p) < 1.0
     val scalingSkipped = !phases("scaling")
     if (!scalingSkipped) {
       // JIT warmup: one small DISCARDED build before the first pair. The
