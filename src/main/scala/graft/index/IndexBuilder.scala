@@ -495,20 +495,31 @@ class IndexBuilder(spark: SparkSession, settings: IndexSettings) extends Seriali
     stageF(T.WordPrefixPositionDocids, Seq(T.WordPositionDocids, T.PrefixDict)) {
       buildWordPrefixPositionDocids(dir)
     }
-    // prefix-pair proximity tables (#8, #9) — prox ≤ 4, prefix len ≤ 2
-    // (prefix_word_pairs/mod.rs:17-18). These read the COMMITTED pair
-    // table: consuming the pre-merge partials instead was measured
-    // (300k-doc profile) to cost ~50% more stage CPU — the partials cache
-    // holds ~1.6× the rows and decompresses twice — for no wall gain on a
-    // saturated box.
-    stageF(T.WordPrefixPairProximityDocids,
-      Seq(T.WordPairProximityDocids, T.PrefixDict)) {
-      buildWordPrefixPairProximity(dir)
+    // prefix-pair proximity tables (#8, #9) — prefix len ≤ 2, full stored
+    // prox 1..7 (divergence from prefix_word_pairs/mod.rs:17-18 documented
+    // at prefixPairPartials). Built in ONE shared pass: the committed pair
+    // table is the build's biggest derived input, and reading it once per
+    // side cost ~25% of the whole build (NOTES_ROUND5). The shared pass
+    // reads the COMMITTED table (consuming the pair stage's pre-merge
+    // partials was measured ~50% more stage CPU — the partials cache holds
+    // ~1.6× the rows and decompresses twice). A resume with only ONE side
+    // missing still pays the shared pass once (both sides' partials are
+    // computed, the done side's write is skipped by `stage`).
+    var ppTables: (DataFrame, DataFrame) = null
+    done("__ppBoth") = Future.sequence(
+        Seq(done(T.WordPairProximityDocids), done(T.PrefixDict))).map { _ =>
+      val needed =
+        Seq(T.WordPrefixPairProximityDocids, T.PrefixWordPairProximityDocids)
+          .exists(t => !(resume && manifest.isDone(t, dir)))
+      if (needed) {
+        spark.sparkContext.setJobGroup("__ppBoth",
+          "graft build: prefix-pair shared pass")
+        try ppTables = buildPrefixPairTablesBoth(dir)
+        finally spark.sparkContext.clearJobGroup()
+      }
     }
-    stageF(T.PrefixWordPairProximityDocids,
-      Seq(T.WordPairProximityDocids, T.PrefixDict)) {
-      buildPrefixWordPairProximity(dir)
-    }
+    stageF(T.WordPrefixPairProximityDocids, Seq("__ppBoth")) { ppTables._1 }
+    stageF(T.PrefixWordPairProximityDocids, Seq("__ppBoth")) { ppTables._2 }
 
     // facet extraction (reads the committed documents table)
     var facets: (DataFrame, DataFrame, DataFrame) = null
@@ -692,6 +703,40 @@ class IndexBuilder(spark: SparkSession, settings: IndexSettings) extends Seriali
         .select($"prox", $"w1", $"w2", $"docids"),
       prefixSet(dir, only, maxLen = 2), rightSide = false)
 
+  /** Single-pass build of BOTH prefix-pair tables (#8 and #9): one scan +
+    * partition-local combine over the committed pair table emits the two
+    * sides' partials together ([[IndexBuilder.prefixPairPartialsBoth]]),
+    * one range shuffle merges them (side encoded in `sprox`, so a run is
+    * never cross-side), and the persisted merged frame is split into the
+    * two tables by a cheap cached filter. Replaces two full pair-table
+    * scans (~25% of the whole build since the prox range extension to
+    * 1..7, NOTES_ROUND5 round-6 candidate 1) with one. Filtering the
+    * range-partitioned frame preserves per-file sort and bounds, so
+    * footer pruning on (prefix, word, prox) is unchanged. The merged
+    * cache is registered as a transient — released by the caller's
+    * `releaseTransients()` / build-end. */
+  def buildPrefixPairTablesBoth(dir: String): (DataFrame, DataFrame) = {
+    val prefixes = prefixSet(dir, None, maxLen = 2)
+    val partials = spark.read.parquet(s"$dir/${T.WordPairProximityDocids}")
+      .select($"prox", $"w1", $"w2", $"docids")
+      .mapPartitions(it => IndexBuilder.prefixPairPartialsBoth(it, prefixes))
+      .toDF("k1", "k2", "sprox", "partial")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val merged = transient(
+      partials.repartitionByRange($"k1", $"k2", $"sprox")
+        .sortWithinPartitions("k1", "k2", "sprox")
+        .mapPartitions(it => IndexBuilder.mergePairPartialRuns(it))
+        .toDF("sprox", "k1", "k2", "docids"))
+    merged.count() // materialize ONCE before the two table writes consume it
+    partials.unpersist()
+    val wordPrefix = merged.where($"sprox" < 8)
+      .select($"sprox".as("prox"), $"k2".as("w1"), $"k1".as("prefix"), $"docids")
+    val prefixWord = merged.where($"sprox" >= 8)
+      .select(($"sprox" - 8).cast("int").as("prox"), $"k1".as("prefix"),
+        $"k2".as("w2"), $"docids")
+    (wordPrefix, prefixWord)
+  }
+
   /** Geo cell table: (cell, docid, lat, lng), one row per geo point,
     * range-partitioned + sorted by the 52-bit Morton cell (core.GeoCell) so
     * a radius query's covering cell ranges prune at the parquet footer —
@@ -741,8 +786,9 @@ class IndexBuilder(spark: SparkSession, settings: IndexSettings) extends Seriali
     writeOver(buildWordPrefixDocids(dir), s"$dir/${T.WordPrefixDocids}")
     writeOver(buildExactWordPrefixDocids(dir), s"$dir/${T.ExactWordPrefixDocids}")
     writeOver(buildWordPrefixPositionDocids(dir), s"$dir/${T.WordPrefixPositionDocids}")
-    writeOver(buildWordPrefixPairProximity(dir), s"$dir/${T.WordPrefixPairProximityDocids}")
-    writeOver(buildPrefixWordPairProximity(dir), s"$dir/${T.PrefixWordPairProximityDocids}")
+    val (ppWordPrefix, ppPrefixWord) = buildPrefixPairTablesBoth(dir)
+    writeOver(ppWordPrefix, s"$dir/${T.WordPrefixPairProximityDocids}")
+    writeOver(ppPrefixWord, s"$dir/${T.PrefixWordPairProximityDocids}")
     writeOver(buildFacetNumberLevels(dir), s"$dir/${T.FacetNumberLevels}")
     writeOver(buildFacetStringLevels(dir), s"$dir/${T.FacetStringLevels}")
     releaseTransients()
@@ -1420,6 +1466,77 @@ object IndexBuilder extends Serializable {
                   else acc.add(bytes)
                 }
                 n += 1
+              }
+            }
+          }
+          batch = drain()
+        }
+      override def hasNext: Boolean = { pump(); batch.hasNext }
+      override def next(): (String, String, Int, Array[Byte]) = { pump(); batch.next() }
+    }
+  }
+
+  /** Both-sides variant of [[prefixPairPartials]]: ONE pass over the pair
+    * table emits partials for #8 (prefix of w2) AND #9 (prefix of w1)
+    * together, so the 5.9M-row committed pair table — the build's biggest
+    * derived input — is scanned and cbo-decoded once instead of once per
+    * table. The side rides in the prox int (`sprox = prox | side<<3`,
+    * side 0 = word_prefix_pair, side 1 = prefix_word_pair; prox ≤ 7 so
+    * the ranges 1..7 / 9..15 never collide), which keeps the downstream
+    * shuffle + [[mergePairPartialRuns]] run-walk shared verbatim. Output
+    * tuples are (prefix, word, sprox, partial) — prefix-major, matching
+    * both tables' on-disk sort (prefix, word, prox). */
+  def prefixPairPartialsBoth(
+      rows: Iterator[org.apache.spark.sql.Row],
+      prefixes: Set[String],
+      flushKeys: Int = 1 << 20): Iterator[(String, String, Int, Array[Byte])] = {
+    val intern = new mutable.AnyRefMap[String, Int]()
+    val internWords = new mutable.ArrayBuffer[String]()
+    val agg = new mutable.LongMap[BmAcc]()
+    def internOf(w: String): Int =
+      intern.getOrElseUpdate(w, { internWords += w; internWords.length - 1 })
+    def drain(): Iterator[(String, String, Int, Array[Byte])] = {
+      if (agg.isEmpty) return Iterator.empty
+      val buf = new mutable.ArrayBuffer[(String, String, Int, Array[Byte])](agg.size)
+      agg.foreachEntry { (key, acc) =>
+        buf += ((internWords((key >>> 34).toInt),
+          internWords(((key >>> 4) & ((1L << 30) - 1)).toInt),
+          (key & 15).toInt, acc.bytes))
+      }
+      agg.clear()
+      buf.iterator
+    }
+    new Iterator[(String, String, Int, Array[Byte])] {
+      private var batch: Iterator[(String, String, Int, Array[Byte])] = Iterator.empty
+      private def pump(): Unit =
+        while (!batch.hasNext && (rows.hasNext || agg.nonEmpty)) {
+          while (rows.hasNext && agg.size < flushKeys) {
+            val r = rows.next()
+            val prox = r.getInt(0)
+            if (prox <= 7) {
+              val w1 = r.getString(1)
+              val w2 = r.getString(2)
+              var side = 0
+              while (side <= 1) {
+                val base = if (side == 0) w2 else w1
+                val word = if (side == 0) w1 else w2
+                val lim = math.min(base.length, 2)
+                var n = 1
+                while (n <= lim) {
+                  val p = base.substring(0, n)
+                  if (prefixes(p)) {
+                    val a = internOf(p)
+                    val b = internOf(word)
+                    val key = (a.toLong << 34) | (b.toLong << 4) |
+                      ((side << 3) | prox)
+                    val acc = agg.getOrNull(key)
+                    val bytes = r.getAs[Array[Byte]](3)
+                    if (acc == null) { val x = new BmAcc; x.add(bytes); agg(key) = x }
+                    else acc.add(bytes)
+                  }
+                  n += 1
+                }
+                side += 1
               }
             }
           }

@@ -139,4 +139,38 @@ class PairProximitySpec extends AnyFunSuite with Matchers {
     b.size shouldBe a.size
     b shouldBe a
   }
+
+  test("single-pass prefix-pair build ≡ per-side builders, byte-identical") {
+    val spark = graft.TestSpark.spark
+    val settings = IndexSettings(searchableFields = Seq("text"), primaryKey = "url")
+    val dir = java.nio.file.Files.createTempDirectory("graft-ppboth").toString
+    val docs = graft.webgen.WebPages.generate(spark, 300)
+    val builder = new IndexBuilder(spark, settings)
+    builder.build(docs, dir, resume = false)
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[(Int, String, String, Seq[Byte])] =
+      df.collect().map { r =>
+        (r.getInt(0), r.getString(1), r.getString(2),
+          r.getAs[Array[Byte]](3).toSeq)
+      }.toSeq.sortBy(t => (t._2, t._3, t._1))
+    val (bothW, bothP) = builder.buildPrefixPairTablesBoth(dir)
+    withClue("word_prefix_pair (#8): ") {
+      canon(bothW) shouldBe canon(builder.buildWordPrefixPairProximity(dir))
+    }
+    withClue("prefix_word_pair (#9): ") {
+      canon(bothP) shouldBe canon(builder.buildPrefixWordPairProximity(dir))
+    }
+    // and the committed tables (written through the shared __ppBoth stage)
+    // match the per-side builders too
+    val T = IndexSettings.T
+    withClue("committed #8: ") {
+      canon(spark.read.parquet(s"$dir/${T.WordPrefixPairProximityDocids}")
+        .select("prox", "w1", "prefix", "docids")) shouldBe
+        canon(builder.buildWordPrefixPairProximity(dir))
+    }
+    withClue("committed #9: ") {
+      canon(spark.read.parquet(s"$dir/${T.PrefixWordPairProximityDocids}")
+        .select("prox", "prefix", "w2", "docids")) shouldBe
+        canon(builder.buildPrefixWordPairProximity(dir))
+    }
+  }
 }
