@@ -22,11 +22,37 @@ object TableIO {
   val RowGroupBytes: Int =
     sys.env.get("SPARK_GRAFT_ROW_GROUP_BYTES").map(_.toInt).getOrElse(4 << 20)
 
-  /** Parquet write with the serving row-group cap. */
-  def writeParquet(df: DataFrame, path: String): Unit =
-    df.write.mode("overwrite")
+  /** Page-row cap for the forward index (doc_word_positions). The word
+    * column is sorted + RLE'd so tiny that at the default page sizing one
+    * PAGE spans a whole row group — parquet's column index then can't
+    * prune inside a group and a direct point read of a few words decodes
+    * every row. Capping pages at 1k rows makes the column index's
+    * per-page word [min,max] the effective pruning unit: a word band
+    * decodes ~1–2 pages (~1–2k rows) instead of ~400k. Costs ~0.4% file
+    * size in page headers; full-scan throughput unchanged (measured). */
+  val DwpPageRows: Int =
+    sys.env.get("SPARK_GRAFT_DWP_PAGE_ROWS").map(_.toInt).getOrElse(1024)
+
+  /** Marker file: present in a doc_word_positions dir whose files were
+    * written under [[DwpPageRows]] — the serving direct point reader keys
+    * off it (older coarse-paged dirs keep the Spark scan, where a direct
+    * read would decode whole row groups). */
+  val DwpPageMarker = "_graft_dwp_paged"
+
+  /** Parquet write with the serving row-group cap (+ fine-grained pages
+    * for the forward index — see [[DwpPageRows]]). */
+  def writeParquet(df: DataFrame, path: String): Unit = {
+    // tmp side dirs ("<table>__tmp") from writeOver/merge/compact must
+    // keep their table's options — the dir is renamed in wholesale
+    val base = path.stripSuffix("/").stripSuffix("__tmp")
+    val dwp = base.endsWith("/" + IndexSettings.T.DocWordPositions)
+    val w = df.write.mode("overwrite")
       .option("parquet.block.size", RowGroupBytes.toString)
-      .parquet(path)
+    (if (dwp) w.option("parquet.page.row.count.limit", DwpPageRows.toString)
+     else w).parquet(path)
+    if (dwp)
+      new java.io.File(path, DwpPageMarker).createNewFile()
+  }
 
   /** Atomic-ish table replace: write to side dir then swap. */
   def writeOver(spark: SparkSession)(df: DataFrame, path: String): Unit = {

@@ -152,47 +152,55 @@ object DirectParquet {
           FilterApi.ltEq(keyColumn, Binary.fromConstantByteArray(hi)))
       }.reduce(FilterApi.or(_, _))
       val filter = FilterCompat.get(bandPred)
-      def readFile(file: String, gs: Seq[RowGroup]): Unit = {
-        val want = gs.map(_.idx).toSet
+      // one task = one private reader over a CHUNK of a file's row groups
+      // (readFilteredRowGroup(i) seeks directly) — a fat band inside a
+      // single file (a stop word's pair rows spanning 24+ groups) decodes
+      // across the pool instead of serially behind one reader. The extra
+      // footer read per task is ~1 ms against a multi-MB group decode.
+      def readGroups(file: String, idxs: Seq[Int]): Unit = {
         val in = HadoopInputFile.fromPath(new Path(file), conf)
         val r = new ParquetFileReader(in,
           ParquetReadOptions.builder().withRecordFilter(filter).build())
         try {
           val schema = r.getFooter.getFileMetaData.getSchema
           val colIO = new ColumnIOFactory().getColumnIO(schema)
-          val nGroups = r.getFooter.getBlocks.size()
-          var i = 0
-          while (i < nGroups) {
-            if (!want(i)) r.skipNextRowGroup()
-            else {
-              val pages = r.readNextFilteredRowGroup()
-              if (pages != null) {
-                val rec = colIO.getRecordReader(pages,
-                  new GroupRecordConverter(schema), filter)
-                var n = 0L
-                val total = pages.getRowCount
-                while (n < total) {
-                  val g = rec.read() // decode OUTSIDE the lock (the CPU cost)
-                  // filtered readers return null / flag skips for rows the
-                  // predicate rejects
-                  if (g != null && !rec.shouldSkipCurrentRecord)
-                    // `each` runs under this lock across files — callers
-                    // hand in plain map builders, not thread-safe sinks
-                    each.synchronized(each(g))
-                  n += 1
-                }
+          idxs.foreach { i =>
+            val pages = r.readFilteredRowGroup(i)
+            if (pages != null) {
+              // page pruning only: the band predicate computed the row
+              // ranges above (column index), but it is NOT re-evaluated
+              // per record — an OR of hundreds of point bands costs
+              // O(bands) per row at assembly (measured 224k rows/s vs
+              // 1.5M without). CALLERS MUST RE-CHECK KEYS in `each`:
+              // surviving pages carry neighbouring rows too.
+              val rec = colIO.getRecordReader(pages,
+                new GroupRecordConverter(schema))
+              var n = 0L
+              val total = pages.getRowCount
+              while (n < total) {
+                val g = rec.read() // decode OUTSIDE the lock (the CPU cost)
+                if (g != null)
+                  // `each` runs under this lock across tasks — callers
+                  // hand in plain map builders, not thread-safe sinks
+                  each.synchronized(each(g))
+                n += 1
               }
             }
-            i += 1
           }
         } finally r.close()
       }
-      if (byFile.length <= 1)
-        byFile.foreach { case (f, gs) => readFile(f, gs) }
+      val totalGroups = byFile.iterator.map(_._2.length).sum
+      // target ~2 chunks per pool thread for balance; tiny reads stay inline
+      val chunk = math.max(1, (totalGroups + 7) / 8)
+      val tasks: Seq[(String, Seq[Int])] = byFile.flatMap { case (f, gs) =>
+        gs.map(_.idx).sorted.grouped(chunk).map(c => (f, c.toSeq)).toSeq
+      }
+      if (tasks.length <= 1)
+        tasks.foreach { case (f, is) => readGroups(f, is) }
       else {
         import scala.concurrent.Future
         implicit val ec: scala.concurrent.ExecutionContext = decodeEc
-        val futs = byFile.map { case (f, gs) => Future(readFile(f, gs)) }
+        val futs = tasks.map { case (f, is) => Future(readGroups(f, is)) }
         futs.foreach(f =>
           scala.concurrent.Await.result(f, scala.concurrent.duration.Duration.Inf))
       }

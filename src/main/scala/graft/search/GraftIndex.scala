@@ -787,6 +787,69 @@ class GraftIndex(val spark: SparkSession, val dir: String, val settings: IndexSe
       .as[(String, Array[Byte])].collect()
       .map { case (k, b) => k -> Bitmaps.cboDeserialize(b) }.toMap
 
+  /** True when the committed forward index was written with fine-grained
+    * pages ([[graft.index.TableIO.DwpPageRows]] marker) — the unit the
+    * direct point reader prunes at. Coarse-paged dirs (pre-marker builds)
+    * keep the Spark scan: their word-column pages span whole row groups,
+    * so a direct read would decode ~400k rows per touched group. */
+  private[search] lazy val dwpDirectPaged: Boolean =
+    DirectParquet.enabled && new java.io.File(
+      s"$dir/${T.DocWordPositions}", graft.index.TableIO.DwpPageMarker).exists()
+
+  /** Direct page-pruned forward-index point read: rows whose word is in
+    * `words` (or extends a prefix in `prefixes`), optionally restricted to
+    * `docs` — zero Spark jobs, zero Catalyst. The table is (word, docid)
+    * range-partitioned, so each word's rows live in ~1 file's ~1–2 pages
+    * (1k rows each): a 200-word derivation fetch decodes ~0.2M rows
+    * instead of scanning the full table (a wide In predicate never
+    * footer-prunes — the measured 250–400 ms cold rank-fetch floor).
+    * None → caller runs the Spark scan (fallback AND source of truth). */
+  private[search] def directDwpRows(words: Seq[String], prefixes: Seq[String],
+      docs: Option[Array[Int]]): Option[Array[(Int, String, Array[Int])]] = {
+    if (!dwpDirectPaged) return None
+    // volume gate: the driver-side Group decode runs ~1.5M rows/s on the
+    // 4-thread pool, the 32-way vectorized Spark scan ~50M — past ~256k
+    // estimated postings (≳ 170 ms decode) the full scan's ~250–400 ms
+    // floor is the better deal AND doesn't occupy the serving pool.
+    // (Estimate = Σ df + prefix ranges off the pinned dict; no pinned
+    // dict → no price → stay on Spark for safety.)
+    if (!estimatePostings(words, prefixes).exists(_ <= GraftIndex.DwpDirectMaxRows))
+      return None
+    val bands = DirectParquet.keyBands(words) ++
+      prefixes.map(DirectParquet.prefixBand)
+    if (bands.isEmpty) return Some(Array.empty)
+    val fts = footersFor(T.DocWordPositions, "word")
+    // ≤ ~2 groups per band on the range-partitioned sort; a band set
+    // overlapping far more means very broad prefixes — keep Spark's
+    // fully-parallel scan
+    if (DirectParquet.bandGroupCount(fts, bands) > 1024) return None
+    val wordSet = words.toSet
+    val docSet = docs.map { ds =>
+      val b = new RoaringBitmap(); ds.foreach(b.add); b
+    }
+    val out = Array.newBuilder[(Int, String, Array[Int])]
+    val ok = DirectParquet.scanBands(fts, bands) { g =>
+      val w = g.getString("word", 0)
+      if (wordSet(w) || prefixes.exists(w.startsWith)) {
+        val d = g.getInteger("docid", 0)
+        if (docSet.forall(_.contains(d))) {
+          val pos =
+            if (g.getFieldRepetitionCount("positions") == 0) Array.empty[Int]
+            else {
+              val lg = g.getGroup("positions", 0) // 3-level parquet list
+              val n = lg.getFieldRepetitionCount(0)
+              val a = new Array[Int](n)
+              var i = 0
+              while (i < n) { a(i) = lg.getGroup(0, i).getInteger(0, 0); i += 1 }
+              a
+            }
+          out += ((d, w, pos))
+        }
+      }
+    }
+    if (ok) Some(out.result()) else None
+  }
+
   /** Direct footer-pruned (w1, w2, prox) pair point read — zero Spark
     * jobs; the pair table is (w1, w2, prox)-sorted, so the lefts' point
     * bands prune to the few row groups holding their pair rows. None →
@@ -799,9 +862,11 @@ class GraftIndex(val spark: SparkSession, val dir: String, val settings: IndexSe
     val rightSet = rights.toSet
     val fts = footersFor(T.WordPairProximityDocids, "w1")
     // a FREQUENT left word's pair rows can span many row groups — the
-    // direct reader decodes files in parallel (4 threads), but past ~24
-    // groups the fully parallel Spark scan wins
-    if (DirectParquet.bandGroupCount(fts, DirectParquet.keyBands(lefts)) > 24)
+    // direct reader decodes row-group chunks in parallel (own reader per
+    // chunk), so the crossover vs the fully parallel Spark scan sits far
+    // beyond the old per-file-serial ~24 (measured: 60 groups direct in
+    // ~250 ms vs a ~650 ms Spark pair-scan job at 300k docs)
+    if (DirectParquet.bandGroupCount(fts, DirectParquet.keyBands(lefts)) > 96)
       return None
     val out = Map.newBuilder[String, RoaringBitmap]
     val ok = DirectParquet.scanBands(fts, DirectParquet.keyBands(lefts)) { g =>
@@ -1241,6 +1306,15 @@ object GraftIndex {
   /** Row cap for driver-pinned per-field sort values (≈ 50 MB worst);
     * a var so specs can force the unpinnable (level-tree walk) path. */
   private[search] var MaxSortPinRows: Int = 2000000
+
+  /** Estimated-posting cap for the direct (page-pruned) forward-index
+    * point read; larger fetches keep the distributed scan. Measured
+    * crossover: the pool decodes ~1.5M rows/s (412k-row fetch ≈ 285 ms
+    * vs the same Spark scan's 646 ms), so up to ~1M rows the direct read
+    * wins; beyond it the fully-parallel scan does. */
+  private[search] val DwpDirectMaxRows: Long =
+    sys.env.get("SPARK_GRAFT_DWP_DIRECT_MAX_ROWS").map(_.toLong)
+      .getOrElse(1L << 20)
 
   /** Driver-pinned per-field sort values: min/max numeric value and min/max
     * string norm per docid (keep-first facet-sort semantics: asc reads the

@@ -230,6 +230,20 @@ final class DwpCache(index: GraftIndex, maxBytes: Long = 256L << 20) {
     val rangedP = liveP.filterNot(expanded.contains)
     val inWords = (liveW ++ expanded.valuesIterator.flatten).distinct
     if (inWords.isEmpty && rangedP.isEmpty) return Array.empty
+    // page-pruned direct point read first (fine-paged dirs): the wide In
+    // predicate below never footer-prunes, so the Spark path pays a full
+    // forward-index scan per cold miss batch — the measured cold-rank
+    // floor. Rows must come back docid-sorted per word; callers sort.
+    val t0 = System.nanoTime()
+    index.directDwpRows(inWords, rangedP, docFilter) match {
+      case Some(rows) =>
+        if (Search.trace) System.err.println(
+          f"[graft-trace] dwp-direct(w=${inWords.length},p=${rangedP.length}," +
+          f"docs=${docFilter.map(_.length).getOrElse(-1)},rows=${rows.length}) " +
+          f"${(System.nanoTime() - t0) / 1e6}%.2f ms")
+        return rows
+      case None => ()
+    }
     val in = if (inWords.nonEmpty) Seq(col("word").isin(inWords: _*)) else Nil
     val pref = rangedP.map(p => col("word").startsWith(p))
     val wordPred = (in ++ pref).reduce(_ || _)
@@ -267,7 +281,7 @@ final class DwpCache(index: GraftIndex, maxBytes: Long = 256L << 20) {
       missW.iterator.map(w => w -> rows.filter(_._2 == w).sortBy(_._1)).toMap
     val fetchedP: Map[String, Rows] =
       missP.iterator.map(p => p -> rows.filter(_._2.startsWith(p)).sortBy(_._1)).toMap
-    synchronized {
+    val out = synchronized {
       (fetchedW.iterator.map { case (w, a) => ("w:" + w, a) } ++
         fetchedP.iterator.map { case (p, a) => ("p:" + p, a) }).foreach {
         case (k, a) =>
@@ -276,6 +290,10 @@ final class DwpCache(index: GraftIndex, maxBytes: Long = 256L << 20) {
       evict()
       (hitW ++ fetchedW, hitP ++ fetchedP)
     }
+    // complete entries just landed: drop the restricted-fetch memo so the
+    // next getForDocs sees the (fuller) LRU instead of the stale slice
+    rMemo = null
+    out
   }
 
   /** Keys whose complete fill is in flight on the background filler. */
@@ -305,6 +323,15 @@ final class DwpCache(index: GraftIndex, maxBytes: Long = 256L << 20) {
   def getForDocs(words: Seq[String], prefixes: Seq[String], docids: Array[Int],
       asyncFillMinBytes: Long = 4L << 20)
       : (Map[String, Rows], Map[String, Rows]) = {
+    // repeat-call memo: the drain's verification loop can resume and
+    // re-request the SAME (words, docs) slice before the async complete
+    // fill lands — restricted results are not LRU-cacheable (incomplete),
+    // so without this the second round pays the whole restricted fetch
+    // again (measured: a duplicate ~300 ms scan per cold 2-word query)
+    val memo = rMemo
+    if (memo != null && memo.words == words && memo.prefixes == prefixes &&
+        java.util.Arrays.equals(memo.docids, docids))
+      return memo.result
     val (hitW, hitP, missW, missP) = splitHits(words.distinct, prefixes.distinct)
     if (missW.isEmpty && missP.isEmpty) return (hitW, hitP)
     if (docids.isEmpty) // nothing to rank: misses contribute no rows
@@ -345,6 +372,10 @@ final class DwpCache(index: GraftIndex, maxBytes: Long = 256L << 20) {
       heavyP.iterator.map(p => p -> rows.filter(_._2.startsWith(p)).sortBy(_._1)).toMap
     val fillW = heavyW.filter(w => filling.add("w:" + w))
     val fillP = heavyP.filter(p => filling.add("p:" + p))
+    // memo BEFORE scheduling the fill: the fill's completion clears it,
+    // and that clear must never race an assignment that would outlive it
+    rMemo = RestrictedMemo(words, prefixes, docids,
+      (hitW ++ lightFedW ++ fetchedW, hitP ++ lightFedP ++ fetchedP))
     if (fillW.nonEmpty || fillP.nonEmpty) filler.execute { () =>
       try get(fillW, fillP)
       catch {
@@ -361,4 +392,11 @@ final class DwpCache(index: GraftIndex, maxBytes: Long = 256L << 20) {
     }
     (hitW ++ lightFedW ++ fetchedW, hitP ++ lightFedP ++ fetchedP)
   }
+
+  /** Last restricted fetch, for the drain's resume rounds (see
+    * [[getForDocs]]). One entry — bounded by one slice's rows. */
+  private final case class RestrictedMemo(words: Seq[String],
+      prefixes: Seq[String], docids: Array[Int],
+      result: (Map[String, Rows], Map[String, Rows]))
+  @volatile private var rMemo: RestrictedMemo = null
 }

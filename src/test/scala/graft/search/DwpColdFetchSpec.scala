@@ -57,6 +57,44 @@ class DwpColdFetchSpec extends AnyFunSuite with Matchers {
       fullW("the").toSeq.map(r => (r._1, r._2, r._3.toSeq))
   }
 
+  test("direct page-pruned dwp fetch ≡ Spark scan (words, prefixes, docFilter)") {
+    val d = java.nio.file.Files.createTempDirectory("graft-dwpdirect").toString
+    new IndexBuilder(spark, stg).build(WebPages.generate(spark, 1200), d, resume = false)
+    val words = Seq("the", "w3", "w100", "zzz-novel-word")
+    val pfxs = Seq("w1")
+    def canon(m: Map[String, Array[(Int, String, Array[Int])]]) =
+      m.map { case (k, a) => k -> a.map(r => (r._1, r._2, r._3.toSeq)).toSeq }
+
+    val direct = GraftIndex(spark, d, stg)
+    direct.dwpDirectPaged shouldBe true
+    val before = DirectParquet.reads.get()
+    val (wA, pA) = direct.dwpCache.get(words, pfxs)
+    withClue("direct path did not engage: ")(
+      DirectParquet.reads.get() should be > before)
+
+    // strip the page marker: a fresh handle must take the Spark scan
+    new java.io.File(s"$d/${graft.index.IndexSettings.T.DocWordPositions}",
+      graft.index.TableIO.DwpPageMarker).delete() shouldBe true
+    val viaSpark = GraftIndex(spark, d, stg)
+    viaSpark.dwpDirectPaged shouldBe false
+    val (wB, pB) = viaSpark.dwpCache.get(words, pfxs)
+    canon(wA) shouldBe canon(wB)
+    canon(pA) shouldBe canon(pB)
+
+    // restricted parity on fresh handles (cold caches both sides)
+    val docids = wB("the").map(_._1).distinct.sorted.take(30)
+    new java.io.File(s"$d/${graft.index.IndexSettings.T.DocWordPositions}",
+      graft.index.TableIO.DwpPageMarker).createNewFile() shouldBe true
+    val (rwA, rpA) = GraftIndex(spark, d, stg).dwpCache
+      .getForDocs(words, pfxs, docids, asyncFillMinBytes = 0L)
+    rwA.keySet shouldBe wB.keySet
+    rwA.foreach { case (w, a) =>
+      a.map(r => (r._1, r._2, r._3.toSeq)).toSeq shouldBe
+        wB(w).filter(r => docids.contains(r._1)).map(r => (r._1, r._2, r._3.toSeq)).toSeq
+    }
+    (rpA.keySet, pB.keySet) match { case (x, y) => x shouldBe y }
+  }
+
   test("ranked results identical whether the drain fetch is restricted or blocking") {
     val a = freshIndex
     val b = freshIndex
