@@ -115,6 +115,23 @@ class GraftIndex(val spark: SparkSession, val dir: String, val settings: IndexSe
           .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
     }
     if (byDf.isEmpty) return
+    // prime the direct point readers' footer indexes (one-time ~100–300 ms
+    // of footer reads per table on first touch otherwise — the measured
+    // first-cold-query tax) — overlapped on the fetch pool
+    Search.traced("prewarm-footers") {
+      import scala.concurrent.Future
+      implicit val ec: scala.concurrent.ExecutionContext = GraftIndex.fetchEc
+      val tables = Seq(
+        T.WordDocids -> "word", T.ExactWordDocids -> "word",
+        T.WordPrefixDocids -> "prefix", T.ExactWordPrefixDocids -> "prefix",
+        T.DocWordPositions -> "word", T.WordPairProximityDocids -> "w1",
+        T.WordPrefixPairProximityDocids -> "prefix",
+        T.PrefixWordPairProximityDocids -> "prefix")
+      val fs = tables.filter(t => new java.io.File(s"$dir/${t._1}").exists())
+        .map { case (t, k) => Future(footersFor(t, k)) }
+      fs.foreach(f =>
+        scala.concurrent.Await.result(f, scala.concurrent.duration.Duration.Inf))
+    }
     def takeWithin(perEntry: Long, budget: Long): Seq[String] = {
       var used = 0L
       byDf.takeWhile { case (_, df) =>
@@ -240,7 +257,12 @@ class GraftIndex(val spark: SparkSession, val dir: String, val settings: IndexSe
       val mid1 = ws.lift(ws.length.min(40) - 1)
       val mid2 = ws.lift(ws.length.min(80) - 1)
       val s = new Search(this)
-      try {
+      // a handful of repetitions: one pass leaves the rankers at C1 —
+      // the first REAL multi-word query then pays the C2 compile of the
+      // attribute/exactness per-doc loops (measured ~900 ms of summed
+      // thread CPU in the drain's parMap). Reps are warm after the first
+      // (~50 ms each), so the extra startup cost is ~a quarter second.
+      try (0 until 5).foreach { _ =>
         (mid1, mid2) match {
           case (Some(a), Some(b)) if a != b =>
             s.execute(SearchRequest(query = Some(s"$a $b "),

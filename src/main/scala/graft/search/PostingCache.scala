@@ -222,7 +222,7 @@ final class DwpCache(index: GraftIndex, maxBytes: Long = 256L << 20) {
     * to these docids (the rank-drain cold path) instead of the words'
     * whole forward ranges. */
   private def scanRows(missW: Seq[String], missP: Seq[String],
-      docFilter: Option[Array[Int]]): Rows = {
+      docFilter: Option[Array[Int]], allowDirect: Boolean = true): Rows = {
     val liveW = index.dictWords(missW)
     val liveP = index.livePrefixes(missP)
     val expanded: Map[String, Seq[String]] =
@@ -235,7 +235,8 @@ final class DwpCache(index: GraftIndex, maxBytes: Long = 256L << 20) {
     // forward-index scan per cold miss batch — the measured cold-rank
     // floor. Rows must come back docid-sorted per word; callers sort.
     val t0 = System.nanoTime()
-    index.directDwpRows(inWords, rangedP, docFilter) match {
+    (if (allowDirect) index.directDwpRows(inWords, rangedP, docFilter)
+     else None) match {
       case Some(rows) =>
         if (Search.trace) System.err.println(
           f"[graft-trace] dwp-direct(w=${inWords.length},p=${rangedP.length}," +
@@ -270,11 +271,12 @@ final class DwpCache(index: GraftIndex, maxBytes: Long = 256L << 20) {
     }
   }
 
-  def get(words: Seq[String], prefixes: Seq[String])
+  def get(words: Seq[String], prefixes: Seq[String],
+      allowDirect: Boolean = true)
       : (Map[String, Rows], Map[String, Rows]) = {
     val (hitW, hitP, missW, missP) = splitHits(words.distinct, prefixes.distinct)
     if (missW.isEmpty && missP.isEmpty) return (hitW, hitP)
-    val rows = scanRows(missW, missP, None)
+    val rows = scanRows(missW, missP, None, allowDirect)
     // entries are docid-SORTED (collect() order is per-partition only):
     // the rank path binary-searches each array by docid
     val fetchedW: Map[String, Rows] =
@@ -377,7 +379,11 @@ final class DwpCache(index: GraftIndex, maxBytes: Long = 256L << 20) {
     rMemo = RestrictedMemo(words, prefixes, docids,
       (hitW ++ lightFedW ++ fetchedW, hitP ++ lightFedP ++ fetchedP))
     if (fillW.nonEmpty || fillP.nonEmpty) filler.execute { () =>
-      try get(fillW, fillP)
+      // background fills take the DISTRIBUTED scan: a multi-hundred-ms
+      // Group decode on the 4-thread direct pool starves the foreground
+      // queries' point reads (measured: a 229 ms back-fill inflated the
+      // next query's leaf fetches to ~230 ms)
+      try get(fillW, fillP, allowDirect = false)
       catch {
         // rotated/poisoned handle is expected churn; anything else is
         // surfaced (repeated silent fill failures would pin every query
