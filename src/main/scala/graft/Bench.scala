@@ -49,6 +49,14 @@ object Bench {
   /** 1-minute loadavg — recorded in the bench JSON so a host-contended run
     * is identifiable (round-2 driver measured efficiency 1.116, physically
     * impossible and caused by neighbor load clipping the low run). */
+  private def rmTree(path: String): Unit = {
+    def rec(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rec)
+      f.delete()
+    }
+    rec(new java.io.File(path))
+  }
+
   private def loadavg(): Double =
     scala.util.Try(scala.io.Source.fromFile("/proc/loadavg").mkString
       .split(" ")(0).toDouble).getOrElse(-1.0)
@@ -107,12 +115,15 @@ object Bench {
       s.sparkContext.setLogLevel("ERROR")
       try {
         val dir = java.nio.file.Files.createTempDirectory(s"graft-bench-$threads").toString
-        val docs = graft.webgen.WebPages.generate(s, nDocs)
-        val settings = IndexSettings(searchableFields = Seq("text"))
-        val (_, sec) = timed {
-          new IndexBuilder(s, settings).build(docs, dir, resume = false)
-        }
-        (sec, nDocs)
+        try {
+          val docs = graft.webgen.WebPages.generate(s, nDocs)
+          val settings = IndexSettings(searchableFields = Seq("text"))
+          val (_, sec) = timed {
+            new IndexBuilder(s, settings).build(docs, dir, resume = false)
+          }
+          (sec, nDocs)
+        } finally rmTree(dir) // ~1.6 GB per pair x retries: a long run
+                              // exhausted /tmp before the fix
       } finally s.stop()
     }
     // Load-robust protocol (round-3, extended round-4): interleaved
@@ -312,6 +323,7 @@ object Bench {
         }.toMap
         val mQpsMt = mtQps(milliQueries.length)(() => milliQueries.foreach(rank))
         spark.stop()
+        rmTree(idxDir)
         (bCold, bTimes, bPer, bQpsMt, mCold, mTimes, mPer, mQpsMt)
       }
     val loadEnd = loadavg()

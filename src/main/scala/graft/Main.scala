@@ -267,6 +267,27 @@ object Main {
       val ms = (System.nanoTime() - t0) / 1e6
       println(f"[graft] bm25 took=$ms%.0f ms")
       top.foreach { case (d, s) => println(f"[graft]   doc=$d%-8d score=$s%.6f") }
+    case "debug-tree" :: dir :: query :: rest =>
+      // query-tree introspection on an existing index: the primitive
+      // query, the built tree's Words branches, and each branch's
+      // resolved candidate count — milli's `--print-query-graph` twin
+      val settings = graft.index.SettingsIO.load(dir).getOrElse(
+        IndexSettings(searchableFields =
+          rest.headOption.map(_.split(',').toSeq).getOrElse(Seq("text"))))
+      val index = GraftIndex(spark, dir, settings)
+      val parts = graft.search.QueryTree.primitiveQuery(
+        query.replace('_', ' '), settings.stopWords)
+      println(s"[graft] parts=$parts")
+      graft.search.QueryTree.build(index.queryContext,
+        graft.search.QueryTree.MatchingStrategy.Last,
+        authorizeTypos = true, parts) match {
+        case None => println("[graft] empty query tree")
+        case Some(tree) =>
+          val branches = graft.search.QueryTree.wordsBranches(tree)
+          branches.zipWithIndex.foreach { case (op, i) =>
+            println(s"[graft] branch $i: $op")
+          }
+      }
     case _ =>
       System.err.println(
         """usage:
@@ -275,7 +296,8 @@ object Main {
           |  graft.Main bm25   <indexDir> <searchableCols> <terms,comma> <k>
           |  graft.Main serve  <indexDir> [searchableCols]   (stdin query loop)
           |  graft.Main compact <indexDir> [maxFiles]   (post-update file maintenance)
-          |  graft.Main gen    <outParquetDir> <nDocs>""".stripMargin)
+          |  graft.Main gen    <outParquetDir> <nDocs>
+          |  graft.Main debug-tree <indexDir> <query> [searchableCols]""".stripMargin)
       sys.exit(2)
   }
 }

@@ -231,8 +231,31 @@ object FacetLevels {
   def sortedPage(index: GraftIndex, field: String, asc: Boolean,
       candidates: RoaringBitmap, take: Int,
       fetchBudget: Int = 64): Option[Seq[Int]] = {
+    sortedGroups(index, field, asc, candidates, take, fetchBudget).map {
+      groups =>
+        val out = Seq.newBuilder[Int]
+        var n = 0
+        groups.iterator.takeWhile(_ => n < take).foreach { g =>
+          val it = g.getIntIterator
+          while (it.hasNext && n < take) { out += it.next(); n += 1 }
+        }
+        out.result()
+    }
+  }
+
+  /** The walk underneath [[sortedPage]], exposed as ORDERED VALUE GROUPS:
+    * disjoint keep-first bitmaps of `candidates` in sort order (numbers
+    * then strings; milli's criterion yields (value, docids) buckets the
+    * same way, facet_sort_ascending.rs:14-31), the final group being the
+    * docs without the field (rank last, both directions). Sort-LED
+    * criteria cascades consume these groups and order WITHIN each via the
+    * remaining criteria — milli's criterion nesting. Walks only until
+    * `take` docs are covered; the trailing groups simply never enumerate. */
+  def sortedGroups(index: GraftIndex, field: String, asc: Boolean,
+      candidates: RoaringBitmap, take: Int,
+      fetchBudget: Int = 64): Option[Seq[RoaringBitmap]] = {
     val remaining = candidates.clone()
-    val out = Seq.newBuilder[Int]
+    val out = Seq.newBuilder[RoaringBitmap]
     var emitted = 0L
     var budget = fetchBudget
     var bailed = false
@@ -246,8 +269,7 @@ object FacetLevels {
       def emit(bm: RoaringBitmap): Unit = {
         val inter = RoaringBitmap.and(bm, remaining)
         if (!inter.isEmpty) {
-          val it = inter.getIntIterator
-          while (it.hasNext) out += it.next()
+          out += inter
           emitted += inter.getLongCardinality
           remaining.andNot(inter)
         }
@@ -288,11 +310,8 @@ object FacetLevels {
     // docs without any value of the field rank LAST in both directions
     // (milli drains allowed_candidates after the iterator, asc_desc.rs:
     // 110-118; the distributed twin's nulls_last)
-    if (emitted < take && !remaining.isEmpty) {
-      val it = remaining.getIntIterator
-      while (it.hasNext && emitted < take) { out += it.next(); emitted += 1 }
-    }
+    if (emitted < take && !remaining.isEmpty) out += remaining
     sortedWalks.incrementAndGet()
-    Some(out.result().take(take))
+    Some(out.result())
   }
 }

@@ -478,27 +478,76 @@ class Search(index: GraftIndex,
     // level-0 band fetches regardless of field cardinality. Candidates
     // must resolve to a bitmap (phrase-free) and any filter must be a
     // cached bitmap; deeper criteria cascades keep the distributed path.
+    if (Search.trace) System.err.println(
+      s"[graft-trace] sort-led outer gate: cmpsEmpty=${localSortCmps.isEmpty} " +
+      s"mlp=$maxLocalPostings distinct=$distinctField " +
+      s"phraseFree=${branches.forall(b => !QueryTree.hasPhrase(b))} " +
+      s"filtLeft=${filterDf.forall(_.isLeft)}")
     if (localSortCmps.isEmpty && maxLocalPostings > 0 && distinctField.isEmpty &&
         branches.forall(b => !QueryTree.hasPhrase(b)) && filterDf.forall(_.isLeft)) {
-      val sortOnly: Option[(String, Boolean)] = criteria match {
-        case Seq(Criterion.Sort) => req.sortCriteria match {
-          case Seq(s) if s.geoPoint.isEmpty => Some((s.field, s.ascending))
+      // sort-LED criteria: a leading Sort/Asc/Desc followed by any cascade
+      // of non-sort criteria (milli's criterion nesting: the sort yields
+      // value buckets, the children order WITHIN each bucket). rest empty
+      // = the plain sort-only page.
+      val sortLed: Option[(String, Boolean, Seq[Criterion])] = criteria match {
+        case Criterion.Sort +: rest => req.sortCriteria match {
+          case Seq(s) if s.geoPoint.isEmpty => Some((s.field, s.ascending, rest))
           case _ => None
         }
-        case Seq(Criterion.Asc(f))  => Some((f, true))
-        case Seq(Criterion.Desc(f)) => Some((f, false))
+        case Criterion.Asc(f) +: rest  => Some((f, true, rest))
+        case Criterion.Desc(f) +: rest => Some((f, false, rest))
         case _ => None
       }
-      sortOnly.foreach { case (f, asc) =>
+      if (Search.trace) System.err.println(
+        s"[graft-trace] sort-led gate: criteria=$criteria sortLed=$sortLed")
+      sortLed.filter(_._3.forall {
+        case Criterion.Sort | Criterion.Asc(_) | Criterion.Desc(_) => false
+        case _ => true // a second sort level would need comparators we lack
+      }).foreach { case (f, asc, rest) =>
+        if (Search.trace) System.err.println(
+          s"[graft-trace] sort-led resolve: ${index.resolveTreeBitmap(tree, derivations).isDefined}")
         index.resolveTreeBitmap(tree, derivations).foreach { cand =>
           cand.andNot(deleted)
           filterDf.foreach {
             case Left(fbm) => cand.and(fbm)
             case Right(_)  => () // unreachable (gate above)
           }
-          FacetLevels.sortedPage(index, f, asc, cand,
-            req.offset + req.limit).foreach { ids =>
-            return SearchResult(ids.drop(req.offset), cand.getLongCardinality)
+          val take = req.offset + req.limit
+          if (rest.isEmpty) {
+            FacetLevels.sortedPage(index, f, asc, cand, take).foreach { ids =>
+              return SearchResult(ids.drop(req.offset), cand.getLongCardinality)
+            }
+          } else {
+            FacetLevels.sortedGroups(index, f, asc, cand, take).foreach { groups =>
+              // groups fully before the page window only count; groups
+              // overlapping it rank through the remaining cascade
+              val out = Seq.newBuilder[Int]
+              var before = 0L
+              var got = 0
+              val it = groups.iterator
+              var failed = false
+              while (!failed && got < req.limit && it.hasNext) {
+                val g = it.next()
+                val size = g.getLongCardinality
+                if (before + size <= req.offset) before += size
+                else {
+                  val innerOff = math.max(0L, req.offset - before).toInt
+                  val innerLim = req.limit - got
+                  executeQueryLocal(branches.toVector, derivations,
+                    exactParts, searchableFids, relevantWords, prefixWords,
+                    Some(Left(g)), deleted, rest,
+                    req.copy(offset = innerOff, limit = innerLim),
+                    Map.empty, None, drainCap = maxLocalDrain) match {
+                    case Some(r) =>
+                      r.documentsIds.foreach { id => out += id; got += 1 }
+                      before += size
+                    case None => failed = true // cap hit → distributed path
+                  }
+                }
+              }
+              if (!failed)
+                return SearchResult(out.result(), cand.getLongCardinality)
+            }
           }
         }
       }

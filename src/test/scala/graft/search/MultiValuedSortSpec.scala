@@ -106,6 +106,83 @@ class MultiValuedSortSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("sort-LED cascade on an unpinnable field: remaining criteria order " +
+      "WITHIN each value group, parity with distributed") {
+    // price ties force real within-group work: docs 0-3 share price 5
+    // (one value group) but differ in words/typo rank for "item alpha";
+    // docs 4-5 share price 9. The walk alone would emit docid order —
+    // only the nested cascade gives the distributed order.
+    val dir = java.nio.file.Files.createTempDirectory("graft-cascsort").toString
+    val settings = IndexSettings(searchableFields = Seq("text"),
+      filterableFields = Set("price"), sortableFields = Set("price"),
+      primaryKey = "docid")
+    val docs = spark.createDataFrame(
+      Seq(
+        Row(0, "item"), Row(1, "item alpha"), Row(2, "item alpfa"),
+        Row(3, "alpha item"), Row(4, "item"), Row(5, "item alpha")
+      ).asJava,
+      StructType(Seq(StructField("docid", IntegerType),
+        StructField("text", StringType))))
+    val fNum = spark.createDataFrame(
+      Seq(Row("price", 0, 5.0), Row("price", 1, 5.0), Row("price", 2, 5.0),
+        Row("price", 3, 5.0), Row("price", 4, 9.0), Row("price", 5, 9.0)).asJava,
+      StructType(Seq(StructField("field", StringType),
+        StructField("docid", IntegerType), StructField("value", DoubleType))))
+    val fStr = spark.createDataFrame(
+      Seq.empty[Row].asJava,
+      StructType(Seq(StructField("field", StringType),
+        StructField("docid", IntegerType), StructField("norm", StringType),
+        StructField("orig", StringType))))
+    val fEx = spark.createDataFrame(
+      (0 to 5).map(d => Row("price", d)).asJava,
+      StructType(Seq(StructField("field", StringType),
+        StructField("docid", IntegerType))))
+    new IndexBuilder(spark, settings).build(docs, dir, resume = false,
+      facetOverride = Some((fNum, fStr, fEx)))
+
+    val prevPin = GraftIndex.MaxSortPinRows
+    GraftIndex.MaxSortPinRows = 0
+    try {
+      val fresh = new Search(GraftIndex(spark, dir, settings))
+      val dist = new Search(GraftIndex(spark, dir, settings),
+        maxLocalPostings = 0)
+      val walksBefore = FacetLevels.sortedWalks.get()
+      val cascade = Seq(Criterion.Sort, Criterion.Words, Criterion.Typo,
+        Criterion.Proximity, Criterion.Attribute, Criterion.Exactness)
+      val shapes = Seq(
+        SearchRequest(query = Some("item alpha "), limit = 10,
+          sortCriteria = Seq(SortSpec("price", ascending = true)),
+          criteriaOverride = Some(cascade)),
+        SearchRequest(query = Some("item alpha "), limit = 10,
+          sortCriteria = Seq(SortSpec("price", ascending = false)),
+          criteriaOverride = Some(cascade)),
+        // pagination across a group boundary
+        SearchRequest(query = Some("item alpha "), limit = 3, offset = 2,
+          sortCriteria = Seq(SortSpec("price", ascending = true)),
+          criteriaOverride = Some(cascade)),
+        // settings-style Asc criterion leading the cascade
+        SearchRequest(query = Some("item alpha "), limit = 10,
+          criteriaOverride = Some(Seq(Criterion.Asc("price"),
+            Criterion.Words, Criterion.Typo, Criterion.Exactness))))
+      shapes.zipWithIndex.foreach { case (req, i) =>
+        val l = fresh.execute(req)
+        val d = dist.execute(req)
+        withClue(s"shape $i: ") {
+          l.documentsIds shouldBe d.documentsIds
+          l.candidates shouldBe d.candidates
+        }
+      }
+      // and the cascade genuinely reorders inside the tied group: docs
+      // 1/3/5 (both words) outrank 2 (typo) outrank 0/4 (words bucket 1)
+      val full = fresh.execute(SearchRequest(query = Some("item alpha "),
+        limit = 10, sortCriteria = Seq(SortSpec("price", ascending = true)),
+        criteriaOverride = Some(cascade)))
+      full.documentsIds.take(2).toSet shouldBe Set(1, 3)
+      withClue("cascade walk never engaged: ")(
+        FacetLevels.sortedWalks.get() should be > walksBefore)
+    } finally GraftIndex.MaxSortPinRows = prevPin
+  }
+
   test("unpinnable fields sort through the facet level-tree walk, same order") {
     // force the unpinnable path: pin cap 0 on a FRESH handle (pins are
     // cached per handle) — the sorted walk must engage and agree with the
