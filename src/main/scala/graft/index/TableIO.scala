@@ -39,19 +39,28 @@ object TableIO {
     * read would decode whole row groups). */
   val DwpPageMarker = "_graft_dwp_paged"
 
+  /** Same treatment for the pair-proximity table: its w1 column is sorted
+    * + RLE'd into one page per group at default sizing, so the cells'
+    * cold pair-bitmap point read (a frequent word's fat band) decoded
+    * whole 4 MB groups. 1k-row pages let the column index prune a left
+    * word's rows to its own pages. */
+  val PairPageMarker = "_graft_pair_paged"
+
   /** Parquet write with the serving row-group cap (+ fine-grained pages
-    * for the forward index — see [[DwpPageRows]]). */
+    * for the forward index and the pair table — see [[DwpPageRows]]). */
   def writeParquet(df: DataFrame, path: String): Unit = {
     // tmp side dirs ("<table>__tmp") from writeOver/merge/compact must
     // keep their table's options — the dir is renamed in wholesale
     val base = path.stripSuffix("/").stripSuffix("__tmp")
     val dwp = base.endsWith("/" + IndexSettings.T.DocWordPositions)
+    val pair = base.endsWith("/" + IndexSettings.T.WordPairProximityDocids)
     val w = df.write.mode("overwrite")
       .option("parquet.block.size", RowGroupBytes.toString)
-    (if (dwp) w.option("parquet.page.row.count.limit", DwpPageRows.toString)
+    (if (dwp || pair)
+       w.option("parquet.page.row.count.limit", DwpPageRows.toString)
      else w).parquet(path)
-    if (dwp)
-      new java.io.File(path, DwpPageMarker).createNewFile()
+    if (dwp) new java.io.File(path, DwpPageMarker).createNewFile()
+    if (pair) new java.io.File(path, PairPageMarker).createNewFile()
   }
 
   /** Atomic-ish table replace: write to side dir then swap. */

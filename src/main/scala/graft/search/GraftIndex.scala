@@ -257,22 +257,28 @@ class GraftIndex(val spark: SparkSession, val dir: String, val settings: IndexSe
       val mid1 = ws.lift(ws.length.min(40) - 1)
       val mid2 = ws.lift(ws.length.min(80) - 1)
       val s = new Search(this)
-      // a handful of repetitions: one pass leaves the rankers at C1 —
-      // the first REAL multi-word query then pays the C2 compile of the
-      // attribute/exactness per-doc loops (measured ~900 ms of summed
-      // thread CPU in the drain's parMap). Reps are warm after the first
-      // (~50 ms each), so the extra startup cost is ~a quarter second.
-      try (0 until 5).foreach { _ =>
+      // a few repetitions: one pass leaves the rankers at C1 — the first
+      // REAL multi-word query then pays the C2 compile of the attribute/
+      // exactness per-doc loops (measured ~900 ms of summed thread CPU in
+      // the drain's parMap). QUERY-MAJOR loops, not round-robin: reps of
+      // the same query hit the restricted-fetch memo / landed back-fills
+      // (the memo holds ONE entry, so interleaving two queries re-paid
+      // the fetch every rep — measured ~1.5 s × reps on the 3-word shape).
+      try {
         (mid1, mid2) match {
           case (Some(a), Some(b)) if a != b =>
-            s.execute(SearchRequest(query = Some(s"$a $b "),
-              limit = 20, exhaustive = false))
+            (0 until 5).foreach { _ =>
+              s.execute(SearchRequest(query = Some(s"$a $b "),
+                limit = 20, exhaustive = false))
+            }
           case _ => ()
         }
         (ws.headOption, mid1, mid2) match {
           case (Some(h), Some(a), Some(b)) if h != a && a != b =>
-            s.execute(SearchRequest(query = Some(s"$h $a $b "),
-              limit = 20, exhaustive = false))
+            (0 until 5).foreach { _ =>
+              s.execute(SearchRequest(query = Some(s"$h $a $b "),
+                limit = 20, exhaustive = false))
+            }
           case _ => ()
         }
       } catch { case scala.util.control.NonFatal(_) => () }
@@ -818,6 +824,12 @@ class GraftIndex(val spark: SparkSession, val dir: String, val settings: IndexSe
     DirectParquet.enabled && new java.io.File(
       s"$dir/${T.DocWordPositions}", graft.index.TableIO.DwpPageMarker).exists()
 
+  /** Pair-table twin of [[dwpDirectPaged]]. */
+  private[search] lazy val pairDirectPaged: Boolean =
+    DirectParquet.enabled && new java.io.File(
+      s"$dir/${T.WordPairProximityDocids}",
+      graft.index.TableIO.PairPageMarker).exists()
+
   /** Direct page-pruned forward-index point read: rows whose word is in
     * `words` (or extends a prefix in `prefixes`), optionally restricted to
     * `docs` — zero Spark jobs, zero Catalyst. The table is (word, docid)
@@ -887,8 +899,11 @@ class GraftIndex(val spark: SparkSession, val dir: String, val settings: IndexSe
     // direct reader decodes row-group chunks in parallel (own reader per
     // chunk), so the crossover vs the fully parallel Spark scan sits far
     // beyond the old per-file-serial ~24 (measured: 60 groups direct in
-    // ~250 ms vs a ~650 ms Spark pair-scan job at 300k docs)
-    if (DirectParquet.bandGroupCount(fts, DirectParquet.keyBands(lefts)) > 96)
+    // ~250 ms vs a ~650 ms Spark pair-scan job at 300k docs). Fine-paged
+    // dirs (PairPageMarker) prune PAGES inside each group, so the per-
+    // group decode is band-bounded and the cap can sit much higher.
+    val groupCap = if (pairDirectPaged) 512 else 96
+    if (DirectParquet.bandGroupCount(fts, DirectParquet.keyBands(lefts)) > groupCap)
       return None
     val out = Map.newBuilder[String, RoaringBitmap]
     val ok = DirectParquet.scanBands(fts, DirectParquet.keyBands(lefts)) { g =>
@@ -1100,7 +1115,8 @@ class GraftIndex(val spark: SparkSession, val dir: String, val settings: IndexSe
       val rights = dictWords(parts.map(_(1)).distinct)
       val missSet = misses.toSet
       if (lefts.isEmpty || rights.isEmpty) Map.empty[String, RoaringBitmap]
-      else directPairRows(lefts, rights, missSet).getOrElse {
+      else Search.traced(s"pair-fetch(l=${lefts.length},r=${rights.length})")(
+        directPairRows(lefts, rights, missSet)).getOrElse {
         pairProx.where($"w1".isin(lefts: _*) && $"w2".isin(rights: _*))
         .select($"w1", $"w2", $"prox", $"docids")
         .as[(String, String, Int, Array[Byte])].collect()
