@@ -126,12 +126,16 @@ class GraftIndex(val spark: SparkSession, val dir: String, val settings: IndexSe
         T.WordPrefixDocids -> "prefix", T.ExactWordPrefixDocids -> "prefix",
         T.DocWordPositions -> "word", T.WordPairProximityDocids -> "w1",
         T.WordPrefixPairProximityDocids -> "prefix",
-        T.PrefixWordPairProximityDocids -> "prefix")
+        T.PrefixWordPairProximityDocids -> "prefix",
+        T.WordPositionDocids -> "word", T.WordPrefixPositionDocids -> "prefix")
       val fs = tables.filter(t => new java.io.File(s"$dir/${t._1}").exists())
         .map { case (t, k) => Future(footersFor(t, k)) }
       fs.foreach(f =>
         scala.concurrent.Await.result(f, scala.concurrent.duration.Duration.Inf))
     }
+    // (searchable fid, word count) bitmaps — the exactness strata's rank-0
+    // reads; the whole serving key space in one pruned scan
+    Search.traced("prewarm-fwc")(prewarmFidWordCounts())
     def takeWithin(perEntry: Long, budget: Long): Seq[String] = {
       var used = 0L
       byDf.takeWhile { case (_, df) =>
@@ -1305,6 +1309,196 @@ class GraftIndex(val spark: SparkSession, val dir: String, val settings: IndexSe
       }.toMap
   }
 
+  // --------------------------------------- position tables (#10 / #12)
+
+  /** Observability: position-row point reads (specs pin that the attribute
+    * / exactness cell refinements actually read tables #10/#12). */
+  val positionRowReads = new java.util.concurrent.atomic.AtomicLong()
+
+  private lazy val wordPositionDocids: DataFrame = table(T.WordPositionDocids)
+  private lazy val wordPrefixPositionDocids: DataFrame =
+    table(T.WordPrefixPositionDocids)
+  private lazy val hasPositionTables: Boolean =
+    new java.io.File(s"$dir/${T.WordPositionDocids}").exists() &&
+      new java.io.File(s"$dir/${T.WordPrefixPositionDocids}").exists()
+
+  /** Per-key ascending (position → docids) rows, LRU'd on the handle.
+    * Values: the rows array, [[GraftIndex.PosTooBig]], or Absent (no rows). */
+  private val posRowsCache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[String, AnyRef](256, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, AnyRef]): Boolean =
+        size() > 4096
+    })
+
+  /** Ascending `(position, docids)` rows of words (#10
+    * `word_position_docids`) and prefixes (#12 `word_prefix_position_docids`)
+    * — the milli reads behind the set-based attribute / exactness
+    * algorithms (`criteria/attribute.rs:197-279` word_position_iterator,
+    * `criteria/exactness.rs:173-251`). Footer-pruned direct point reads on
+    * the (key, position)-sorted tables, Spark scan fallback, LRU'd on the
+    * handle. Per key: `None` = the key's rows span too many row groups to
+    * point-read (a bare stop word) — callers skip the set-based refinement
+    * for that group (the per-doc path is the ground truth); absent keys
+    * (pinned-dict guard) map to `Some(empty)`. */
+  private[search] def positionRows(words: Seq[String], prefixes: Seq[String])
+      : (Map[String, Option[IndexedSeq[(Int, RoaringBitmap)]]],
+         Map[String, Option[IndexedSeq[(Int, RoaringBitmap)]]]) = {
+    type Rows = IndexedSeq[(Int, RoaringBitmap)]
+    if (!hasPositionTables)
+      return (words.map(_ -> None).toMap, prefixes.map(_ -> None).toMap)
+    val keys = words.distinct.map("w:" + _) ++ prefixes.distinct.map("p:" + _)
+    val hits = scala.collection.mutable.HashMap.empty[String, Option[Rows]]
+    val missW = Vector.newBuilder[String]
+    val missP = Vector.newBuilder[String]
+    keys.foreach { k =>
+      posRowsCache.get(k) match {
+        case null =>
+          if (k.startsWith("w:")) missW += k.drop(2) else missP += k.drop(2)
+        case GraftIndex.PosTooBig => hits.update(k, None)
+        case GraftIndex.PosAbsent => hits.update(k, Some(IndexedSeq.empty))
+        case rows                 => hits.update(k, Some(rows.asInstanceOf[Rows]))
+      }
+    }
+    def fetch(misses: Seq[String], tableName: String, df: => DataFrame,
+        keyCol: String, live: Seq[String] => Seq[String],
+        tag: String): Map[String, Option[Rows]] = {
+      if (misses.isEmpty) return Map.empty
+      positionRowReads.incrementAndGet()
+      val alive = live(misses).toSet
+      val out = scala.collection.mutable.HashMap.empty[String,
+        scala.collection.mutable.ArrayBuffer[(Int, RoaringBitmap)]]
+      // per-key row-group gate: a key spanning many groups (a bare stop
+      // word's dense position rows) is refused BEFORE any decode
+      val fts = footersFor(tableName, keyCol)
+      val (ok, big) = alive.toSeq.partition(k =>
+        DirectParquet.bandGroupCount(fts,
+          DirectParquet.keyBands(Seq(k))) <= GraftIndex.PosMaxGroupsPerKey)
+      val okSet = ok.toSet
+      val fetched: Boolean = ok.isEmpty || {
+        Search.traced(s"pos-fetch($tag=${ok.length})")(
+          DirectParquet.scanBands(fts, DirectParquet.keyBands(ok)) { g =>
+            val k = g.getString(keyCol, 0)
+            if (okSet(k))
+              out.getOrElseUpdate(k,
+                scala.collection.mutable.ArrayBuffer.empty) +=
+                ((g.getInteger("position", 0),
+                  Bitmaps.cboDeserialize(g.getBinary("docids", 0).getBytes)))
+          })
+      } || {
+        // Spark fallback (direct reader off / failed): same rows, one scan
+        out.clear()
+        df.where(col(keyCol).isin(ok: _*))
+          .select(col(keyCol), col("position"), col("docids"))
+          .as[(String, Int, Array[Byte])].collect()
+          .foreach { case (k, p, b) =>
+            out.getOrElseUpdate(k,
+              scala.collection.mutable.ArrayBuffer.empty) +=
+              ((p, Bitmaps.cboDeserialize(b)))
+          }
+        true
+      }
+      if (!fetched) Map.empty // unreachable (fallback always true) — safety
+      else {
+        val res = Map.newBuilder[String, Option[Rows]]
+        misses.foreach { k =>
+          val v: (AnyRef, Option[Rows]) =
+            if (!alive.contains(k)) (GraftIndex.PosAbsent, Some(IndexedSeq.empty))
+            else if (big.contains(k)) (GraftIndex.PosTooBig, None)
+            else out.get(k) match {
+              case Some(rows) if rows.length > GraftIndex.PosMaxRowsPerKey =>
+                (GraftIndex.PosTooBig, None)
+              case Some(rows) =>
+                val sorted: Rows = rows.sortBy(_._1).toIndexedSeq
+                (sorted, Some(sorted))
+              case None => (GraftIndex.PosAbsent, Some(IndexedSeq.empty))
+            }
+          posRowsCache.put(s"${tag.charAt(0)}:$k", v._1)
+          res += k -> v._2
+        }
+        res.result()
+      }
+    }
+    val fw = fetch(missW.result(), T.WordPositionDocids, wordPositionDocids,
+      "word", dictWords, "words")
+    val fp = fetch(missP.result(), T.WordPrefixPositionDocids,
+      wordPrefixPositionDocids, "prefix", livePrefixes, "prefixes")
+    val all = hits ++ fw.map { case (k, v) => ("w:" + k, v) } ++
+      fp.map { case (k, v) => ("p:" + k, v) }
+    (words.distinct.map(w => w -> all.getOrElse("w:" + w, None)).toMap,
+      prefixes.distinct.map(p => p -> all.getOrElse("p:" + p, None)).toMap)
+  }
+
+  /** word → (tolerant ∪ exact) candidate bitmap (empty when absent) — a
+    * word's forward-index presence set (the exactness strata's containment
+    * reads; same LRU namespaces as [[presentWords]]). */
+  private[search] def wordPresenceBitmaps(words: Seq[String])
+      : Map[String, RoaringBitmap] = {
+    if (words.isEmpty) return Map.empty
+    val wd = bitmapCache.get("w", words)(ks =>
+      bitmapRowsT(T.WordDocids, wordDocids, dictWords(ks)))
+    val ed = bitmapCache.get("e", words)(ks =>
+      bitmapRowsT(T.ExactWordDocids, exactWordDocids, dictWords(ks)))
+    words.distinct.map { w =>
+      val acc = new RoaringBitmap()
+      wd.get(w).flatten.foreach(acc.or)
+      ed.get(w).flatten.foreach(acc.or)
+      w -> acc
+    }.toMap
+  }
+
+  /** Pinned full prefix-dict key set — membership decides whether a prefix
+    * group's positions can be served by #12 (the table's keys are exactly
+    * the dict's prefixes). Thousands of entries even at web scale (the dict
+    * is df-thresholded + length-capped like the reference FST). */
+  private[search] lazy val prefixDictSet: Set[String] =
+    if (!new java.io.File(s"$dir/${T.PrefixDict}").exists()) Set.empty
+    else table(T.PrefixDict).select($"prefix").as[String].collect().toSet
+
+  // --------------------------------- fid_word_count_docids point reads
+
+  private lazy val fidWordCountDocids: DataFrame = table(T.FidWordCountDocids)
+
+  /** One-scan prewarm of every (searchable fid, n ≤ 10) word-count bitmap
+    * — the exactness strata's rank-0 reads (the table only stores counts
+    * ≤ 10, so this is the WHOLE serving-relevant key space; absent
+    * combinations cache as Absent). Called from warmServing. */
+  private[search] def prewarmFidWordCounts(): Unit = {
+    val fids = settings.searchableFields.indices.toSeq
+    if (fids.isEmpty ||
+        !new java.io.File(s"$dir/${T.FidWordCountDocids}").exists()) return
+    val keys = for (f <- fids; n <- 1 to 10) yield s"$f $n"
+    bitmapCache.get("f", keys) { misses =>
+      val missSet = misses.toSet
+      fidWordCountDocids.where($"fid".isin(fids: _*))
+        .select($"fid", $"word_count", $"docids").as[(Int, Int, Array[Byte])]
+        .collect().iterator
+        .map { case (f, n, b) => (s"$f $n", b) }
+        .filter(kv => missSet.contains(kv._1))
+        .map { case (k, b) => k -> Bitmaps.cboDeserialize(b) }.toMap
+    }
+    ()
+  }
+
+  /** `(fid, word_count) → docids` point reads (milli's
+    * `field_id_word_count_docids` gets — `criteria/exactness.rs:199-207`
+    * ExactAttribute resolution). Cached in the bitmap LRU under `f:`. */
+  private[search] def fidWordCountBitmaps(fids: Seq[Int], n: Int)
+      : Map[Int, Option[RoaringBitmap]] = {
+    if (fids.isEmpty) return Map.empty
+    val keys = fids.distinct.map(f => s"$f $n")
+    val got = bitmapCache.get("f", keys) { misses =>
+      val missFids = misses.map(_.split(' ')(0).toInt)
+      fidWordCountDocids
+        .where($"fid".isin(missFids: _*) && $"word_count" === n)
+        .select($"fid", $"docids").as[(Int, Array[Byte])].collect()
+        .iterator.map { case (f, b) =>
+          s"$f $n" -> Bitmaps.cboDeserialize(b)
+        }.toMap
+    }
+    fids.distinct.map(f => f -> got.getOrElse(s"$f $n", None)).toMap
+  }
+
   /** Query context for the tree builder. */
   def queryContext: QueryTree.QueryContext = new QueryTree.QueryContext {
     private lazy val pairCache = scala.collection.mutable.HashMap.empty[(String, String), Long]
@@ -1344,6 +1538,15 @@ object GraftIndex {
   /** Row cap for driver-pinned per-field sort values (≈ 50 MB worst);
     * a var so specs can force the unpinnable (level-tree walk) path. */
   private[search] var MaxSortPinRows: Int = 2000000
+
+  /** Position-row (#10/#12) point-read sentinels + caps: a key whose rows
+    * span more row groups (or decode to more rows) than these is refused —
+    * callers skip set-based refinement for that group and keep the per-doc
+    * path. Caps bound one fetch to a few MB of decode. */
+  private[search] object PosTooBig
+  private[search] object PosAbsent
+  private[search] var PosMaxGroupsPerKey: Int = 4
+  private[search] var PosMaxRowsPerKey: Int = 32768
 
   /** Estimated-posting cap for the direct (page-pruned) forward-index
     * point read; larger fetches keep the distributed scan. Measured

@@ -72,7 +72,18 @@ object RankCells {
     * the page against the next cell's bound before stopping the drain
     * (see executeQueryLocal's verification loop). */
   final case class Cell(docs: RoaringBitmap, typo: Int, prox: Int,
-      proxBound: Boolean = false)
+      proxBound: Boolean = false,
+      /** exact linear attribute rank proven for every member —
+        * [[AttrUnknown]] = not proven (per-doc). `Long.MaxValue` is a REAL
+        * label (no flat branch fully matches — `Ranker.attributeRank`'s
+        * minRank floor). */
+      attr: Long = AttrUnknown,
+      /** exact exactness rank proven for every member; −1 = not proven. */
+      exact: Int = -1)
+
+  /** Attr-label sentinel: real attribute ranks can be negative (the linear
+    * sum subtracts the group index before scaling), so −1 can't serve. */
+  final val AttrUnknown: Long = Long.MinValue
 
   /** Disjoint drain cells of `bucket` for the given criterion dims (⊆
     * {Typo, Proximity}, in criteria order), lexicographically rank-ordered,
@@ -453,5 +464,320 @@ object RankCells {
       case Or(_, cs) if cs.nonEmpty  => lbCums(op)
       case _                         => None
     }
+  }
+
+  // ------------------------------------------------------ attribute strata
+
+  /** Attribute-strata drains (specs pin engagement). */
+  val attrDrains = new java.util.concurrent.atomic.AtomicLong()
+
+  /** Exactness-strata drains (specs pin engagement). */
+  val exactDrains = new java.util.concurrent.atomic.AtomicLong()
+
+  /** Cell-refinement engagement floor: a (typo, prox)-labeled cell below
+    * this many docs ranks per-doc (measured cheaper than strata algebra).
+    * Var for specs. */
+  private[search] var RefineMinDocs: Long = 4096L
+
+  /** Strata-per-group cap: a group whose material spreads over more
+    * distinct first positions than this refuses refinement (bounded
+    * algebra; giant position spreads are per-doc territory). */
+  private val AttrMaxStrataPerGroup = 512
+
+  /** Enumerated-extension cap for non-dict prefixes in a group. */
+  private val AttrMaxMaterialWords = 256
+
+  /** Frontier-pop budget across all branches of one refinement. */
+  private val AttrTupleBudget = 4096
+
+  /** EXACT attribute cells of `cell`, ascending by the LINEAR attribute
+    * rank (`Ranker.attributeRank` — our fixture-pinned ground truth): each
+    * emitted cell's docs provably share that exact rank, so the drain's
+    * per-doc stage skips the forward-index positions entirely for them.
+    *
+    * Built from tables #10 (`word_position_docids`) / #12
+    * (`word_prefix_position_docids`) — the reads behind milli's SET
+    * attribute algorithm (`criteria/attribute.rs:17-470`). DIVERGENCE
+    * (documented): milli's set algorithm is approximate (cumulative
+    * position unions emit a doc at the Σ of the CURRENT iterator
+    * positions, which can exceed the doc's own first-position sum; its
+    * linear twin is the exact one, attribute.rs:472-540). We stay exact:
+    * per-group FIRST-position strata (ascending sweep, covered-subtract)
+    * make each doc a member of exactly one stratum tuple per branch, and a
+    * best-first frontier over tuple index vectors emits tuples in
+    * ascending rank order — Σ sorted(rᵢ − i) = Σ rᵢ − Σ i, so the rank is
+    * monotone in every group position and the frontier order is the rank
+    * order. Min-over-branches = first emission wins (covered subtraction)
+    * with all branches merged in one heap.
+    *
+    * Emission: ascending exact cells; on frontier exhaustion the leftover
+    * docs get the exact `Long.MaxValue` label (no flat branch fully
+    * matches — attributeRank's floor); on budget exhaustion they get
+    * [[AttrUnknown]] (per-doc remainder, sound: every unemitted doc's rank
+    * exceeds the last emitted value). None = unsupported material (stop
+    * word position spread, unexpandable prefix, direct tables missing) —
+    * the caller keeps the per-doc path. */
+  def attrCells(index: GraftIndex, der: Ranker.Derivations,
+      flat: Ranker.Flat, cell: Cell): Option[Iterator[Cell]] = {
+    // word / prefix material per query — EXACTLY attributeRank's reads:
+    // Exact non-prefix → the word itself; everything else → the enumerated
+    // derivations plus (prefix) the full extension range (#12 for dict
+    // prefixes = union over every extending index word; per-doc `matching`
+    // resolves the same range against the doc's own words)
+    def queryMaterial(q: Query): Option[(Seq[String], Seq[String])] =
+      q.kind match {
+        case Exact(w, _) if !q.prefix => Some((Seq(w), Nil))
+        case k =>
+          val en = der.map.getOrElse((k.word, q.prefix, k.typo), Nil).map(_._1)
+          if (!q.prefix) Some((en, Nil))
+          else if (index.prefixDictSet.contains(k.word)) Some((en, Seq(k.word)))
+          else index.prefixExtensions(k.word, cap = AttrMaxMaterialWords)
+            .map(exts => ((en ++ exts).distinct, Nil))
+      }
+    // group material = union over its queries (group position = min over
+    // queries ⇒ min over the united material's first positions)
+    def groupMaterial(g: Seq[Query]): Option[(Seq[String], Seq[String])] =
+      g.foldLeft(Option((Seq.empty[String], Seq.empty[String]))) { (acc, q) =>
+        for ((ws, ps) <- acc; (qw, qp) <- queryMaterial(q))
+          yield ((ws ++ qw).distinct, (ps ++ qp).distinct)
+      }
+    val branchMats: Seq[Seq[(Seq[String], Seq[String])]] =
+      flat.map { branch =>
+        val mats = branch.map(groupMaterial)
+        if (mats.exists(_.isEmpty)) return None // any branch unsupported →
+        mats.map(_.get)                         // min-over-branches breaks
+      }
+    val allWords = branchMats.flatMap(_.flatMap(_._1)).distinct
+    val allPfx = branchMats.flatMap(_.flatMap(_._2)).distinct
+    val (wRows, pRows) = index.positionRows(allWords, allPfx)
+    if (wRows.valuesIterator.exists(_.isEmpty) ||
+        pRows.valuesIterator.exists(_.isEmpty)) return None // TooBig key
+
+    /** ascending disjoint first-position strata of one group ∩ cell.docs;
+      * None = strata cap exceeded. */
+    def groupStrata(ws: Seq[String], ps: Seq[String])
+        : Option[IndexedSeq[(Int, RoaringBitmap)]] = {
+      val byPos = new java.util.TreeMap[Integer, RoaringBitmap]()
+      (ws.iterator.map(wRows(_).get) ++ ps.iterator.map(pRows(_).get))
+        .foreach(_.foreach { case (p, bm) =>
+          val x = RoaringBitmap.and(bm, cell.docs)
+          if (!x.isEmpty) {
+            val prev = byPos.get(p: Integer)
+            if (prev == null) byPos.put(p, x) else prev.or(x)
+          }
+        })
+      val out = IndexedSeq.newBuilder[(Int, RoaringBitmap)]
+      val seen = new RoaringBitmap()
+      val total = cell.docs.getLongCardinality
+      var count = 0
+      val it = byPos.entrySet().iterator()
+      while (it.hasNext && seen.getLongCardinality < total) {
+        val e = it.next()
+        val s = RoaringBitmap.andNot(e.getValue, seen)
+        if (!s.isEmpty) {
+          count += 1
+          if (count > AttrMaxStrataPerGroup) return None
+          out += ((e.getKey.intValue(), s))
+          seen.or(s)
+        }
+      }
+      Some(out.result())
+    }
+
+    // per-branch strata; a group with NO intersecting strata breaks every
+    // doc in this branch (contributes nothing) — drop the branch
+    val branchStrata: Seq[IndexedSeq[IndexedSeq[(Int, RoaringBitmap)]]] =
+      branchMats.flatMap { mats =>
+        val ss = mats.map { case (ws, ps) => groupStrata(ws, ps) }
+        if (ss.exists(_.isEmpty)) return None // strata cap → per-doc
+        val got = ss.map(_.get).toIndexedSeq
+        if (got.exists(_.isEmpty)) None else Some(got)
+      }
+    attrDrains.incrementAndGet()
+
+    final case class Tup(value: Long, b: Int, idxs: Array[Int])
+    def valueOf(b: Int, idxs: Array[Int]): Long = {
+      val sb = branchStrata(b)
+      val len = sb.length
+      var sum = 0L
+      var g = 0
+      while (g < len) {
+        sum += sb(g)(idxs(g))._1.toLong & 0xffffffffL
+        g += 1
+      }
+      // Σ sorted(rᵢ − i) = Σ rᵢ − len(len−1)/2, then attributeRank's scale
+      (sum - len.toLong * (len - 1) / 2) * Ranker.Lcm10 / len
+    }
+    val heap = scala.collection.mutable.PriorityQueue.empty[Tup](
+      Ordering.by[Tup, Long](_.value).reverse)
+    val visited = scala.collection.mutable.HashSet.empty[(Int, Seq[Int])]
+    branchStrata.indices.foreach { b =>
+      val z = new Array[Int](branchStrata(b).length)
+      if (visited.add((b, z.toSeq))) heap.enqueue(Tup(valueOf(b, z), b, z))
+    }
+    val covered = new RoaringBitmap()
+    val total = cell.docs.getLongCardinality
+    val cells = scala.collection.mutable.ArrayBuffer.empty[Cell]
+    var pops = 0
+    var budgetHit = false
+    def processOne(): Unit = { // dequeue one tuple: emit its docs + push successors
+      val t = heap.dequeue()
+      val sb = branchStrata(t.b)
+      var docs: RoaringBitmap = null
+      var g = 0
+      while (g < sb.length && (docs == null || !docs.isEmpty)) {
+        val s = sb(g)(t.idxs(g))._2
+        docs = if (docs == null) s.clone() else { docs.and(s); docs }
+        g += 1
+      }
+      if (docs != null && !docs.isEmpty) {
+        docs.andNot(covered)
+        if (!docs.isEmpty) {
+          covered.or(docs)
+          if (cells.nonEmpty && cells.last.attr == t.value) {
+            // EQUAL-value tuples (cross-branch ties, integer-division
+            // plateaus) MUST merge into one cell: two cells with identical
+            // labels would break the drain's strict-order stop rule (a
+            // later cell's doc could win the docid/later-dim tie-break)
+            val merged = cells.last.docs.clone()
+            merged.or(docs)
+            cells(cells.length - 1) = cells.last.copy(docs = merged)
+          } else cells += cell.copy(docs = docs, attr = t.value)
+        }
+      }
+      g = 0
+      while (g < sb.length) { // successors: one index bump per group
+        if (t.idxs(g) + 1 < sb(g).length) {
+          val nx = t.idxs.clone()
+          nx(g) += 1
+          if (visited.add((t.b, nx.toSeq)))
+            heap.enqueue(Tup(valueOf(t.b, nx), t.b, nx))
+        }
+        g += 1
+      }
+    }
+    while (heap.nonEmpty && !budgetHit && covered.getLongCardinality < total) {
+      pops += 1
+      if (pops > AttrTupleBudget) budgetHit = true
+      else processOne()
+    }
+    if (budgetHit && cells.nonEmpty && heap.nonEmpty &&
+        heap.head.value == cells.last.attr) {
+      // the last emitted value's tuple group was cut mid-merge: unpopped
+      // equal-value tuples could still add docs with that exact label —
+      // fold the partial cell back into the per-doc remainder so emitted
+      // labels stay strictly ascending and complete
+      val dropped = cells.remove(cells.length - 1)
+      covered.andNot(dropped.docs)
+    }
+    val rest = RoaringBitmap.andNot(cell.docs, covered)
+    if (!rest.isEmpty)
+      // heap exhausted → no flat branch matches the leftovers: their rank
+      // is EXACTLY attributeRank's Long.MaxValue floor. Budget hit → the
+      // leftovers rank per-doc (sound: their rank is STRICTLY above every
+      // emitted value after the partial-group fold-back, so the drain's
+      // stop rule stays lexicographically valid)
+      cells += cell.copy(docs = rest,
+        attr = if (budgetHit) AttrUnknown else Long.MaxValue)
+    Some(cells.iterator)
+  }
+
+  // ------------------------------------------------------ exactness strata
+
+  /** EXACT exactness cells of `cell`, ascending by `Ranker.exactnessRank` —
+    * the set re-expression of milli's exactness criterion
+    * (`criteria/exactness.rs:173-251`): rank-0 (attribute IS the query) =
+    * `fid_word_count_docids(fid, n)` ∩ the position-anchored startsWith
+    * intersection; rank-1 (attribute STARTS WITH the query) = the
+    * startsWith union alone; rank 2+(n−k) = a count convolution over the
+    * parts' presence bitmaps. Position anchors read table #10 at
+    * `(fid << 16) + i`. None = unsupported (phrase part, stop-word
+    * position spread) — per-doc path. */
+  def exactCells(index: GraftIndex, parts: Seq[Ranker.ExactPart],
+      searchableFids: Seq[Int], cell: Cell): Option[Iterator[Cell]] = {
+    val n = parts.length
+    if (n == 0) return Some(Iterator.single(cell.copy(exact = 0)))
+    val words: Seq[Seq[String]] = parts.map {
+      case Ranker.ESynonyms(ws) => ws
+      case _: Ranker.EPhrase    => return None // per-doc (position chains)
+    }
+    val all = words.flatten.distinct
+    val (wRows, _) = index.positionRows(all, Nil)
+    if (wRows.valuesIterator.exists(_.isEmpty)) return None
+    exactDrains.incrementAndGet()
+    def bmAt(w: String, pos: Int): Option[RoaringBitmap] = {
+      val rows = wRows(w).get
+      var lo = 0
+      var hi = rows.length
+      while (lo < hi) {
+        val m = (lo + hi) >>> 1
+        if (rows(m)._1 < pos) lo = m + 1 else hi = m
+      }
+      if (lo < rows.length && rows(lo)._1 == pos) Some(rows(lo)._2) else None
+    }
+    // startsWith(fid): part i anchored at (fid << 16) + i, all parts ∩
+    def startsWith(fid: Int): RoaringBitmap = {
+      var acc: RoaringBitmap = null
+      var i = 0
+      while (i < n && (acc == null || !acc.isEmpty)) {
+        val pos = (fid << 16) + i
+        val u = new RoaringBitmap()
+        words(i).foreach(w => bmAt(w, pos).foreach(u.or))
+        acc =
+          if (acc == null) RoaringBitmap.and(u, cell.docs)
+          else { acc.and(u); acc }
+        i += 1
+      }
+      if (acc == null) new RoaringBitmap() else acc
+    }
+    val sw = searchableFids.map(f => f -> startsWith(f))
+    val r1 = { val u = new RoaringBitmap(); sw.foreach(s => u.or(s._2)); u }
+    val r0 =
+      if (n > 10) new RoaringBitmap()
+      else {
+        val fwc = index.fidWordCountBitmaps(searchableFids, n)
+        val u = new RoaringBitmap()
+        sw.foreach { case (f, s) =>
+          fwc.getOrElse(f, None).foreach(b => u.or(RoaringBitmap.and(s, b)))
+        }
+        u
+      }
+    // contained-count convolution (count of parts present in the doc)
+    val pres = index.wordPresenceBitmaps(all)
+    val partBms = words.map { ws =>
+      val u = new RoaringBitmap()
+      ws.foreach(w => u.or(pres(w)))
+      RoaringBitmap.and(u, cell.docs)
+    }
+    var dp = Array(cell.docs.clone()) // dp(k) = docs containing k parts
+    partBms.foreach { c =>
+      val nd = new Array[RoaringBitmap](dp.length + 1)
+      var k = 0
+      while (k < nd.length) {
+        val acc = new RoaringBitmap()
+        if (k < dp.length) acc.or(RoaringBitmap.andNot(dp(k), c))
+        if (k > 0) acc.or(RoaringBitmap.and(dp(k - 1), c))
+        nd(k) = acc
+        k += 1
+      }
+      dp = nd
+    }
+    val out = IndexedSeq.newBuilder[Cell]
+    val covered = new RoaringBitmap()
+    def emit(label: Int, bm: RoaringBitmap): Unit = {
+      val x = RoaringBitmap.andNot(bm, covered)
+      if (!x.isEmpty) {
+        covered.or(x)
+        out += cell.copy(docs = x, exact = label)
+      }
+    }
+    emit(0, r0)
+    emit(1, r1)
+    var k = n
+    while (k >= 0) { emit(2 + (n - k), dp(k)); k -= 1 }
+    // counts partition the docs; belt-and-braces per-doc remainder
+    val rest = RoaringBitmap.andNot(cell.docs, covered)
+    if (!rest.isEmpty) out += cell.copy(docs = rest, exact = -1)
+    Some(out.result().iterator)
   }
 }

@@ -154,7 +154,12 @@ object Ranker extends Serializable {
         * resolved against this doc ONCE instead of once per criterion */
       prefixKeys: Seq[(String, Boolean, Int)] = Nil,
       knownTypo: Int = -1,
-      knownProx: Int = -1): (Int, Int, Int, Long, Int) = {
+      knownProx: Int = -1,
+      /** attribute / exactness values proven by a refinement cell
+        * (RankCells.attrCells / exactCells) — [[RankCells.AttrUnknown]] /
+        * −1 compute per-doc. */
+      knownAttr: Long = RankCells.AttrUnknown,
+      knownExact: Int = -1): (Int, Int, Int, Long, Int) = {
     if (!Search.trace) {
       val d = der.resolveFor(doc, prefixKeys)
       (wordsBucket,
@@ -162,8 +167,10 @@ object Ranker extends Serializable {
         else minTypos(branch, doc, d).getOrElse(Int.MaxValue),
         if (knownProx >= 0) knownProx
         else proximityBucket(branch, doc, d),
-        attributeRank(flat, doc, d),
-        exactnessRank(exactParts, doc, searchableFids))
+        if (knownAttr != RankCells.AttrUnknown) knownAttr
+        else attributeRank(flat, doc, d),
+        if (knownExact >= 0) knownExact
+        else exactnessRank(exactParts, doc, searchableFids))
     } else {
       @inline def t[A](acc: java.util.concurrent.atomic.LongAdder)(f: => A): A = {
         val t0 = System.nanoTime(); val r = f; acc.add(System.nanoTime() - t0); r
@@ -174,8 +181,10 @@ object Ranker extends Serializable {
         else t(Prof.typo)(minTypos(branch, doc, d).getOrElse(Int.MaxValue)),
         if (knownProx >= 0) knownProx
         else t(Prof.prox)(proximityBucket(branch, doc, d)),
-        t(Prof.attr)(attributeRank(flat, doc, d)),
-        t(Prof.exact)(exactnessRank(exactParts, doc, searchableFids)))
+        if (knownAttr != RankCells.AttrUnknown) knownAttr
+        else t(Prof.attr)(attributeRank(flat, doc, d)),
+        if (knownExact >= 0) knownExact
+        else t(Prof.exact)(exactnessRank(exactParts, doc, searchableFids)))
     }
   }
 

@@ -830,9 +830,63 @@ class Search(index: GraftIndex,
         // two parallel buffers for the hot loop
         val chosenTypo = scala.collection.mutable.ArrayBuffer.empty[Int]
         val chosenProx = scala.collection.mutable.ArrayBuffer.empty[Int]
+        val chosenAttr = scala.collection.mutable.ArrayBuffer.empty[Long]
+        val chosenExact = scala.collection.mutable.ArrayBuffer.empty[Int]
         var drained = 0L
         var capHit = false
         var anyBoundCell = false
+        // ---- cell REFINEMENT (tables #10/#12 + fid_word_count_docids):
+        // a large cell whose labels prove every criterion up to the next
+        // Attribute / Exactness subdivides by that criterion's EXACT
+        // strata (RankCells.attrCells / exactCells — the set re-expression
+        // of milli's attribute.rs / exactness.rs algorithms), so a giant
+        // tie cell (stop-word queries) drains tens of docs per-doc instead
+        // of thousands — or aborting to the distributed path at the drain
+        // cap. Refinement only applies when every criterion BEFORE the
+        // refined one is exactly labeled (else the subdivided emission
+        // order wouldn't be lexicographically sound).
+        val critTail = criteria.drop(1)
+        def nextUnprovenRefinable(c: RankCells.Cell): Option[Criterion] = {
+          var i = 0
+          while (i < critTail.length) {
+            critTail(i) match {
+              case Criterion.Typo =>
+                if (c.typo < 0) return None
+              case Criterion.Proximity =>
+                if (c.prox < 0 || c.proxBound) return None
+              case Criterion.Attribute =>
+                if (c.attr == RankCells.AttrUnknown)
+                  return Some(Criterion.Attribute)
+              case Criterion.Exactness =>
+                if (c.exact < 0) return Some(Criterion.Exactness)
+              case other =>
+                // sort-ish criteria compare pinned per-doc values — but an
+                // INACTIVE one (no comparator: the default rules' `sort`
+                // placeholder without a query-time sort) contributes
+                // nothing to the order and is skippable
+                if (sortCmps.contains(other)) return None
+            }
+            i += 1
+          }
+          None
+        }
+        def refineCell(c: RankCells.Cell, bi: Int): Iterator[RankCells.Cell] =
+          if (!wordsFirst || c.docs.getLongCardinality < RankCells.RefineMinDocs)
+            Iterator.single(c)
+          else nextUnprovenRefinable(c) match {
+            case Some(Criterion.Attribute) =>
+              Search.traced(s"attr-cells(${c.docs.getLongCardinality})") {
+                RankCells.attrCells(index, derivations, flats(bi), c)
+              } match {
+                case Some(cs) => cs.flatMap(refineCell(_, bi))
+                case None     => Iterator.single(c)
+              }
+            case Some(Criterion.Exactness) =>
+              Search.traced(s"exact-cells(${c.docs.getLongCardinality})") {
+                RankCells.exactCells(index, exactParts, searchableFids, c)
+              }.getOrElse(Iterator.single(c))
+            case _ => Iterator.single(c)
+          }
         // resumable flattened cell stream across buckets (lazy: a bucket's
         // cells build only when the drain reaches it, with the CURRENT
         // drained count sizing the pays-off check exactly like the old loop)
@@ -845,7 +899,7 @@ class Search(index: GraftIndex,
                 RankCells.cellIterator(index, branches(bi), derivations, cellDims, b)
                   .getOrElse(Iterator.single(RankCells.Cell(b, -1, -1)))
               }
-            cellIt.map(c => (c, bi))
+            cellIt.flatMap(refineCell(_, bi)).map(c => (c, bi))
           }.buffered
         def drainOne(): Unit = {
           val (cell, bi) = cellStream.next()
@@ -863,6 +917,8 @@ class Search(index: GraftIndex,
             // a bound label is NOT the rank component — force the per-doc
             // plane sweep for these docs
             chosenProx += (if (cell.proxBound) -1 else cell.prox)
+            chosenAttr += cell.attr
+            chosenExact += cell.exact
           }
         }
         while (!capHit && cellStream.hasNext && (!wordsFirst || drained < take))
@@ -870,15 +926,30 @@ class Search(index: GraftIndex,
         if (capHit) return None
         // incremental fetch+rank over chosen index ranges: the verification
         // loop below may resume the drain, so ranking happens in slices
+        // FULLY-PROVEN docs — every ACTIVE engine criterion's component
+        // carried by their drain cell — skip the forward fetch and the
+        // DocData build entirely (the rank tuple assembles from labels;
+        // inactive components are never compared by `ord`). A giant tie
+        // cell refined by attr/exact strata ranks with ZERO forward rows.
+        val needTypoC = criteria.contains(Criterion.Typo)
+        val needProxC = criteria.contains(Criterion.Proximity)
+        val needAttrC = criteria.contains(Criterion.Attribute)
+        val needExactC = criteria.contains(Criterion.Exactness)
+        def provenAt(i: Int): Boolean =
+          (!needTypoC || chosenTypo(i) >= 0) &&
+            (!needProxC || chosenProx(i) >= 0) &&
+            (!needAttrC || chosenAttr(i) != RankCells.AttrUnknown) &&
+            (!needExactC || chosenExact(i) >= 0)
         def rankRange(from: Int, until: Int): Array[R] = {
           if (from >= until) return Array.empty
-          val sliceIds = chosenIds.slice(from, until)
+          val needIdx = (from until until).filterNot(provenAt)
+          val sliceIds = needIdx.map(chosenIds(_))
           // positions are needed only for the DRAINED buckets' branches
           // (plus the query-level exactness part words): a Last-strategy
           // query carries every reduced branch's derivations in
           // relevantWords, but the page usually drains from branch 0 alone
           val usedKeys: Set[(String, Boolean, Int)] =
-            chosenBuckets.slice(from, until).toSeq.distinct
+            needIdx.map(chosenBuckets(_)).distinct
               .flatMap(bi => Ranker.derivationKeys(branches(bi))).toSet
           val neededWordSet: Set[String] =
             usedKeys.flatMap { case (w, pfx, t) =>
@@ -892,18 +963,22 @@ class Search(index: GraftIndex,
           // words, fetch positions only for those whose candidate bitmap
           // intersects this slice's docs — zero jobs warm, and the scan
           // predicate shrinks to the words that can contribute rows
-          val sliceBm = graft.core.Bitmaps.fromInts(sliceIds.toArray)
-          val fetchW = index.presentWords(
-            relevantWords.filter(neededWordSet), sliceBm)
-          val fetchP = prefixWords.filter(p =>
-            usedKeys.exists { case (w, pfx, _) => pfx && w.startsWith(p) })
-          val (wRows, pRows) = Search.traced("dwp-fetch") {
-            // docid-restricted cold fetch for heavy words (async complete
-            // fill warms the cache behind this query) — the drain only
-            // needs positions for the CHOSEN docs
-            index.dwpCache.getForDocs(fetchW, fetchP, sliceIds.toArray)
-          }
-          val arrays = (wRows.valuesIterator ++ pRows.valuesIterator).toArray
+          val arrays: Array[Array[(Int, String, Array[Int])]] =
+            if (needIdx.isEmpty) Array.empty
+            else {
+              val sliceBm = graft.core.Bitmaps.fromInts(sliceIds.toArray)
+              val fetchW = index.presentWords(
+                relevantWords.filter(neededWordSet), sliceBm)
+              val fetchP = prefixWords.filter(p =>
+                usedKeys.exists { case (w, pfx, _) => pfx && w.startsWith(p) })
+              val (wRows, pRows) = Search.traced("dwp-fetch") {
+                // docid-restricted cold fetch for heavy words (async
+                // complete fill warms the cache behind this query) — the
+                // drain only needs positions for the CHOSEN docs
+                index.dwpCache.getForDocs(fetchW, fetchP, sliceIds.toArray)
+              }
+              (wRows.valuesIterator ++ pRows.valuesIterator).toArray
+            }
           val fetched = fetchFwc(sliceIds.toSeq)
           val fwcOf = fwcFor(fetched) _
           // positions ONLY for the ranked docs: each cached row array is
@@ -917,24 +992,32 @@ class Search(index: GraftIndex,
             Search.parMap(until - from) { k =>
               val i = from + k
               val d = chosenIds(i)
-              val pos = scala.collection.mutable.HashMap.empty[String, Array[Int]]
-              arrays.foreach { a =>
-                var lo = 0
-                var hi = a.length
-                while (lo < hi) { // first row with docid >= d
-                  val mid = (lo + hi) >>> 1
-                  if (a(mid)._1 < d) lo = mid + 1 else hi = mid
+              if (provenAt(i))
+                // label-only assembly: inactive components carry their
+                // sentinel (−1 / AttrUnknown) — `ord` never reads them
+                d -> ((chosenBuckets(i), chosenTypo(i), chosenProx(i),
+                  chosenAttr(i), chosenExact(i)))
+              else {
+                val pos = scala.collection.mutable.HashMap.empty[String, Array[Int]]
+                arrays.foreach { a =>
+                  var lo = 0
+                  var hi = a.length
+                  while (lo < hi) { // first row with docid >= d
+                    val mid = (lo + hi) >>> 1
+                    if (a(mid)._1 < d) lo = mid + 1 else hi = mid
+                  }
+                  while (lo < a.length && a(lo)._1 == d) {
+                    pos.update(a(lo)._2, a(lo)._3)
+                    lo += 1
+                  }
                 }
-                while (lo < a.length && a(lo)._1 == d) {
-                  pos.update(a(lo)._2, a(lo)._3)
-                  lo += 1
-                }
+                val bi = chosenBuckets(i)
+                val doc = Ranker.DocData(pos, fwcOf(d))
+                d -> Ranker.rankVectorAt(doc, branches(bi), bi, derivations,
+                  exactParts, searchableFids, flats(bi), branchPrefixKeys(bi),
+                  knownTypo = chosenTypo(i), knownProx = chosenProx(i),
+                  knownAttr = chosenAttr(i), knownExact = chosenExact(i))
               }
-              val bi = chosenBuckets(i)
-              val doc = Ranker.DocData(pos, fwcOf(d))
-              d -> Ranker.rankVectorAt(doc, branches(bi), bi, derivations,
-                exactParts, searchableFids, flats(bi), branchPrefixKeys(bi),
-                knownTypo = chosenTypo(i), knownProx = chosenProx(i))
             }
           }
           if (Search.trace)
