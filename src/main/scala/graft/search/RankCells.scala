@@ -476,8 +476,9 @@ object RankCells {
 
   /** Cell-refinement engagement floor: a (typo, prox)-labeled cell below
     * this many docs ranks per-doc (measured cheaper than strata algebra).
-    * Var for specs. */
-  private[search] var RefineMinDocs: Long = 4096L
+    * Var for specs; env override for measurement A/Bs. */
+  private[search] var RefineMinDocs: Long =
+    sys.env.get("SPARK_GRAFT_REFINE_MIN_DOCS").map(_.toLong).getOrElse(4096L)
 
   /** Strata-per-group cap: a group whose material spreads over more
     * distinct first positions than this refuses refinement (bounded
