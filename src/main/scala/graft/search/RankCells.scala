@@ -485,6 +485,18 @@ object RankCells {
     * algebra; giant position spreads are per-doc territory). */
   private val AttrMaxStrataPerGroup = 512
 
+  /** Material-width gate: the strata sweep ANDs every material word's
+    * position rows against the cell, so its cost scales with the word
+    * count, not the doc count — a typo-fanned 2-word query carries ~200
+    * derivation words and pays 65–90 ms of algebra WARM on a 9k-doc cell
+    * the per-doc path ranks in ~14 ms, while a stop-word query's ≤ 3-word
+    * material refines a 63k-doc cell in ~9 ms (both measured, 300k docs).
+    * Wide-material cells refuse refinement UNLESS the cell exceeds the
+    * remaining drain budget (`forced`), where refinement is the only
+    * alternative to a distributed abort. */
+  private[search] var AttrCheapMaterialWords: Int =
+    sys.env.get("SPARK_GRAFT_ATTR_CHEAP_WORDS").map(_.toInt).getOrElse(64)
+
   /** Enumerated-extension cap for non-dict prefixes in a group. */
   private val AttrMaxMaterialWords = 256
 
@@ -519,7 +531,8 @@ object RankCells {
     * word position spread, unexpandable prefix, direct tables missing) —
     * the caller keeps the per-doc path. */
   def attrCells(index: GraftIndex, der: Ranker.Derivations,
-      flat: Ranker.Flat, cell: Cell): Option[Iterator[Cell]] = {
+      flat: Ranker.Flat, cell: Cell, forced: Boolean = false)
+      : Option[Iterator[Cell]] = {
     // word / prefix material per query — EXACTLY attributeRank's reads:
     // Exact non-prefix → the word itself; everything else → the enumerated
     // derivations plus (prefix) the full extension range (#12 for dict
@@ -550,6 +563,8 @@ object RankCells {
       }
     val allWords = branchMats.flatMap(_.flatMap(_._1)).distinct
     val allPfx = branchMats.flatMap(_.flatMap(_._2)).distinct
+    if (!forced && allWords.length + allPfx.length > AttrCheapMaterialWords)
+      return None // wide material: per-doc is cheaper (see gate scaladoc)
     val (wRows, pRows) = index.positionRows(allWords, allPfx)
     if (wRows.valuesIterator.exists(_.isEmpty) ||
         pRows.valuesIterator.exists(_.isEmpty)) return None // TooBig key

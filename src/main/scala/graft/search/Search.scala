@@ -875,8 +875,12 @@ class Search(index: GraftIndex,
             Iterator.single(c)
           else nextUnprovenRefinable(c) match {
             case Some(Criterion.Attribute) =>
+              // forced: unrefined, this cell alone overflows the remaining
+              // drain budget and aborts the query to the distributed path —
+              // wide-material algebra (normally refused) still beats that
+              val forced = c.docs.getLongCardinality > drainCap - drained
               Search.traced(s"attr-cells(${c.docs.getLongCardinality})") {
-                RankCells.attrCells(index, derivations, flats(bi), c)
+                RankCells.attrCells(index, derivations, flats(bi), c, forced)
               } match {
                 case Some(cs) => cs.flatMap(refineCell(_, bi))
                 case None     => Iterator.single(c)

@@ -162,6 +162,30 @@ class AttrExactCellSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("wide-material cells refuse refinement and stay rank-identical") {
+    // the strata sweep's cost scales with the material word count, so the
+    // gate (AttrCheapMaterialWords) routes wide-material cells to the
+    // per-doc path unless the cell would abort the drain — results must be
+    // untouched either way, and attrDrains must NOT move under cap 0
+    val local = new Search(index)
+    val dist = new Search(index, maxLocalPostings = 0)
+    val prev = RankCells.AttrCheapMaterialWords
+    RankCells.AttrCheapMaterialWords = 0 // every material is "too wide"
+    try withRefine {
+      val a0 = RankCells.attrDrains.get()
+      Seq("the w100 ", "w3 w17 ", "the w1").foreach { q =>
+        val gated = run(local, q)
+        val oracle = run(dist, q)
+        withClue(s"query '$q': ") {
+          gated.documentsIds shouldBe oracle.documentsIds
+          gated.candidates shouldBe oracle.candidates
+        }
+      }
+      withClue("attr strata engaged despite the material gate: ")(
+        RankCells.attrDrains.get() shouldBe a0)
+    } finally RankCells.AttrCheapMaterialWords = prev
+  }
+
   test("position tables are actually read (#10/#12 consumers)") {
     // a fresh handle (empty caches) must fetch position rows to refine
     val fresh = GraftIndex(spark, index.dir, stg)
