@@ -158,14 +158,20 @@ object DirectParquet {
       // across the pool instead of serially behind one reader. The extra
       // footer read per task is ~1 ms against a multi-MB group decode.
       def readGroups(file: String, idxs: Seq[Int]): Unit = {
+        val t0 = System.nanoTime()
         val in = HadoopInputFile.fromPath(new Path(file), conf)
         val r = new ParquetFileReader(in,
           ParquetReadOptions.builder().withRecordFilter(filter).build())
+        val tOpen = System.nanoTime()
         try {
           val schema = r.getFooter.getFileMetaData.getSchema
           val colIO = new ColumnIOFactory().getColumnIO(schema)
           idxs.foreach { i =>
+            val tg0 = System.nanoTime()
             val pages = r.readFilteredRowGroup(i)
+            if (graft.search.Search.trace)
+              System.err.println(f"[graft-trace] direct-read open=${(tOpen - t0) / 1e6}%.1f " +
+                f"group($i)=${(System.nanoTime() - tg0) / 1e6}%.1f ms rows=${if (pages == null) -1L else pages.getRowCount}")
             if (pages != null) {
               // page pruning only: the band predicate computed the row
               // ranges above (column index), but it is NOT re-evaluated

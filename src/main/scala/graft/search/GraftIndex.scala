@@ -285,6 +285,20 @@ class GraftIndex(val spark: SparkSession, val dir: String, val settings: IndexSe
             }
           case _ => ()
         }
+        // trailing-PREFIX shape: a last word with no trailing space takes
+        // the ngram-tolerant + prefix-extension branches (wide derivation
+        // material → per-doc attribute/exactness rank, prefix-pair point
+        // reads, the restricted direct dwp fetch) — none of which the two
+        // space-terminated shapes above touch; a first real trailing-
+        // prefix query otherwise pays their C2 at several hundred ms
+        (mid1, mid2) match {
+          case (Some(a), Some(b)) if a != b && b.length >= 2 =>
+            (0 until 5).foreach { _ =>
+              s.execute(SearchRequest(query = Some(s"$a ${b.dropRight(1)}"),
+                limit = 20, exhaustive = false))
+            }
+          case _ => ()
+        }
       } catch { case scala.util.control.NonFatal(_) => () }
     }
     // quiesce: the warmup's async complete fills must not contend with the
@@ -907,10 +921,12 @@ class GraftIndex(val spark: SparkSession, val dir: String, val settings: IndexSe
     // dirs (PairPageMarker) prune PAGES inside each group, so the per-
     // group decode is band-bounded and the cap can sit much higher.
     val groupCap = if (pairDirectPaged) 512 else 96
-    if (DirectParquet.bandGroupCount(fts, DirectParquet.keyBands(lefts)) > groupCap)
-      return None
+    val nGroups = DirectParquet.bandGroupCount(fts, DirectParquet.keyBands(lefts))
+    if (nGroups > groupCap) return None
     val out = Map.newBuilder[String, RoaringBitmap]
+    var rows = 0L
     val ok = DirectParquet.scanBands(fts, DirectParquet.keyBands(lefts)) { g =>
+      rows += 1
       val b = g.getString("w2", 0)
       if (rightSet(b)) {
         val k = s"${g.getString("w1", 0)}$nul$b$nul${g.getInteger("prox", 0)}"
@@ -918,6 +934,8 @@ class GraftIndex(val spark: SparkSession, val dir: String, val settings: IndexSe
           out += k -> Bitmaps.cboDeserialize(g.getBinary("docids", 0).getBytes)
       }
     }
+    if (Search.trace)
+      System.err.println(s"[graft-trace] pair-direct groups=$nGroups rows=$rows ok=$ok")
     if (ok) Some(out.result()) else None
   }
 
