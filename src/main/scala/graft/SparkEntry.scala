@@ -158,7 +158,7 @@ object SparkEntry {
          |         lead(word, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
          |  FROM tok)
          |SELECT w1, w2, count(DISTINCT doc_id) AS df FROM pairs
-         |WHERE w2 IS NOT NULL GROUP BY w1, w2 HAVING count(DISTINCT doc_id) >= 50
+         |WHERE w2 IS NOT NULL GROUP BY w1, w2 HAVING count(DISTINCT doc_id) >= 20
          |ORDER BY w1, w2""".stripMargin,
 
     "q_prefix_docids" ->
