@@ -212,9 +212,9 @@ object SparkEntry {
          | LIMIT 20""".stripMargin,
 
     "q_dedup_exact" ->
-      """SELECT md5(text) AS h, count(*) AS cnt, min(doc_id) AS keep_doc,
-        | max(doc_id) AS max_doc FROM documents
-        | GROUP BY md5(text) HAVING count(*) > 1 ORDER BY h""".stripMargin,
+      """SELECT md5(substr(text, 1, 50)) AS h, count(*) AS cnt,
+        | min(doc_id) AS keep_doc, max(doc_id) AS max_doc FROM documents
+        | GROUP BY 1 HAVING count(*) > 1 ORDER BY h""".stripMargin,
 
     "q_dedup_minhash" ->
       s"""$SHINGLES
@@ -275,8 +275,7 @@ object SparkEntry {
          |       ${fp("coalesce(ninter, 0) * 1.0 / (za.n + zb.n - coalesce(ninter, 0))")} AS jac_fp
          |FROM sizes za JOIN sizes zb ON zb.doc_id = za.doc_id + 1
          |LEFT JOIN inter ON inter.doc_id = za.doc_id
-         |WHERE coalesce(ninter, 0) * 1.0 / (za.n + zb.n - coalesce(ninter, 0)) >= 0.3
-         |ORDER BY da""".stripMargin,
+         |ORDER BY jac_fp DESC, da LIMIT 20""".stripMargin,
 
     "q_ann_cosine" ->
       """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)
