@@ -166,11 +166,14 @@ object DirectParquet {
         try {
           val schema = r.getFooter.getFileMetaData.getSchema
           val colIO = new ColumnIOFactory().getColumnIO(schema)
+          if (graft.search.Search.trace) // once per chunk, not per group
+            System.err.println(
+              f"[graft-trace] direct-read open=${(tOpen - t0) / 1e6}%.1f ms groups=${idxs.length}")
           idxs.foreach { i =>
             val tg0 = System.nanoTime()
             val pages = r.readFilteredRowGroup(i)
             if (graft.search.Search.trace)
-              System.err.println(f"[graft-trace] direct-read open=${(tOpen - t0) / 1e6}%.1f " +
+              System.err.println(f"[graft-trace] direct-read " +
                 f"group($i)=${(System.nanoTime() - tg0) / 1e6}%.1f ms rows=${if (pages == null) -1L else pages.getRowCount}")
             if (pages != null) {
               // page pruning only: the band predicate computed the row

@@ -921,11 +921,12 @@ class GraftIndex(val spark: SparkSession, val dir: String, val settings: IndexSe
     // dirs (PairPageMarker) prune PAGES inside each group, so the per-
     // group decode is band-bounded and the cap can sit much higher.
     val groupCap = if (pairDirectPaged) 512 else 96
-    val nGroups = DirectParquet.bandGroupCount(fts, DirectParquet.keyBands(lefts))
+    val bands = DirectParquet.keyBands(lefts)
+    val nGroups = DirectParquet.bandGroupCount(fts, bands)
     if (nGroups > groupCap) return None
     val out = Map.newBuilder[String, RoaringBitmap]
     var rows = 0L
-    val ok = DirectParquet.scanBands(fts, DirectParquet.keyBands(lefts)) { g =>
+    val ok = DirectParquet.scanBands(fts, bands) { g =>
       rows += 1
       val b = g.getString("w2", 0)
       if (rightSet(b)) {

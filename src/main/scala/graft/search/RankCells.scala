@@ -79,7 +79,13 @@ object RankCells {
         * minRank floor). */
       attr: Long = AttrUnknown,
       /** exact exactness rank proven for every member; −1 = not proven. */
-      exact: Int = -1)
+      exact: Int = -1,
+      /** refinement already ran on this cell and folded it back (budget /
+        * partition remainder) — re-refining would redo the identical
+        * strata sweep, and on a zero-progress remainder (budget exhausted
+        * with nothing emitted) it would LOOP: the drain must take this
+        * cell per-doc as-is. */
+      noRefine: Boolean = false)
 
   /** Attr-label sentinel: real attribute ranks can be negative (the linear
     * sum subtracts the group index before scaling), so −1 can't serve. */
@@ -694,7 +700,8 @@ object RankCells {
       // emitted value after the partial-group fold-back, so the drain's
       // stop rule stays lexicographically valid)
       cells += cell.copy(docs = rest,
-        attr = if (budgetHit) AttrUnknown else Long.MaxValue)
+        attr = if (budgetHit) AttrUnknown else Long.MaxValue,
+        noRefine = budgetHit)
     Some(cells.iterator)
   }
 
@@ -793,7 +800,7 @@ object RankCells {
     while (k >= 0) { emit(2 + (n - k), dp(k)); k -= 1 }
     // counts partition the docs; belt-and-braces per-doc remainder
     val rest = RoaringBitmap.andNot(cell.docs, covered)
-    if (!rest.isEmpty) out += cell.copy(docs = rest, exact = -1)
+    if (!rest.isEmpty) out += cell.copy(docs = rest, exact = -1, noRefine = true)
     Some(out.result().iterator)
   }
 }

@@ -871,7 +871,8 @@ class Search(index: GraftIndex,
           None
         }
         def refineCell(c: RankCells.Cell, bi: Int): Iterator[RankCells.Cell] =
-          if (!wordsFirst || c.docs.getLongCardinality < RankCells.RefineMinDocs)
+          if (!wordsFirst || c.noRefine ||
+              c.docs.getLongCardinality < RankCells.RefineMinDocs)
             Iterator.single(c)
           else nextUnprovenRefinable(c) match {
             case Some(Criterion.Attribute) =>
@@ -925,7 +926,10 @@ class Search(index: GraftIndex,
             chosenExact += cell.exact
           }
         }
-        while (!capHit && cellStream.hasNext && (!wordsFirst || drained < take))
+        // take-check BEFORE hasNext: the buffered flatMap materializes the
+        // next head on hasNext, which would run one refinement (possibly a
+        // forced strata sweep) for a cell the satisfied drain never takes
+        while (!capHit && (!wordsFirst || drained < take) && cellStream.hasNext)
           drainOne()
         if (capHit) return None
         // incremental fetch+rank over chosen index ranges: the verification

@@ -13,7 +13,9 @@ class PipelineSpec extends AnyFunSuite with Matchers {
 
   test("exact dedup finds the planted duplicate groups at sf0.1") {
     val dups = Dedup.exactDuplicates(docs, "doc_id", "text")
-    dups.count() shouldBe 8 // validated against duckdb in q_dedup_exact
+    dups.count() shouldBe 8 // 8 planted full-text dup groups at sf0.1
+    // (q_dedup_exact's oracle now keys on a 50-char fingerprint — this
+    // assertion is the full-text exact-dedup check)
     val dropIds = Dedup.exactDropIds(docs, "doc_id", "text")
     dropIds.count() shouldBe
       dups.agg(org.apache.spark.sql.functions.sum(

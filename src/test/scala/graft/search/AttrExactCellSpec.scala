@@ -186,6 +186,33 @@ class AttrExactCellSpec extends AnyFunSuite with Matchers {
     } finally RankCells.AttrCheapMaterialWords = prev
   }
 
+  test("forced refinement overrides the material gate when the cell would abort the drain") {
+    // a tiny drain cap makes every big cell exceed the remaining budget →
+    // forced=true bypasses AttrCheapMaterialWords (refinement beats the
+    // distributed abort); results stay oracle-identical whether the drain
+    // then finishes locally or still falls back
+    // maxLocalPostings = 1 defeats the volume gate (whose drainCap is
+    // unbounded — it can never force) and routes through the Words-led
+    // cell-drain admission, where drainCap = maxLocalDrain
+    val tight = new Search(index, maxLocalPostings = 1, maxLocalDrain = 256)
+    val dist = new Search(index, maxLocalPostings = 0)
+    val prev = RankCells.AttrCheapMaterialWords
+    RankCells.AttrCheapMaterialWords = 0 // refuse everything except forced
+    try withRefine {
+      val a0 = RankCells.attrDrains.get()
+      Seq("the of ", "the w0 ").foreach { q =>
+        val forcedRes = run(tight, q, limit = 5)
+        val oracle = run(dist, q, limit = 5)
+        withClue(s"query '$q': ") {
+          forcedRes.documentsIds shouldBe oracle.documentsIds
+          forcedRes.candidates shouldBe oracle.candidates
+        }
+      }
+      withClue("forced refinement never engaged under the tight drain cap: ")(
+        RankCells.attrDrains.get() should be > a0)
+    } finally RankCells.AttrCheapMaterialWords = prev
+  }
+
   test("position tables are actually read (#10/#12 consumers)") {
     // a fresh handle (empty caches) must fetch position rows to refine
     val fresh = GraftIndex(spark, index.dir, stg)
