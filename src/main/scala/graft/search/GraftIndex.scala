@@ -469,6 +469,28 @@ class GraftIndex(val spark: SparkSession, val dir: String, val settings: IndexSe
         size() > 64
     })
 
+  /** (branch group material, cell doc set) → attribute strata
+    * [(attr label, member docs, noRefine)] — the strata depend only on the
+    * position tables (immutable for this handle's pinned version), the
+    * branch GROUP structure, and the cell's doc set, so a repeat query's
+    * refinement replays from here instead of re-running the sweep
+    * (measured 44 ms per query on a 42.9k-doc prefix cell at 1M docs —
+    * milli's LMDB page cache plays this role for zipf-repeat workloads).
+    * Values partition their cell (≈ cell bitmap bytes each, ≤ ~20 KB at
+    * 42k docs); LRU 64 ≈ ~1–2 MB; rotates with the handle. Entries are
+    * read-only downstream (the drain and exactness strata never mutate
+    * cell bitmaps — static RoaringBitmap ops + clones only). */
+  private[search] val attrStrataMemo = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[AnyRef, IndexedSeq[(Long, RoaringBitmap, Boolean)]](
+        16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[AnyRef, IndexedSeq[(Long, RoaringBitmap, Boolean)]])
+          : Boolean = size() > 64
+    })
+
+  /** Memo hits (specs pin replay engagement). */
+  private[search] val attrStrataMemoHits = new java.util.concurrent.atomic.AtomicLong()
+
   /** Filter DSL string → candidate docids bitmap, LRU-cached on the handle
     * (rotates with it, so updates can't serve stale sets) — the Spark twin
     * of milli's in-process filter algebra (`filter.rs:300-320`): repeated

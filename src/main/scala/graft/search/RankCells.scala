@@ -567,6 +567,18 @@ object RankCells {
         if (mats.exists(_.isEmpty)) return None // any branch unsupported →
         mats.map(_.get)                         // min-over-branches breaks
       }
+    // replay memo FIRST (before the width gate: a hit is cheap no matter
+    // how wide the material) — labels re-copy from THIS cell, since the
+    // memoized entry may have been built under different (typo, prox)
+    val memoKey: AnyRef = (branchMats, cell.docs)
+    val hit = index.attrStrataMemo.get(memoKey)
+    if (hit != null) {
+      index.attrStrataMemoHits.incrementAndGet()
+      attrDrains.incrementAndGet()
+      return Some(hit.iterator.map { case (a, d, nr) =>
+        cell.copy(docs = d, attr = a, noRefine = nr)
+      })
+    }
     val allWords = branchMats.flatMap(_.flatMap(_._1)).distinct
     val allPfx = branchMats.flatMap(_.flatMap(_._2)).distinct
     if (!forced && allWords.length + allPfx.length > AttrCheapMaterialWords)
@@ -702,6 +714,8 @@ object RankCells {
       cells += cell.copy(docs = rest,
         attr = if (budgetHit) AttrUnknown else Long.MaxValue,
         noRefine = budgetHit)
+    index.attrStrataMemo.put(memoKey,
+      cells.iterator.map(c => (c.attr, c.docs, c.noRefine)).toIndexedSeq)
     Some(cells.iterator)
   }
 

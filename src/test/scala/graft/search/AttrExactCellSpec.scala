@@ -171,6 +171,7 @@ class AttrExactCellSpec extends AnyFunSuite with Matchers {
     val dist = new Search(index, maxLocalPostings = 0)
     val prev = RankCells.AttrCheapMaterialWords
     RankCells.AttrCheapMaterialWords = 0 // every material is "too wide"
+    index.attrStrataMemo.clear() // a memo HIT bypasses the gate by design
     try withRefine {
       val a0 = RankCells.attrDrains.get()
       Seq("the w100 ", "w3 w17 ", "the w1").foreach { q =>
@@ -211,6 +212,22 @@ class AttrExactCellSpec extends AnyFunSuite with Matchers {
       withClue("forced refinement never engaged under the tight drain cap: ")(
         RankCells.attrDrains.get() should be > a0)
     } finally RankCells.AttrCheapMaterialWords = prev
+  }
+
+  test("attr strata replay from the handle memo on repeat queries") {
+    // the strata depend only on (branch group material, cell docs) — a
+    // repeat query must hit the memo (zero sweep) and stay rank-identical
+    val local = new Search(index)
+    withRefine {
+      val q = "the w100 "
+      val first = run(local, q)
+      val h0 = index.attrStrataMemoHits.get()
+      val second = run(local, q)
+      second.documentsIds shouldBe first.documentsIds
+      second.candidates shouldBe first.candidates
+      withClue("repeat query never hit the strata memo: ")(
+        index.attrStrataMemoHits.get() should be > h0)
+    }
   }
 
   test("position tables are actually read (#10/#12 consumers)") {
