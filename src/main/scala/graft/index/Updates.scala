@@ -157,6 +157,22 @@ class Updates(spark: SparkSession, settings: IndexSettings) {
       }
     }
     val delta = java.nio.file.Files.createTempDirectory("graft-delta").toString
+    try addDocumentsDelta(dir, newDocs, delta, replace, autoCompactFiles)
+    finally {
+      // the delta index is per-batch scratch (appendTable MOVES its doc-
+      // keyed files into the live dir; everything else merges by value) —
+      // leaving it leaked one full delta index per incremental batch
+      def rec(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rec))
+        f.delete(); ()
+      }
+      rec(new java.io.File(delta))
+      spark.catalog.refreshByPath(delta) // drop cached plans over dead files
+    }
+  }
+
+  private def addDocumentsDelta(dir: String, newDocs: DataFrame,
+      delta: String, replace: Boolean, autoCompactFiles: Int): Unit = {
     new IndexBuilder(spark, settings).build(newDocs, delta, resume = false)
 
     // word-keyed bitmap tables merge O(touched files), not O(table):

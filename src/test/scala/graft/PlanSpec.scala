@@ -151,7 +151,7 @@ class PlanSpec extends AnyFunSuite with Matchers {
   test("ranked distributed path: doc_fid_word_counts is semi-joined to the " +
       "candidates BEFORE its per-doc aggregation (and skipped without exactness)") {
     import graft.search._
-    val dir = java.nio.file.Files.createTempDirectory("graft-plan-fwc").toString
+    val dir = graft.TestSpark.tempDir("graft-plan-fwc")
     val settings = graft.index.IndexSettings(searchableFields = Seq("text"))
     val docs = graft.webgen.WebPages.generate(spark, 400)
     new graft.index.IndexBuilder(spark, settings).build(docs, dir, resume = false)
@@ -193,7 +193,7 @@ class PlanSpec extends AnyFunSuite with Matchers {
   }
 
   test("pushed block-id filters prune parquet IO: pruned blocks' bytes stay unread") {
-    val dir = java.nio.file.Files.createTempDirectory("graft-plan-io").toString + "/pb"
+    val dir = graft.TestSpark.tempDir("graft-plan-io") + "/pb"
     val hconf = spark.sparkContext.hadoopConfiguration
     val oldBlock = hconf.get("parquet.block.size")
     try {
@@ -250,7 +250,7 @@ class PlanSpec extends AnyFunSuite with Matchers {
   }
 
   test("posting-block metadata reads prune the bytes column") {
-    val dir = java.nio.file.Files.createTempDirectory("graft-plan").toString
+    val dir = graft.TestSpark.tempDir("graft-plan")
     val settings = graft.index.IndexSettings(searchableFields = Seq("text"))
     val docs = graft.webgen.WebPages.generate(spark, 200)
     new graft.index.IndexBuilder(spark, settings).build(docs, dir, resume = false)
@@ -312,7 +312,7 @@ class PlanSpec extends AnyFunSuite with Matchers {
 
   test("word-major doc_word_positions: a word point read prunes the scan " +
       "to the word's own files (footer min/max, not a full-table scan)") {
-    val dir = java.nio.file.Files.createTempDirectory("graft-plan-dwp").toString
+    val dir = graft.TestSpark.tempDir("graft-plan-dwp")
     val settings = graft.index.IndexSettings(searchableFields = Seq("text"))
     val docs = graft.webgen.WebPages.generate(spark, 400)
     // at test scale AQE coalesces the range shuffle to ONE partition

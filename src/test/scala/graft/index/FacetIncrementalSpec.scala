@@ -64,7 +64,7 @@ class FacetIncrementalSpec extends AnyFunSuite with Matchers {
 
   /** Range query through the FacetLevels reader over a bare level table. */
   private def rangeVia(levels: DataFrame, lo: Double, hi: Double): Set[Int] = {
-    val dir = java.nio.file.Files.createTempDirectory("graft-finc").toString
+    val dir = graft.TestSpark.tempDir("graft-finc")
     levels.write.mode("overwrite").parquet(s"$dir/${IndexSettings.T.FacetNumberLevels}")
     val idx = graft.search.GraftIndex(spark, dir,
       IndexSettings(searchableFields = Seq("text")))
@@ -139,7 +139,7 @@ class FacetIncrementalSpec extends AnyFunSuite with Matchers {
     val rng = new scala.util.Random(7)
     var vals = (0 until 3000).map(i => (i.toDouble, i))
     var levels = bulk(vals)
-    val dir = java.nio.file.Files.createTempDirectory("graft-finc-rounds").toString
+    val dir = graft.TestSpark.tempDir("graft-finc-rounds")
     (1 to 4).foreach { round =>
       val delta = (1 to 20).map { i =>
         (rng.nextDouble() * 3500, 50000 + round * 100 + i)
@@ -166,7 +166,7 @@ class FacetIncrementalSpec extends AnyFunSuite with Matchers {
     import spark.implicits._
     val stg = IndexSettings(searchableFields = Seq("text"),
       filterableFields = Set("n"), primaryKey = "id")
-    val dir = java.nio.file.Files.createTempDirectory("graft-finc-e2e").toString
+    val dir = graft.TestSpark.tempDir("graft-finc-e2e")
     val base = (0 until 3000).map(i => (i, i, s"doc w$i", i.toDouble))
       .toDF("docid", "id", "text", "n")
     new IndexBuilder(spark, stg).build(base, dir, resume = false)

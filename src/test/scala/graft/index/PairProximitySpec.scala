@@ -143,7 +143,7 @@ class PairProximitySpec extends AnyFunSuite with Matchers {
   test("single-pass prefix-pair build ≡ per-side builders, byte-identical") {
     val spark = graft.TestSpark.spark
     val settings = IndexSettings(searchableFields = Seq("text"), primaryKey = "url")
-    val dir = java.nio.file.Files.createTempDirectory("graft-ppboth").toString
+    val dir = graft.TestSpark.tempDir("graft-ppboth")
     val docs = graft.webgen.WebPages.generate(spark, 300)
     val builder = new IndexBuilder(spark, settings)
     builder.build(docs, dir, resume = false)

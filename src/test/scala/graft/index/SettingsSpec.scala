@@ -12,7 +12,7 @@ class SettingsSpec extends AnyFunSuite with Matchers {
 
   test("settings.json round-trips through the builder") {
     val spark = TestSpark.spark
-    val dir = java.nio.file.Files.createTempDirectory("graft-settings").toString
+    val dir = graft.TestSpark.tempDir("graft-settings")
     val s = IndexSettings(
       searchableFields = Seq("text"),
       filterableFields = Set("lang"),
@@ -41,7 +41,7 @@ class SettingsSpec extends AnyFunSuite with Matchers {
 
   test("facets-only update adds filterability without touching postings") {
     val spark = TestSpark.spark
-    val dir = java.nio.file.Files.createTempDirectory("graft-settings2").toString
+    val dir = graft.TestSpark.tempDir("graft-settings2")
     val base = IndexSettings(searchableFields = Seq("text"), primaryKey = "url")
     new IndexBuilder(spark, base).build(WebPages.generate(spark, 100), dir, resume = false)
     val wordDocidsBefore = spark.read.parquet(s"$dir/${IndexSettings.T.WordDocids}").count()
@@ -63,7 +63,7 @@ class SettingsSpec extends AnyFunSuite with Matchers {
 
   test("stop-word change triggers full reindex and drops the word") {
     val spark = TestSpark.spark
-    val dir = java.nio.file.Files.createTempDirectory("graft-settings3").toString
+    val dir = graft.TestSpark.tempDir("graft-settings3")
     val base = IndexSettings(searchableFields = Seq("text"), primaryKey = "url")
     new IndexBuilder(spark, base).build(WebPages.generate(spark, 100), dir, resume = false)
     import spark.implicits._

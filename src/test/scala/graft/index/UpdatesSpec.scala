@@ -12,7 +12,7 @@ import graft.webgen.WebPages
   * answers like a from-scratch index over the union corpus. */
 class UpdatesSpec extends AnyFunSuite with Matchers {
 
-  private def freshDir() = java.nio.file.Files.createTempDirectory("graft-upd").toString
+  private def freshDir() = graft.TestSpark.tempDir("graft-upd")
 
   test("soft delete removes docs from search; hard delete purges tables") {
     val spark = TestSpark.spark

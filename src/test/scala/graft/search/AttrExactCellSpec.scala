@@ -26,7 +26,7 @@ class AttrExactCellSpec extends AnyFunSuite with Matchers {
   private lazy val stg = IndexSettings(
     searchableFields = Seq("url", "text"), filterableFields = Set("lang"))
   private lazy val index: GraftIndex = {
-    val dir = java.nio.file.Files.createTempDirectory("graft-attrcell").toString
+    val dir = graft.TestSpark.tempDir("graft-attrcell")
     new IndexBuilder(spark, stg).build(WebPages.generate(spark, 3000), dir,
       resume = false)
     GraftIndex(spark, dir, stg)

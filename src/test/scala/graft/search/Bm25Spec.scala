@@ -13,7 +13,7 @@ class Bm25Spec extends AnyFunSuite with Matchers {
 
   private lazy val index: GraftIndex = {
     val spark = TestSpark.spark
-    val dir = java.nio.file.Files.createTempDirectory("graft-bm25").toString
+    val dir = graft.TestSpark.tempDir("graft-bm25")
     val settings = IndexSettings(searchableFields = Seq("text"))
     val docs = WebPages.generate(spark, 3000)
     new IndexBuilder(spark, settings).build(docs, dir, resume = false)
@@ -116,7 +116,7 @@ class Bm25Spec extends AnyFunSuite with Matchers {
   test("sparse docids: driver fast path scores correctly (no dense-id assumption)") {
     val spark = TestSpark.spark
     import spark.implicits._
-    val dir = java.nio.file.Files.createTempDirectory("graft-bm25-sparse").toString
+    val dir = graft.TestSpark.tempDir("graft-bm25-sparse")
     val settings = IndexSettings(searchableFields = Seq("text"))
     // caller-assigned sparse docids (EngineQueries-style): id gaps of 17
     val docs = WebPages.generate(spark, 400)

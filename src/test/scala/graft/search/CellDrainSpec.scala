@@ -20,7 +20,7 @@ class CellDrainSpec extends AnyFunSuite with Matchers {
   private lazy val stg = IndexSettings(
     searchableFields = Seq("text"), filterableFields = Set("lang"))
   private lazy val dir: String = {
-    val d = java.nio.file.Files.createTempDirectory("graft-celldrain").toString
+    val d = graft.TestSpark.tempDir("graft-celldrain")
     new IndexBuilder(spark, stg).build(WebPages.generate(spark, 4000), d, resume = false)
     d
   }

@@ -23,7 +23,7 @@ class CjkSearchSpec extends AnyFunSuite with Matchers {
     IndexSettings(searchableFields = Seq("text"), primaryKey = "docid")
 
   private lazy val index: GraftIndex = {
-    val dir = java.nio.file.Files.createTempDirectory("graft-cjk").toString
+    val dir = graft.TestSpark.tempDir("graft-cjk")
     val docs = spark.createDataFrame(
       Seq(
         Row(0, "東京大学の研究"),              // Tokyo University research (ja)

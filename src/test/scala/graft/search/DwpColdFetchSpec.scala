@@ -19,7 +19,7 @@ class DwpColdFetchSpec extends AnyFunSuite with Matchers {
   private lazy val spark = TestSpark.spark
   private lazy val stg = IndexSettings(searchableFields = Seq("text"))
   private lazy val dir: String = {
-    val d = java.nio.file.Files.createTempDirectory("graft-dwpcold").toString
+    val d = graft.TestSpark.tempDir("graft-dwpcold")
     new IndexBuilder(spark, stg).build(WebPages.generate(spark, 1500), d, resume = false)
     d
   }
@@ -58,7 +58,7 @@ class DwpColdFetchSpec extends AnyFunSuite with Matchers {
   }
 
   test("direct page-pruned dwp fetch ≡ Spark scan (words, prefixes, docFilter)") {
-    val d = java.nio.file.Files.createTempDirectory("graft-dwpdirect").toString
+    val d = graft.TestSpark.tempDir("graft-dwpdirect")
     new IndexBuilder(spark, stg).build(WebPages.generate(spark, 1200), d, resume = false)
     val words = Seq("the", "w3", "w100", "zzz-novel-word")
     val pfxs = Seq("w1")

@@ -17,7 +17,7 @@ class FacetDistributionSpec extends AnyFunSuite with Matchers {
 
   test("facet distribution with no facet values") {
     val spark = TestSpark.spark
-    val dir = java.nio.file.Files.createTempDirectory("graft-facetdist").toString
+    val dir = graft.TestSpark.tempDir("graft-facetdist")
     val settings = IndexSettings(
       searchableFields = Seq("title"),
       filterableFields = Set("genres", "tags"))

@@ -20,7 +20,7 @@ class FacetLevelsSpec extends AnyFunSuite with Matchers {
   // 700 docs, n = 0..699 (distinct doubles → 4 levels), s = zero-padded
   private lazy val dir: String = {
     import spark.implicits._
-    val d = java.nio.file.Files.createTempDirectory("graft-facetlevels").toString
+    val d = graft.TestSpark.tempDir("graft-facetlevels")
     val docs = (0 until 700).map { i =>
       (i, s"doc about w$i things", i.toDouble, f"s$i%04d")
     }.toDF("docid", "text", "n", "s")
@@ -82,7 +82,7 @@ class FacetLevelsSpec extends AnyFunSuite with Matchers {
   test("fields without a level tree fall back to the value scan") {
     // lang-like low-cardinality field: build a tiny index with 8 values
     import spark.implicits._
-    val d = java.nio.file.Files.createTempDirectory("graft-fl-small").toString
+    val d = graft.TestSpark.tempDir("graft-fl-small")
     val stg2 = IndexSettings(searchableFields = Seq("text"),
       filterableFields = Set("k"))
     val docs = (0 until 40).map(i => (i, s"w$i", (i % 8).toDouble))

@@ -101,7 +101,7 @@ object Fixture {
       stopWords: Set[String],
       exactAttributes: Set[String]): GraftIndex = {
     locally {
-      val dir = java.nio.file.Files.createTempDirectory("graft-fixture").toString
+      val dir = graft.TestSpark.tempDir("graft-fixture")
       val st = settings(Seq("words", "typo", "proximity", "attribute", "sort", "exactness"))
         .copy(stopWords = stopWords, exactAttributes = exactAttributes)
       val docsDf = {

@@ -20,7 +20,7 @@ class LocalRankBitmapSpec extends AnyFunSuite with Matchers {
   private lazy val stg = IndexSettings(
     searchableFields = Seq("text"), filterableFields = Set("lang"))
   private lazy val dir: String = {
-    val d = java.nio.file.Files.createTempDirectory("graft-localrank").toString
+    val d = graft.TestSpark.tempDir("graft-localrank")
     val docs = WebPages.generate(spark, 2000)
     new IndexBuilder(spark, stg).build(docs, d, resume = false)
     d

@@ -22,7 +22,7 @@ class MultiValuedSortSpec extends AnyFunSuite with Matchers {
   private lazy val spark = TestSpark.spark
 
   private lazy val index: GraftIndex = {
-    val dir = java.nio.file.Files.createTempDirectory("graft-mvsort").toString
+    val dir = graft.TestSpark.tempDir("graft-mvsort")
     val settings = IndexSettings(searchableFields = Seq("text"),
       filterableFields = Set("price", "color"),
       sortableFields = Set("price", "color"), primaryKey = "docid")
@@ -112,7 +112,7 @@ class MultiValuedSortSpec extends AnyFunSuite with Matchers {
     // (one value group) but differ in words/typo rank for "item alpha";
     // docs 4-5 share price 9. The walk alone would emit docid order —
     // only the nested cascade gives the distributed order.
-    val dir = java.nio.file.Files.createTempDirectory("graft-cascsort").toString
+    val dir = graft.TestSpark.tempDir("graft-cascsort")
     val settings = IndexSettings(searchableFields = Seq("text"),
       filterableFields = Set("price"), sortableFields = Set("price"),
       primaryKey = "docid")

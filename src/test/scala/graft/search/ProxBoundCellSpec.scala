@@ -18,7 +18,7 @@ class ProxBoundCellSpec extends AnyFunSuite with Matchers {
   private lazy val spark = TestSpark.spark
   private lazy val stg = IndexSettings(searchableFields = Seq("text"))
   private lazy val index: GraftIndex = {
-    val dir = java.nio.file.Files.createTempDirectory("graft-proxbound").toString
+    val dir = graft.TestSpark.tempDir("graft-proxbound")
     new IndexBuilder(spark, stg).build(WebPages.generate(spark, 3000), dir,
       resume = false)
     GraftIndex(spark, dir, stg)

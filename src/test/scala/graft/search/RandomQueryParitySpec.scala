@@ -20,7 +20,7 @@ class RandomQueryParitySpec extends AnyFunSuite with Matchers {
   private lazy val stg = IndexSettings(
     searchableFields = Seq("text"), filterableFields = Set("lang"))
   private lazy val dir: String = {
-    val d = java.nio.file.Files.createTempDirectory("graft-randparity").toString
+    val d = graft.TestSpark.tempDir("graft-randparity")
     new IndexBuilder(spark, stg).build(WebPages.generate(spark, 2500), d, resume = false)
     d
   }

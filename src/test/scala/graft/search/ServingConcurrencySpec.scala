@@ -17,7 +17,7 @@ class ServingConcurrencySpec extends AnyFunSuite with Matchers {
   private lazy val spark = TestSpark.spark
   private lazy val stg = IndexSettings(searchableFields = Seq("text"))
   private lazy val index: GraftIndex = {
-    val d = java.nio.file.Files.createTempDirectory("graft-mtserve").toString
+    val d = graft.TestSpark.tempDir("graft-mtserve")
     new IndexBuilder(spark, stg).build(WebPages.generate(spark, 1500), d, resume = false)
     GraftIndex(spark, d, stg)
   }

@@ -19,7 +19,7 @@ class StalenessSpec extends AnyFunSuite with Matchers {
     IndexSettings(searchableFields = Seq("text"), primaryKey = "url")
 
   test("stale handle throws after addDocuments; a reopened handle serves") {
-    val dir = java.nio.file.Files.createTempDirectory("graft-stale").toString
+    val dir = graft.TestSpark.tempDir("graft-stale")
     val docs = WebPages.generate(spark, 300)
     new IndexBuilder(spark, settings).build(docs, dir, resume = false)
 

@@ -41,7 +41,7 @@ class TypoToleranceSpec extends AnyFunSuite with Matchers {
     val spark = TestSpark.spark
     import scala.jdk.CollectionConverters._
     import org.apache.spark.sql.types._
-    val dir = java.nio.file.Files.createTempDirectory("graft-exactwords").toString
+    val dir = graft.TestSpark.tempDir("graft-exactwords")
     val settings = IndexSettings(searchableFields = Seq("data"), primaryKey = "id")
     val docs = spark.createDataFrame(
       Seq(org.apache.spark.sql.Row(0, "zealand"), org.apache.spark.sql.Row(1, "zearand")).asJava,

@@ -19,8 +19,8 @@ class StreamingIndexerSpec extends AnyFunSuite with Matchers {
     implicit val sqlCtx = spark.sqlContext
 
     val settings = IndexSettings(searchableFields = Seq("text"), primaryKey = "url")
-    val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
-    val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    val dir = graft.TestSpark.tempDir("graft-stream")
+    val ckpt = graft.TestSpark.tempDir("graft-ckpt")
 
     val all = WebPages.generate(spark, 120).cache()
     val batch1 = all.where($"docid" < 60).collect()
