@@ -38,6 +38,15 @@ object EngineQueries {
         .withColumn("_geo.lat", expr("((doc_id * 7919) % 12000) / 100.0 - 60.0"))
         .withColumn("_geo.lng", expr("((doc_id * 104729) % 34000) / 100.0 - 170.0"))
       val idxDir = java.nio.file.Files.createTempDirectory("graft-engine-idx").toString
+      // session-scoped scratch: Verify/Bench leaked one engine-gate index
+      // per run otherwise
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def rec(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rec))
+          f.delete(); ()
+        }
+        rec(new java.io.File(idxDir))
+      }))
       val s = settings
       new IndexBuilder(spark, s).build(docs, idxDir, resume = false)
       GraftIndex(spark, idxDir, s)
