@@ -8,6 +8,7 @@ import org.apache.parquet.example.data.simple.convert.GroupRecordConverter
 import org.apache.parquet.filter2.compat.FilterCompat
 import org.apache.parquet.filter2.predicate.FilterApi
 import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.metadata.{BlockMetaData, FileMetaData, ParquetMetadata}
 import org.apache.parquet.hadoop.util.HadoopInputFile
 import org.apache.parquet.io.ColumnIOFactory
 import org.apache.parquet.io.api.Binary
@@ -49,8 +50,15 @@ object DirectParquet {
 
   private val conf = new Configuration(false) // local FS only — no cluster conf
 
-  /** One row group: its file, index, and the key column's [min, max]. */
-  private final case class RowGroup(file: String, idx: Int,
+  /** One row group: its file, parsed block metadata, and the key column's
+    * [min, max]. The `BlockMetaData` ref is kept so point reads can hand
+    * the reader a RESTRICTED pre-parsed footer — re-reading the footer per
+    * open costs 10–90 ms (measured), and addressing groups by original
+    * footer index is outright WRONG: the reader filters its block list at
+    * open (stats/dictionary row-group filtering), so original indexes
+    * shift and `readFilteredRowGroup(i)` silently returns null past the
+    * filtered list's end — dropped rows, not an exception. */
+  private final case class RowGroup(file: String, block: BlockMetaData,
       min: Array[Byte], max: Array[Byte], rows: Long)
 
   /** Unsigned byte-order comparison (parquet BINARY/UTF8 stats order —
@@ -66,9 +74,13 @@ object DirectParquet {
     a.length - b.length
   }
 
-  /** Per-table-dir footer index, built once per (handle, table). */
+  /** Per-table-dir footer index, built once per (handle, table). Caches
+    * the parsed `FileMetaData` + `BlockMetaData` per file so point reads
+    * never re-read a footer. */
   final class TableFooters(dir: String, keyCol: String) {
     private[DirectParquet] def keyColName: String = keyCol
+    private[DirectParquet] val fileMeta =
+      scala.collection.mutable.HashMap.empty[String, FileMetaData]
     private[DirectParquet] val groups: Array[RowGroup] = {
       val d = new java.io.File(dir)
       val files = Option(d.listFiles()).getOrElse(Array.empty)
@@ -78,6 +90,7 @@ object DirectParquet {
         val in = HadoopInputFile.fromPath(new Path(f), conf)
         val r = ParquetFileReader.open(in)
         try {
+          fileMeta.put(f, r.getFooter.getFileMetaData)
           val blocks = r.getFooter.getBlocks
           var i = 0
           while (i < blocks.size()) {
@@ -89,11 +102,11 @@ object DirectParquet {
               if (c.getPath.toDotString == keyCol) {
                 val st = c.getStatistics
                 if (st != null && st.hasNonNullValue) {
-                  out += RowGroup(f, i,
+                  out += RowGroup(f, b,
                     st.getMinBytes, st.getMaxBytes, b.getRowCount)
                 } else {
                   // no stats → never prunable; read it for every fetch
-                  out += RowGroup(f, i, Array.empty, null, b.getRowCount)
+                  out += RowGroup(f, b, Array.empty, null, b.getRowCount)
                 }
                 done = true
               }
@@ -127,10 +140,16 @@ object DirectParquet {
     * run (caller falls back to the Spark scan). Exceptions propagate as
     * false too — the Spark path is the source of truth. */
   /** Decode pool: row-group decode is CPU-bound (snappy + Group assembly),
-    * so multi-file reads fan out here instead of running single-threaded. */
+    * so multi-file reads fan out here instead of running single-threaded.
+    * Sized cores/4 (min 4, max 8): single-client fat reads chunk to ≤ 8
+    * tasks anyway, and under 8 concurrent serving clients a 4-thread pool
+    * queued one client's read behind another's (background fills are
+    * already routed OFF this pool — NOTES_ROUND5 #13b). */
   private val decodeEc: scala.concurrent.ExecutionContext =
     scala.concurrent.ExecutionContext.fromExecutorService(
-      java.util.concurrent.Executors.newFixedThreadPool(4,
+      java.util.concurrent.Executors.newFixedThreadPool(
+        sys.env.get("SPARK_GRAFT_DECODE_THREADS").map(_.toInt).getOrElse(
+          math.min(8, math.max(4, Runtime.getRuntime.availableProcessors() / 4))),
         (r: Runnable) => {
           val t = new Thread(r, "graft-direct-decode"); t.setDaemon(true); t
         }))
@@ -152,57 +171,68 @@ object DirectParquet {
           FilterApi.ltEq(keyColumn, Binary.fromConstantByteArray(hi)))
       }.reduce(FilterApi.or(_, _))
       val filter = FilterCompat.get(bandPred)
-      // one task = one private reader over a CHUNK of a file's row groups
-      // (readFilteredRowGroup(i) seeks directly) — a fat band inside a
-      // single file (a stop word's pair rows spanning 24+ groups) decodes
-      // across the pool instead of serially behind one reader. The extra
-      // footer read per task is ~1 ms against a multi-MB group decode.
-      def readGroups(file: String, idxs: Seq[Int]): Unit = {
+      // one task = one private reader over a CHUNK of a file's row groups —
+      // a fat band inside a single file (a stop word's pair rows spanning
+      // 24+ groups) decodes across the pool instead of serially behind one
+      // reader. The reader gets a RESTRICTED pre-parsed footer holding
+      // exactly this task's blocks: no footer IO per open (10–90 ms
+      // measured), and group addressing is by CONTENT, not index — the
+      // reader's own open-time row-group filtering (stats/dictionary) can
+      // only drop blocks it proves empty, and readNextFilteredRowGroup()
+      // walks whatever survives, so a pruned leading group can never shift
+      // later groups out from under the read (the old per-index addressing
+      // silently dropped them — see DirectReadSpec "pruned leading").
+      def readGroups(file: String, blocks: Seq[BlockMetaData]): Unit = {
         val t0 = System.nanoTime()
         val in = HadoopInputFile.fromPath(new Path(file), conf)
-        val r = new ParquetFileReader(in,
-          ParquetReadOptions.builder().withRecordFilter(filter).build())
+        import scala.jdk.CollectionConverters._
+        val restricted = new ParquetMetadata(footers.fileMeta(file), blocks.asJava)
+        val r = new ParquetFileReader(in, restricted,
+          ParquetReadOptions.builder().withRecordFilter(filter).build(),
+          in.newStream())
         val tOpen = System.nanoTime()
         try {
-          val schema = r.getFooter.getFileMetaData.getSchema
+          val schema = restricted.getFileMetaData.getSchema
           val colIO = new ColumnIOFactory().getColumnIO(schema)
           if (graft.search.Search.trace) // once per chunk, not per group
             System.err.println(
-              f"[graft-trace] direct-read open=${(tOpen - t0) / 1e6}%.1f ms groups=${idxs.length}")
-          idxs.foreach { i =>
-            val tg0 = System.nanoTime()
-            val pages = r.readFilteredRowGroup(i)
-            if (graft.search.Search.trace)
+              f"[graft-trace] direct-read open=${(tOpen - t0) / 1e6}%.1f ms groups=${blocks.length}")
+          var gi = 0
+          var pages = r.readNextFilteredRowGroup()
+          while (pages != null) {
+            if (graft.search.Search.trace) {
               System.err.println(f"[graft-trace] direct-read " +
-                f"group($i)=${(System.nanoTime() - tg0) / 1e6}%.1f ms rows=${if (pages == null) -1L else pages.getRowCount}")
-            if (pages != null) {
-              // page pruning only: the band predicate computed the row
-              // ranges above (column index), but it is NOT re-evaluated
-              // per record — an OR of hundreds of point bands costs
-              // O(bands) per row at assembly (measured 224k rows/s vs
-              // 1.5M without). CALLERS MUST RE-CHECK KEYS in `each`:
-              // surviving pages carry neighbouring rows too.
-              val rec = colIO.getRecordReader(pages,
-                new GroupRecordConverter(schema))
-              var n = 0L
-              val total = pages.getRowCount
-              while (n < total) {
-                val g = rec.read() // decode OUTSIDE the lock (the CPU cost)
-                if (g != null)
-                  // `each` runs under this lock across tasks — callers
-                  // hand in plain map builders, not thread-safe sinks
-                  each.synchronized(each(g))
-                n += 1
-              }
+                f"group($gi)=${(System.nanoTime() - tOpen) / 1e6}%.1f ms rows=${pages.getRowCount}")
+              gi += 1
             }
+            // page pruning only: the band predicate computed the row
+            // ranges above (column index), but it is NOT re-evaluated
+            // per record — an OR of hundreds of point bands costs
+            // O(bands) per row at assembly (measured 224k rows/s vs
+            // 1.5M without). CALLERS MUST RE-CHECK KEYS in `each`:
+            // surviving pages carry neighbouring rows too.
+            val rec = colIO.getRecordReader(pages,
+              new GroupRecordConverter(schema))
+            var n = 0L
+            val total = pages.getRowCount
+            while (n < total) {
+              val g = rec.read() // decode OUTSIDE the lock (the CPU cost)
+              if (g != null)
+                // `each` runs under this lock across tasks — callers
+                // hand in plain map builders, not thread-safe sinks
+                each.synchronized(each(g))
+              n += 1
+            }
+            pages = r.readNextFilteredRowGroup()
           }
         } finally r.close()
       }
       val totalGroups = byFile.iterator.map(_._2.length).sum
       // target ~2 chunks per pool thread for balance; tiny reads stay inline
       val chunk = math.max(1, (totalGroups + 7) / 8)
-      val tasks: Seq[(String, Seq[Int])] = byFile.flatMap { case (f, gs) =>
-        gs.map(_.idx).sorted.grouped(chunk).map(c => (f, c.toSeq)).toSeq
+      val tasks: Seq[(String, Seq[BlockMetaData])] = byFile.flatMap {
+        case (f, gs) =>
+          gs.map(_.block).grouped(chunk).map(c => (f, c.toSeq)).toSeq
       }
       if (tasks.length <= 1)
         tasks.foreach { case (f, is) => readGroups(f, is) }

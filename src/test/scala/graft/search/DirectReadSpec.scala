@@ -30,6 +30,52 @@ class DirectReadSpec extends AnyFunSuite with Matchers {
       DirectParquet.fallbacks.get() shouldBe fbBefore)
   }
 
+  test("point reads hit groups beyond a pruned leading row group") {
+    assume(DirectParquet.enabled)
+    // A key-sorted file with MANY row groups, point-read on keys whose
+    // groups sit in the middle/end of the file: parquet-mr filters the
+    // reader's block list at open (stats/dictionary row-group filtering),
+    // so any group addressing by ORIGINAL footer index silently misses
+    // rows once a preceding group is pruned — readFilteredRowGroup
+    // returns null past the filtered list's end instead of throwing.
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val dir = graft.TestSpark.tempDir("direct-multigroup")
+    val n = 4000
+    spark.range(n).map(i => (f"k$i%06d", i)).toDF("key", "v")
+      .coalesce(1).sortWithinPartitions("key")
+      .write.mode("overwrite")
+      .option("parquet.block.size", "4096")
+      .option("parquet.page.size", "1024")
+      .parquet(dir)
+    val fts = new DirectParquet.TableFooters(dir, "key")
+    val fullRange = Seq((Array[Byte](0x00), Array.fill(8)(0xff.toByte)))
+    withClue("fixture must span several row groups: ")(
+      DirectParquet.bandGroupCount(fts, fullRange) should be > 3)
+    // last key, a middle key, and the first key — all must come back
+    val probes = Seq(f"k${n - 1}%06d", f"k${n / 2}%06d", "k000000")
+    probes.foreach { k =>
+      var found = 0
+      val ok = DirectParquet.scanBands(fts, DirectParquet.keyBands(Seq(k))) {
+        g => if (g.getString("key", 0) == k) found += 1
+      }
+      withClue(s"direct read of '$k' fell back: ")(ok shouldBe true)
+      withClue(s"rows for '$k' lost by the point read: ")(found shouldBe 1)
+    }
+    // a fat band spanning the file's TAIL (every group but the first) —
+    // the shape where index misalignment silently drops whole groups
+    val lo = f"k${n / 4}%06d".getBytes("UTF-8")
+    val hi = f"k${n - 1}%06d".getBytes("UTF-8")
+    var got = 0
+    val ok = DirectParquet.scanBands(fts, Seq((lo, hi))) { g =>
+      val k = g.getString("key", 0)
+      if (k >= new String(lo, "UTF-8") && k <= new String(hi, "UTF-8")) got += 1
+    }
+    ok shouldBe true
+    withClue("tail-band rows lost by the point read: ")(
+      got shouldBe (n - n / 4))
+  }
+
   test("rank results identical with direct reads vs a fresh Spark-only handle") {
     assume(DirectParquet.enabled)
     // fresh handles so both sides fetch cold through their own route:
