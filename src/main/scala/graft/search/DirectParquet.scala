@@ -187,8 +187,18 @@ object DirectParquet {
         val in = HadoopInputFile.fromPath(new Path(file), conf)
         import scala.jdk.CollectionConverters._
         val restricted = new ParquetMetadata(footers.fileMeta(file), blocks.asJava)
+        // row-GROUP selection already happened against the cached footer
+        // stats (this task's blocks are exactly the wanted groups), so the
+        // reader's own open-time group filters are pure overhead: the
+        // dictionary filter in particular READS each group's dictionary
+        // pages at open to re-prove what the stats already proved — 50–105
+        // ms per open on a wide OR band over the position tables
+        // (measured). Keep only the column-index filter: page-level
+        // pruning inside each kept group is the part we can't precompute.
         val r = new ParquetFileReader(in, restricted,
-          ParquetReadOptions.builder().withRecordFilter(filter).build(),
+          ParquetReadOptions.builder().withRecordFilter(filter)
+            .useStatsFilter(false).useDictionaryFilter(false)
+            .useBloomFilter(false).build(),
           in.newStream())
         val tOpen = System.nanoTime()
         try {

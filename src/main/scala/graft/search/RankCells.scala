@@ -101,7 +101,7 @@ object RankCells {
     if (dims.isEmpty || bucket.isEmpty) return None
     val leaves = index.treeLeaves(branch)
     if (leaves.isEmpty || hasPhrase(branch)) return None
-    val lt = index.leafTables(leaves, der)
+    val lt = Search.traced("cell-leaf-tables")(index.leafTables(leaves, der))
 
     // cells of one dim, paired with the component value each proves (the
     // remainder appended by withRemainder gets −1 = unknown); `bound` =
@@ -109,13 +109,15 @@ object RankCells {
     final case class DimCells(cells: IndexedSeq[RoaringBitmap], bound: Boolean)
     def dimCells(c: Criterion): Option[DimCells] = c match {
       case Criterion.Typo =>
-        Some(DimCells(cellsOf(typoCums(lt, der, branch)), bound = false))
+        Some(DimCells(cellsOf(Search.traced("cell-typo-cums")(
+          typoCums(lt, der, branch))), bound = false))
       case Criterion.Proximity =>
-        proxCums(index, der, lt, branch)
+        Search.traced("cell-prox-cums")(proxCums(index, der, lt, branch))
           .map(cs => DimCells(cellsOf(cs), bound = false))
           .orElse {
             if (bucket.getLongCardinality < BoundCellMinBucket) None
-            else proxBoundCums(index, der, lt, branch)
+            else Search.traced("cell-prox-bound-cums")(
+              proxBoundCums(index, der, lt, branch))
               .map { cs => boundDrains.incrementAndGet()
                 DimCells(cellsOf(cs), bound = true) }
           }
