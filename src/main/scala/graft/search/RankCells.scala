@@ -359,7 +359,8 @@ object RankCells {
     * only bound how many docs rank per-doc.
     *
     * Cums span p = 0..14 (two hops × cap 7); C(14) = the full universe
-    * (missing pairs default to 7 per hop), so the remainder is empty. */
+    * (missing pairs floor at 6 or 7 per hop, see directedCums), so the
+    * remainder is empty. */
   private def proxBoundCums(index: GraftIndex, der: Ranker.Derivations,
       lt: GraftIndex#LeafTables, op: Op): Option[IndexedSeq[RoaringBitmap]] = {
     // all word material of a subtree, prefixes expanded through the pinned
@@ -429,12 +430,21 @@ object RankCells {
             childCums.foreach(cc => u.or(cc.last))
             u // superset of the And's docs (cells intersect with the bucket)
           }
-          // directed per-ordered-pair lb cums: docs whose lbTerm(i→j) ≤ t;
-          // t = 7 covers everything (missing pairs default to the cap)
+          // directed per-ordered-pair lb cums: docs whose lbTerm(i→j) ≤ t.
+          // ABSENT-PAIR FLOOR: the index-time 7-ENTRY window only
+          // guarantees position-ordered pairs at distance ≤ 6 (distance 7
+          // with 6 distinct words between falls outside the window —
+          // IndexBuilder.pairProximitiesPacked). The sweep's in-query-order
+          // hop is distance − 1 (plane_sweep's `pairProximity - 1`), so a
+          // MISSING in-order pair only proves hop ≥ 6, not ≥ 7: adj = 1
+          // saturates to the universe at t = 6 (found by ProxBoundCellSpec
+          // offset pagination — doc at true prox 7 was bounded at 8 and
+          // dropped from the page). Anti-order hops (adj = 0, hop =
+          // distance) keep the 7 floor: distance ≤ 6 is always stored.
           def directedCums(i: Int, j: Int): IndexedSeq[RoaringBitmap] = {
             val adj = if (i < j) 1 else 0 // left-right stores prox − 1
             (0 to 7).map { t =>
-              if (t >= 7) universe
+              if (t >= 7 - adj) universe
               else {
                 val acc = new RoaringBitmap()
                 for (u <- sides(i); v <- sides(j); x <- 1 to math.min(t + adj, 7))

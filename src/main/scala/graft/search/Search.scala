@@ -307,7 +307,12 @@ class Search(index: GraftIndex,
       }
     val deleted = Search.traced("deleted-bitmap")(index.deletedDocids)
 
-    req.query.map(_.trim).filter(_.nonEmpty) match {
+    // emptiness test only — the query string itself must keep its trailing
+    // whitespace: primitiveQuery marks the last word as a prefix only when
+    // the query ends MID-WORD (reference query_tree.rs — "w96 " means the
+    // word is finished, no prefix expansion), and a trim here would silently
+    // re-prefix it
+    req.query.filter(_.trim.nonEmpty) match {
       case None =>
         executeNoQuery(criteria, filterDf, deleted, distinctField, req)
       case Some(q) =>
@@ -959,14 +964,22 @@ class Search(index: GraftIndex,
           val usedKeys: Set[(String, Boolean, Int)] =
             needIdx.map(chosenBuckets(_)).distinct
               .flatMap(bi => Ranker.derivationKeys(branches(bi))).toSet
+          // exactness part words are fetched LITERALLY and unconditionally:
+          // a part word that reaches the tree only as a PREFIX key (last
+          // query word) is absent from relevantWords, but exactnessRank
+          // needs its literal positions — the distributed path sees them
+          // through the prefix range scan, so without this the drained
+          // docs' exactness collapses into a tie (seed-424242 #210 /
+          // seed-77001122 #29 parity failures)
+          val exactWords: Seq[String] = exactParts.flatMap {
+            case Ranker.ESynonyms(ws) => ws
+            case Ranker.EPhrase(ws)   => ws.flatten
+          }
           val neededWordSet: Set[String] =
             usedKeys.flatMap { case (w, pfx, t) =>
               derivations.map.getOrElse((w, pfx, t), Nil).map(_._1) ++
                 (if (!pfx) Seq(w) else Nil)
-            } ++ exactParts.flatMap {
-              case Ranker.ESynonyms(ws) => ws
-              case Ranker.EPhrase(ws)   => ws.flatten
-            }
+            } ++ exactWords
           // presence filter: of the (possibly hundreds of) derivation
           // words, fetch positions only for those whose candidate bitmap
           // intersects this slice's docs — zero jobs warm, and the scan
@@ -975,10 +988,18 @@ class Search(index: GraftIndex,
             if (needIdx.isEmpty) Array.empty
             else {
               val sliceBm = graft.core.Bitmaps.fromInts(sliceIds.toArray)
-              val fetchW = index.presentWords(
-                relevantWords.filter(neededWordSet), sliceBm)
               val fetchP = prefixWords.filter(p =>
                 usedKeys.exists { case (w, pfx, _) => pfx && w.startsWith(p) })
+              // exact-part words already covered by a fetched prefix range
+              // arrive with its rows — only the uncovered ones fetch as
+              // literal words
+              val fetchW = index.presentWords(
+                (relevantWords.filter(neededWordSet) ++
+                  exactWords.filterNot(w => fetchP.exists(w.startsWith)))
+                  .distinct, sliceBm)
+              if (Search.trace) System.err.println(
+                s"[graft-trace] rank-fetch fetchW=$fetchW fetchP=$fetchP " +
+                  s"usedKeys=$usedKeys")
               val (wRows, pRows) = Search.traced("dwp-fetch") {
                 // docid-restricted cold fetch for heavy words (async
                 // complete fill warms the cache behind this query) — the

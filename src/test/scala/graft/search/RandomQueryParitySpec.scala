@@ -73,6 +73,40 @@ class RandomQueryParitySpec extends AnyFunSuite with Matchers {
     }
   }
 
+  // deep-sweep regressions (seeds 424242 #210 / 77001122 #29): the local
+  // drain's rank fetch skipped exactness part words that reach the tree
+  // only as PREFIX keys (last query word), collapsing exactness into a
+  // docid tie; and execute() used to TRIM the query, silently turning a
+  // trailing-space (finished, non-prefix) last word back into a prefix
+  test("pinned: exactness discriminates within a one-word words bucket") {
+    for ((q, offset) <- Seq(("w0 w1951 w96 ", 10), ("the w1636 w29", 0))) {
+      val req = SearchRequest(query = Some(q), authorizeTypos = false,
+        offset = offset, limit = 20)
+      val a = local.execute(req)
+      val b = dist.execute(req)
+      withClue(s"query=[$q] offset=$offset: ") {
+        a.documentsIds shouldBe b.documentsIds
+        a.candidates shouldBe b.candidates
+      }
+    }
+  }
+
+  test("pinned: trailing space disables prefix expansion of the last word") {
+    // "w29" has extensions in the corpus (w290..): the prefixed query must
+    // see strictly more candidates than the trailing-space one, and both
+    // paths must agree on each
+    val pfx = local.execute(SearchRequest(query = Some("w29"), limit = 5))
+    val exact = local.execute(SearchRequest(query = Some("w29 "), limit = 5))
+    val distPfx = dist.execute(SearchRequest(query = Some("w29"), limit = 5))
+    val distExact = dist.execute(SearchRequest(query = Some("w29 "), limit = 5))
+    pfx.candidates shouldBe distPfx.candidates
+    exact.candidates shouldBe distExact.candidates
+    pfx.documentsIds shouldBe distPfx.documentsIds
+    exact.documentsIds shouldBe distExact.documentsIds
+    assert(pfx.candidates > exact.candidates,
+      s"prefix ${pfx.candidates} should exceed exact ${exact.candidates}")
+  }
+
   test("15 random BM25 term sets: fast path ≡ full scoring") {
     val bm25 = new Bm25(index)
     (1 to 15).foreach { i =>
