@@ -397,6 +397,20 @@ object RankCells {
 
     val Cap = 21 // 3 hops × 7; deeper trees saturate into the last cum
 
+    // REPEATED-WORD COLLAPSE: when two And sides share word material (a
+    // repeated query word, or a typo derivation matched by both sides),
+    // the plane sweep SUPPRESSES every config with an equal position pair
+    // (computeGroupsProximity returns None) — and when every emission is
+    // suppressed the doc's true proximity is the unmatched default 7
+    // (proximity.rs:585-590), BELOW an honest chain bound (e.g. `for for
+    // w74`, fors at {7,11}, w74 at 27: chain 10, truth 7 — found by the
+    // forced-cell random sweep). Truth is therefore either a real config
+    // sum (≥ the chain bound, per-config argument below) or exactly 7, so
+    // capping the final cums at 7 (index ≥ 7 → universe) keeps them true
+    // lower bounds. Disjoint sides never share a token position (one
+    // token = one word), so the cap only engages on overlap.
+    var sawOverlap = false
+
     /** cums of docs whose LOWER-BOUND internal proximity of `o` is ≤ p.
       * Query → length-1 (internal 0); Or → min over children (pointwise
       * union); And → permutation-chain pair bounds convolved with every
@@ -420,6 +434,10 @@ object RankCells {
           if budget.max * budget.sorted.apply(budget.length - 2) *
             (if (cs.length == 2) 2 else 6) <= MaxPairFetch
         } yield {
+          if (!sawOverlap)
+            sawOverlap = sides.indices.exists(i => sides.indices.exists { j =>
+              j > i && { val sj = sides(j).toSet; sides(i).exists(sj) }
+            })
           val allPairs = (for {
             i <- sides.indices; j <- sides.indices if i != j
             u <- sides(i); v <- sides(j)
@@ -475,11 +493,20 @@ object RankCells {
       case _ => None
     }
 
+    // repeated-word collapse cap (see sawOverlap above): truth is either a
+    // real config sum (≥ the chain bound) or the suppressed default 7, so on
+    // overlap every bound saturates at 7 — indices > 7 merge into the
+    // universe entry at index 7. cums.last IS the op's universe (conv's top
+    // entry unions every cell of both operands).
+    def capRepeat(cums: IndexedSeq[RoaringBitmap]): IndexedSeq[RoaringBitmap] =
+      if (!sawOverlap || cums.length <= 8) cums
+      else cums.take(7) :+ cums.last
+
     op match {
       // flat 2-side Ands keep the EXACT cells (proxCums) — bound cells are
       // only for the shapes exact algebra can't cover
-      case And(cs) if cs.length >= 2 => lbCums(op)
-      case Or(_, cs) if cs.nonEmpty  => lbCums(op)
+      case And(cs) if cs.length >= 2 => lbCums(op).map(capRepeat)
+      case Or(_, cs) if cs.nonEmpty  => lbCums(op).map(capRepeat)
       case _                         => None
     }
   }

@@ -107,6 +107,43 @@ class RandomQueryParitySpec extends AnyFunSuite with Matchers {
       s"prefix ${pfx.candidates} should exceed exact ${exact.candidates}")
   }
 
+  // the plain sweep never exercises bound prox cells or strata refinement
+  // at this corpus size (buckets < BoundCellMinBucket / RefineMinDocs =
+  // 4096) — the offset-40 bound-floor bug lived there. Force the gates low
+  // and hammer 3-word shapes so the cell subdivision + verification loop
+  // get randomized coverage too.
+  test("random 3-word queries with cells forced: local ≡ distributed") {
+    val prevB = RankCells.BoundCellMinBucket
+    val prevR = RankCells.RefineMinDocs
+    RankCells.BoundCellMinBucket = 1L
+    RankCells.RefineMinDocs = 64L
+    try {
+      // pinned: repeated query words collapse the plane sweep's emissions
+      // (equal-position configs are suppressed; all-suppressed docs default
+      // to prox 7) — the chain bound must saturate at 7 on side overlap
+      // (RankCells capRepeat) or these docs sink below their true rank
+      val pinned = Seq("for for w74 ", "w3 w3 w17", "the the the ")
+      (pinned.map((_, 0)) ++ (1 to math.max(20, nCases / 2)).map { _ =>
+        val q = Seq.fill(3)(randomWord()).mkString(" ") +
+          (if (rng.nextBoolean()) " " else "")
+        (q, 1)
+      }).zipWithIndex.foreach { case ((q, _), i) =>
+        val offset = if (rng.nextDouble() < 0.4) rng.nextInt(40) else 0
+        val req = SearchRequest(query = Some(q), offset = offset, limit = 20,
+          authorizeTypos = rng.nextBoolean())
+        val a = local.execute(req)
+        val b = dist.execute(req)
+        withClue(s"#$i query=[$q] typos=${req.authorizeTypos} offset=$offset: ") {
+          a.documentsIds shouldBe b.documentsIds
+          a.candidates shouldBe b.candidates
+        }
+      }
+    } finally {
+      RankCells.BoundCellMinBucket = prevB
+      RankCells.RefineMinDocs = prevR
+    }
+  }
+
   test("15 random BM25 term sets: fast path ≡ full scoring") {
     val bm25 = new Bm25(index)
     (1 to 15).foreach { i =>
