@@ -18,7 +18,8 @@ class RandomQueryParitySpec extends AnyFunSuite with Matchers {
 
   private lazy val spark = TestSpark.spark
   private lazy val stg = IndexSettings(
-    searchableFields = Seq("text"), filterableFields = Set("lang"))
+    searchableFields = Seq("text"), filterableFields = Set("lang"),
+    sortableFields = Set("lang", "url"))
   private lazy val dir: String = {
     val d = graft.TestSpark.tempDir("graft-randparity")
     new IndexBuilder(spark, stg).build(WebPages.generate(spark, 2500), d, resume = false)
@@ -141,6 +142,39 @@ class RandomQueryParitySpec extends AnyFunSuite with Matchers {
     } finally {
       RankCells.BoundCellMinBucket = prevB
       RankCells.RefineMinDocs = prevR
+    }
+  }
+
+  // the query sweeps above never touch sortCriteria/distinctOverride —
+  // the pinned-map sort, facet-level tree walk (sort-only AND sort-led
+  // cascades), and distinct keep-first paths had only hand-built parity
+  // specs. `lang` is low-cardinality multi-doc (group walks, distinct),
+  // `url` is unique-per-doc (deep string level trees, docid-dense pages).
+  test("random sort/distinct queries: local ≡ distributed") {
+    import Criterion._
+    val sortLed = Seq(Sort, Words, Typo, Proximity, Attribute, Exactness)
+    (1 to math.max(25, nCases / 2)).foreach { i =>
+      val q = if (rng.nextDouble() < 0.15) None else Some(randomQuery())
+      val sorts =
+        if (q.isEmpty || rng.nextDouble() < 0.8)
+          Seq(SortSpec(Seq("lang", "url")(rng.nextInt(2)),
+            ascending = rng.nextBoolean()))
+        else Nil
+      val criteria =
+        if (sorts.nonEmpty && rng.nextBoolean()) Some(sortLed) else None
+      val distinct =
+        if (rng.nextDouble() < 0.35) Some(Some("lang")) else None
+      val offset = if (rng.nextDouble() < 0.3) rng.nextInt(30) else 0
+      val req = SearchRequest(query = q, sortCriteria = sorts,
+        criteriaOverride = criteria, distinctOverride = distinct,
+        offset = offset, limit = 20, authorizeTypos = rng.nextBoolean())
+      val a = local.execute(req)
+      val b = dist.execute(req)
+      withClue(s"#$i query=$q sorts=$sorts sortLed=${criteria.isDefined} " +
+          s"distinct=$distinct offset=$offset: ") {
+        a.documentsIds shouldBe b.documentsIds
+        a.candidates shouldBe b.candidates
+      }
     }
   }
 
