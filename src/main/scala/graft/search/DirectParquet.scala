@@ -154,7 +154,8 @@ object DirectParquet {
           val t = new Thread(r, "graft-direct-decode"); t.setDaemon(true); t
         }))
 
-  def scanBands(footers: TableFooters, bands: Seq[(Array[Byte], Array[Byte])])
+  def scanBands(footers: TableFooters, bands: Seq[(Array[Byte], Array[Byte])],
+      secondBand: Option[(String, Array[Byte], Array[Byte])] = None)
       (each: Group => Unit): Boolean = {
     if (!enabled) return false
     try {
@@ -170,7 +171,19 @@ object DirectParquet {
           FilterApi.gtEq(keyColumn, Binary.fromConstantByteArray(lo)),
           FilterApi.ltEq(keyColumn, Binary.fromConstantByteArray(hi)))
       }.reduce(FilterApi.or(_, _))
-      val filter = FilterCompat.get(bandPred)
+      // optional second-column band: on a (key, second, …)-sorted table a
+      // fat key band's pages are SECOND-sorted inside the key's run, so a
+      // conjunctive band on the second column lets the column index prune
+      // to the matching pages instead of decoding the key's whole run
+      // (e.g. pair rows (w1 = stop word, w2 startsWith prefix)). Row-group
+      // SELECTION above stays keyCol-only — this only tightens page reads.
+      val pred = secondBand.fold(bandPred) { case (c, lo, hi) =>
+        val col2 = FilterApi.binaryColumn(c)
+        FilterApi.and(bandPred, FilterApi.and(
+          FilterApi.gtEq(col2, Binary.fromConstantByteArray(lo)),
+          FilterApi.ltEq(col2, Binary.fromConstantByteArray(hi))))
+      }
+      val filter = FilterCompat.get(pred)
       // one task = one private reader over a CHUNK of a file's row groups —
       // a fat band inside a single file (a stop word's pair rows spanning
       // 24+ groups) decodes across the pool instead of serially behind one

@@ -1214,6 +1214,7 @@ class GraftIndex(val spark: SparkSession, val dir: String, val settings: IndexSe
     * aggregate). */
   val prefixPairPointReads = new java.util.concurrent.atomic.AtomicLong()
   val prefixPairRangedReads = new java.util.concurrent.atomic.AtomicLong()
+  val prefixPairDirectRangedReads = new java.util.concurrent.atomic.AtomicLong()
 
   private[search] def prefixPairPointRead(items: Seq[(String, String, Boolean)])
       : Map[String, RoaringBitmap] = {
@@ -1325,7 +1326,12 @@ class GraftIndex(val spark: SparkSession, val dir: String, val settings: IndexSe
             bm.foreach(b => byProx.getOrElseUpdate(p, new RoaringBitmap()).or(b))
           }
           byProx.iterator.map { case (p, bm) => yKey(word, prefix, side, p) -> bm }.toMap
-        case None => pairProxPrefixRanged(word, prefix, prefixIsRight, side)
+        case None =>
+          // broad prefix (> 64 extensions): driver-side ranged read over
+          // the (w1, w2, prox)-sorted pair table — zero Spark jobs; the
+          // aggregation job below stays the fallback / source of truth
+          directPrefixPairRanged(word, prefix, prefixIsRight, side)
+            .getOrElse(pairProxPrefixRanged(word, prefix, prefixIsRight, side))
       }
     }
     got.collect { case (k, Some(bm)) => k.split('\u0000')(3).toInt -> bm }
@@ -1333,6 +1339,48 @@ class GraftIndex(val spark: SparkSession, val dir: String, val settings: IndexSe
 
   private def yKey(word: String, prefix: String, side: String, prox: Int): String =
     s"$word\u0000$prefix\u0000$side\u0000$prox"
+
+  /** Driver-side twin of [[pairProxPrefixRanged]]: the pair table is
+    * (w1, w2, prox)-sorted, so the wanted rows form ONE contiguous band —
+    * `prefixIsRight`: w1 = word with w2 ∈ [prefix, prefix·0xFF…];
+    * else w1 ∈ [prefix, prefix·0xFF…] with w2 = word. The second-column
+    * page band keeps a frequent word's run from decoding wholesale (w2 is
+    * sorted inside one w1 run, so the column index prunes to the prefix's
+    * own pages). None → caller runs the Spark aggregation. */
+  private def directPrefixPairRanged(word: String, prefix: String,
+      prefixIsRight: Boolean, side: String): Option[Map[String, RoaringBitmap]] = {
+    if (!DirectParquet.enabled) return None
+    val fts = footersFor(T.WordPairProximityDocids, "w1")
+    val (bands, second) =
+      if (prefixIsRight) {
+        val (lo, hi) = DirectParquet.prefixBand(prefix)
+        (DirectParquet.keyBands(Seq(word)), ("w2", lo, hi))
+      } else {
+        val (lo, hi) = DirectParquet.keyBands(Seq(word)).head
+        (Seq(DirectParquet.prefixBand(prefix)), ("w2", lo, hi))
+      }
+    val groupCap = if (pairDirectPaged) 512 else 96
+    if (DirectParquet.bandGroupCount(fts, bands) > groupCap) return None
+    val byProx = scala.collection.mutable.HashMap.empty[Int, RoaringBitmap]
+    val ok = DirectParquet.scanBands(fts, bands, Some(second)) { g =>
+      // surviving pages carry neighbouring rows — re-check both sides
+      val w1 = g.getString("w1", 0)
+      val w2 = g.getString("w2", 0)
+      val hit =
+        if (prefixIsRight) w1 == word && w2.startsWith(prefix)
+        else w1.startsWith(prefix) && w2 == word
+      if (hit)
+        byProx.getOrElseUpdate(g.getInteger("prox", 0), new RoaringBitmap())
+          .or(Bitmaps.cboDeserialize(g.getBinary("docids", 0).getBytes))
+    }
+    if (!ok) None
+    else {
+      prefixPairDirectRangedReads.incrementAndGet()
+      Some(byProx.iterator.map { case (p, bm) =>
+        yKey(word, prefix, side, p) -> bm
+      }.toMap)
+    }
+  }
 
   /** Exact ranged fallback (dictionary not pinned / popular prefix): one
     * aggregation job per (word, prefix, side), grouped by prox. */

@@ -98,4 +98,64 @@ class DirectReadSpec extends AnyFunSuite with Matchers {
         }
       }
   }
+
+  test("broad-prefix prox rows resolve via the direct ranged read, zero Spark aggregations") {
+    assume(DirectParquet.enabled)
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // a length-3 prefix with 80 dictionary extensions: too long for the
+    // precomputed prefix-pair tables (len ≤ 2) and too broad for the
+    // pinned-extension assembly (> 64) — before the direct ranged read,
+    // this shape cost one Spark aggregation job per (word, prefix, side)
+    // on every cold query (the measured 90–130 ms floor of the cell drain)
+    val dir = graft.TestSpark.tempDir("direct-prefixpair")
+    val docs = (0 until 320).map { i =>
+      val ext = f"pre${i % 80}%03d"
+      val text =
+        if (i % 2 == 0) s"zulu $ext alpha beta" else s"$ext zulu gamma delta"
+      (i, text)
+    }.toDF("docid", "text")
+    val stg = graft.index.IndexSettings(
+      searchableFields = Seq("text"), primaryKey = "docid")
+    new graft.index.IndexBuilder(spark, stg).build(docs, dir, resume = false)
+    val idx = GraftIndex(spark, dir, stg)
+    withClue("fixture prefix must exceed the pinned-extension cap: ")(
+      idx.prefixExtensions("pre") shouldBe None)
+    val pairTable = spark.read.parquet(s"$dir/word_pair_proximity_docids")
+    def expected(prefixIsRight: Boolean): Map[Int, org.roaringbitmap.RoaringBitmap] = {
+      val rows =
+        if (prefixIsRight)
+          pairTable.where($"w1" === "zulu" && $"w2".startsWith("pre"))
+        else pairTable.where($"w1".startsWith("pre") && $"w2" === "zulu")
+      rows.select($"prox", $"docids").as[(Int, Array[Byte])].collect()
+        .groupBy(_._1).map { case (p, rs) =>
+          val bm = new org.roaringbitmap.RoaringBitmap()
+          rs.foreach(r => bm.or(graft.core.Bitmaps.cboDeserialize(r._2)))
+          p -> bm
+        }
+    }
+    val ranged0 = idx.prefixPairRangedReads.get()
+    val direct0 = idx.prefixPairDirectRangedReads.get()
+    val right = idx.pairProxPrefixBitmaps("zulu", "pre", prefixIsRight = true)
+    val left = idx.pairProxPrefixBitmaps("zulu", "pre", prefixIsRight = false)
+    withClue("(word, prefix) side: ")(right shouldBe expected(true))
+    withClue("(prefix, word) side: ")(left shouldBe expected(false))
+    withClue("fell back to the Spark aggregation: ")(
+      idx.prefixPairRangedReads.get() shouldBe ranged0)
+    withClue("direct ranged read never engaged: ")(
+      idx.prefixPairDirectRangedReads.get() - direct0 shouldBe 2L)
+    // end-to-end: trailing-prefix query over the broad prefix — local drain
+    // (direct ranged reads) ≡ distributed path
+    val local = new Search(GraftIndex(spark, dir, stg))
+    val dist = new Search(GraftIndex(spark, dir, stg), maxLocalPostings = 0)
+    Seq("zulu pre", "zulu pre0").foreach { q =>
+      val req = SearchRequest(query = Some(q), limit = 17, exhaustive = true)
+      val a = local.execute(req)
+      val b = dist.execute(req)
+      withClue(s"query '$q': ") {
+        a.documentsIds shouldBe b.documentsIds
+        a.candidates shouldBe b.candidates
+      }
+    }
+  }
 }
