@@ -278,11 +278,18 @@ final class DwpCache(index: GraftIndex, maxBytes: Long = 256L << 20) {
     if (missW.isEmpty && missP.isEmpty) return (hitW, hitP)
     val rows = scanRows(missW, missP, None, allowDirect)
     // entries are docid-SORTED (collect() order is per-partition only):
-    // the rank path binary-searches each array by docid
+    // the rank path binary-searches each array by docid. One grouping
+    // pass — not a filter per key (O(keys × rows) on wide miss batches)
+    val byWord: Map[String, Rows] = rows.groupBy(_._2)
     val fetchedW: Map[String, Rows] =
-      missW.iterator.map(w => w -> rows.filter(_._2 == w).sortBy(_._1)).toMap
+      missW.iterator.map(w =>
+        w -> byWord.getOrElse(w, Array.empty[(Int, String, Array[Int])])
+          .sortBy(_._1)).toMap
     val fetchedP: Map[String, Rows] =
-      missP.iterator.map(p => p -> rows.filter(_._2.startsWith(p)).sortBy(_._1)).toMap
+      missP.iterator.map { p =>
+        val ws = byWord.keysIterator.filter(_.startsWith(p)).toSeq
+        p -> ws.iterator.flatMap(byWord(_)).toArray.sortBy(_._1)
+      }.toMap
     val out = synchronized {
       (fetchedW.iterator.map { case (w, a) => ("w:" + w, a) } ++
         fetchedP.iterator.map { case (p, a) => ("p:" + p, a) }).foreach {
@@ -368,10 +375,19 @@ final class DwpCache(index: GraftIndex, maxBytes: Long = 256L << 20) {
       if (lightW.nonEmpty || lightP.nonEmpty) get(lightW, lightP)
       else (Map.empty[String, Rows], Map.empty[String, Rows])
     val rows = scanRows(heavyW, heavyP, Some(docids))
+    // one grouping pass instead of a filter per key: a wide derivation set
+    // (200+ heavy words over a 30k-row restricted slice) paid
+    // O(keys × rows) string scans here — measured ~2× the fetch itself
+    val byWord: Map[String, Rows] = rows.groupBy(_._2)
     val fetchedW: Map[String, Rows] =
-      heavyW.iterator.map(w => w -> rows.filter(_._2 == w).sortBy(_._1)).toMap
+      heavyW.iterator.map(w =>
+        w -> byWord.getOrElse(w, Array.empty[(Int, String, Array[Int])])
+          .sortBy(_._1)).toMap
     val fetchedP: Map[String, Rows] =
-      heavyP.iterator.map(p => p -> rows.filter(_._2.startsWith(p)).sortBy(_._1)).toMap
+      heavyP.iterator.map { p =>
+        val ws = byWord.keysIterator.filter(_.startsWith(p)).toSeq
+        p -> ws.iterator.flatMap(byWord(_)).toArray.sortBy(_._1)
+      }.toMap
     val fillW = heavyW.filter(w => filling.add("w:" + w))
     val fillP = heavyP.filter(p => filling.add("p:" + p))
     // memo BEFORE scheduling the fill: the fill's completion clears it,
