@@ -388,7 +388,12 @@ object RankCells {
         val acc = new RoaringBitmap()
         var t = 0
         while (t < a.length && t <= p) {
-          acc.or(RoaringBitmap.and(ac(t), b(math.min(p - t, b.length - 1))))
+          // bounds concentrate: most cells are empty, and the partner
+          // entry can be universe-sized — skip the AND outright
+          val cell = ac(t)
+          val other = b(math.min(p - t, b.length - 1))
+          if (!cell.isEmpty && !other.isEmpty)
+            acc.or(RoaringBitmap.and(cell, other))
           t += 1
         }
         acc

@@ -20,9 +20,15 @@ class RandomQueryParitySpec extends AnyFunSuite with Matchers {
   private lazy val stg = IndexSettings(
     searchableFields = Seq("text"), filterableFields = Set("lang"),
     sortableFields = Set("lang", "url"))
+  // corpus size knob: bigger corpora engage the volume/byte gates, bound
+  // cells, and strata refinement WITHOUT forcing them (the forced-gate
+  // test below stays the small-corpus net) — e.g.
+  // SPARK_GRAFT_PARITY_DOCS=10000 SPARK_GRAFT_PARITY_CASES=200
+  private val nDocs =
+    sys.env.get("SPARK_GRAFT_PARITY_DOCS").map(_.toLong).getOrElse(2500L)
   private lazy val dir: String = {
     val d = graft.TestSpark.tempDir("graft-randparity")
-    new IndexBuilder(spark, stg).build(WebPages.generate(spark, 2500), d, resume = false)
+    new IndexBuilder(spark, stg).build(WebPages.generate(spark, nDocs), d, resume = false)
     d
   }
   private lazy val index = GraftIndex(spark, dir, stg)
