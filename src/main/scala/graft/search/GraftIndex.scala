@@ -946,9 +946,18 @@ class GraftIndex(val spark: SparkSession, val dir: String, val settings: IndexSe
     val bands = DirectParquet.keyBands(lefts)
     val nGroups = DirectParquet.bandGroupCount(fts, bands)
     if (nGroups > groupCap) return None
+    // conjunctive page band over the rights' span: every wanted row has
+    // w2 ∈ rightSet ⊆ [min, max], and w2 is sorted inside each w1 run —
+    // a narrow span (one prefix's extensions) prunes a stop word's run to
+    // its own pages; a wide span degrades to a no-op, never to a miss
+    val second = {
+      val sorted = rights.sorted
+      ("w2", DirectParquet.keyBands(Seq(sorted.head)).head._1,
+        DirectParquet.keyBands(Seq(sorted.last)).head._2)
+    }
     val out = Map.newBuilder[String, RoaringBitmap]
     var rows = 0L
-    val ok = DirectParquet.scanBands(fts, bands) { g =>
+    val ok = DirectParquet.scanBands(fts, bands, Some(second)) { g =>
       rows += 1
       val b = g.getString("w2", 0)
       if (rightSet(b)) {
@@ -1236,8 +1245,14 @@ class GraftIndex(val spark: SparkSession, val dir: String, val settings: IndexSe
             val wordSet = words.toSet
             val fts = footersFor(tblName, "prefix")
             val out = Seq.newBuilder[(String, RoaringBitmap)]
+            // conjunctive page band over the words' span (same argument as
+            // directPairRows: wanted rows have wordCol ∈ wordSet ⊆ span)
+            val sortedW = words.sorted
+            val second = (wordCol,
+              DirectParquet.keyBands(Seq(sortedW.head)).head._1,
+              DirectParquet.keyBands(Seq(sortedW.last)).head._2)
             val ok = DirectParquet.scanBands(fts,
-              DirectParquet.keyBands(pfxs)) { g =>
+              DirectParquet.keyBands(pfxs), Some(second)) { g =>
               val w = g.getString(wordCol, 0)
               if (wordSet(w)) {
                 val p = g.getString("prefix", 0)
