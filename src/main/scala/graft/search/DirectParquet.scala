@@ -292,4 +292,23 @@ object DirectParquet {
     val lo = utf8(p)
     (lo, lo ++ Array.fill(8)(0xff.toByte))
   }
+
+  /** Span band [min, max] of `keys` in UTF-8 BYTE order — the order the
+    * column index prunes with. java.lang.String order diverges for
+    * supplementary-plane words (surrogate pairs sort below U+E000..U+FFFF
+    * in UTF-16 but above them in UTF-8), and the tokenizer emits both
+    * (Han unigrams incl. extensions, fullwidth/compat BMP forms) — a
+    * String-ordered span can be empty or exclude a wanted key, silently
+    * dropping rows with no fallback. */
+  def spanBand(keys: Seq[String]): (Array[Byte], Array[Byte]) = {
+    require(keys.nonEmpty, "spanBand of no keys")
+    var lo: Array[Byte] = null
+    var hi: Array[Byte] = null
+    keys.foreach { k =>
+      val b = utf8(k)
+      if (lo == null || cmpBytes(b, lo) < 0) lo = b
+      if (hi == null || cmpBytes(b, hi) > 0) hi = b
+    }
+    (lo, hi)
+  }
 }

@@ -949,11 +949,12 @@ class GraftIndex(val spark: SparkSession, val dir: String, val settings: IndexSe
     // conjunctive page band over the rights' span: every wanted row has
     // w2 ∈ rightSet ⊆ [min, max], and w2 is sorted inside each w1 run —
     // a narrow span (one prefix's extensions) prunes a stop word's run to
-    // its own pages; a wide span degrades to a no-op, never to a miss
+    // its own pages; a wide span degrades to a no-op, never to a miss.
+    // The span MUST be byte-ordered (DirectParquet.spanBand) — String
+    // order diverges on supplementary-plane words
     val second = {
-      val sorted = rights.sorted
-      ("w2", DirectParquet.keyBands(Seq(sorted.head)).head._1,
-        DirectParquet.keyBands(Seq(sorted.last)).head._2)
+      val (lo, hi) = DirectParquet.spanBand(rights)
+      ("w2", lo, hi)
     }
     val out = Map.newBuilder[String, RoaringBitmap]
     var rows = 0L
@@ -1246,11 +1247,12 @@ class GraftIndex(val spark: SparkSession, val dir: String, val settings: IndexSe
             val fts = footersFor(tblName, "prefix")
             val out = Seq.newBuilder[(String, RoaringBitmap)]
             // conjunctive page band over the words' span (same argument as
-            // directPairRows: wanted rows have wordCol ∈ wordSet ⊆ span)
-            val sortedW = words.sorted
-            val second = (wordCol,
-              DirectParquet.keyBands(Seq(sortedW.head)).head._1,
-              DirectParquet.keyBands(Seq(sortedW.last)).head._2)
+            // directPairRows: wanted rows have wordCol ∈ wordSet ⊆ span;
+            // byte-ordered — see DirectParquet.spanBand)
+            val second = {
+              val (lo, hi) = DirectParquet.spanBand(words)
+              (wordCol, lo, hi)
+            }
             val ok = DirectParquet.scanBands(fts,
               DirectParquet.keyBands(pfxs), Some(second)) { g =>
               val w = g.getString(wordCol, 0)

@@ -271,25 +271,33 @@ final class DwpCache(index: GraftIndex, maxBytes: Long = 256L << 20) {
     }
   }
 
+  /** Fetched rows → per-word / per-prefix docid-sorted arrays (the rank
+    * path binary-searches each array by docid; collect() order is
+    * per-partition only). One grouping pass — not a filter per key, which
+    * was O(keys × rows) on wide miss batches (measured ~2× the fetch
+    * itself at 200+ words over a 30k-row restricted slice). */
+  private def groupFetched(rows: Rows, words: Seq[String],
+      prefixes: Seq[String]): (Map[String, Rows], Map[String, Rows]) = {
+    val byWord: Map[String, Rows] = rows.groupBy(_._2)
+    val fetchedW: Map[String, Rows] =
+      words.iterator.map(w =>
+        w -> byWord.getOrElse(w, Array.empty[(Int, String, Array[Int])])
+          .sortBy(_._1)).toMap
+    val fetchedP: Map[String, Rows] =
+      prefixes.iterator.map { p =>
+        val ws = byWord.keysIterator.filter(_.startsWith(p)).toSeq
+        p -> ws.iterator.flatMap(byWord(_)).toArray.sortBy(_._1)
+      }.toMap
+    (fetchedW, fetchedP)
+  }
+
   def get(words: Seq[String], prefixes: Seq[String],
       allowDirect: Boolean = true)
       : (Map[String, Rows], Map[String, Rows]) = {
     val (hitW, hitP, missW, missP) = splitHits(words.distinct, prefixes.distinct)
     if (missW.isEmpty && missP.isEmpty) return (hitW, hitP)
     val rows = scanRows(missW, missP, None, allowDirect)
-    // entries are docid-SORTED (collect() order is per-partition only):
-    // the rank path binary-searches each array by docid. One grouping
-    // pass — not a filter per key (O(keys × rows) on wide miss batches)
-    val byWord: Map[String, Rows] = rows.groupBy(_._2)
-    val fetchedW: Map[String, Rows] =
-      missW.iterator.map(w =>
-        w -> byWord.getOrElse(w, Array.empty[(Int, String, Array[Int])])
-          .sortBy(_._1)).toMap
-    val fetchedP: Map[String, Rows] =
-      missP.iterator.map { p =>
-        val ws = byWord.keysIterator.filter(_.startsWith(p)).toSeq
-        p -> ws.iterator.flatMap(byWord(_)).toArray.sortBy(_._1)
-      }.toMap
+    val (fetchedW, fetchedP) = groupFetched(rows, missW, missP)
     val out = synchronized {
       (fetchedW.iterator.map { case (w, a) => ("w:" + w, a) } ++
         fetchedP.iterator.map { case (p, a) => ("p:" + p, a) }).foreach {
@@ -375,19 +383,7 @@ final class DwpCache(index: GraftIndex, maxBytes: Long = 256L << 20) {
       if (lightW.nonEmpty || lightP.nonEmpty) get(lightW, lightP)
       else (Map.empty[String, Rows], Map.empty[String, Rows])
     val rows = scanRows(heavyW, heavyP, Some(docids))
-    // one grouping pass instead of a filter per key: a wide derivation set
-    // (200+ heavy words over a 30k-row restricted slice) paid
-    // O(keys × rows) string scans here — measured ~2× the fetch itself
-    val byWord: Map[String, Rows] = rows.groupBy(_._2)
-    val fetchedW: Map[String, Rows] =
-      heavyW.iterator.map(w =>
-        w -> byWord.getOrElse(w, Array.empty[(Int, String, Array[Int])])
-          .sortBy(_._1)).toMap
-    val fetchedP: Map[String, Rows] =
-      heavyP.iterator.map { p =>
-        val ws = byWord.keysIterator.filter(_.startsWith(p)).toSeq
-        p -> ws.iterator.flatMap(byWord(_)).toArray.sortBy(_._1)
-      }.toMap
+    val (fetchedW, fetchedP) = groupFetched(rows, heavyW, heavyP)
     val fillW = heavyW.filter(w => filling.add("w:" + w))
     val fillP = heavyP.filter(p => filling.add("p:" + p))
     // memo BEFORE scheduling the fill: the fill's completion clears it,

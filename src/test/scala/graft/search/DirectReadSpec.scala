@@ -99,6 +99,21 @@ class DirectReadSpec extends AnyFunSuite with Matchers {
       }
   }
 
+  test("spanBand orders by UTF-8 bytes, not UTF-16 strings") {
+    // the tokenizer emits BOTH supplementary-plane Han unigrams (surrogate
+    // pairs, which sort LOW in UTF-16) and BMP words ≥ U+E000 (compat
+    // ideographs, fullwidth forms — which sort HIGH in UTF-16 but LOW in
+    // UTF-8): a String-ordered span is INVERTED for this mix, i.e. an
+    // empty page band that silently drops every pair row
+    val bmp = "豈" // CJK compat ideograph, UTF-8 EF A4 80
+    val supp = new String(Character.toChars(0x20000)) // UTF-8 F0 A0 80 80
+    withClue("fixture must expose the divergence: ")(
+      bmp.compareTo(supp) should be > 0) // String order: supp < bmp
+    val (lo, hi) = DirectParquet.spanBand(Seq(bmp, supp))
+    new String(lo, "UTF-8") shouldBe bmp // byte order: bmp < supp
+    new String(hi, "UTF-8") shouldBe supp
+  }
+
   test("broad-prefix prox rows resolve via the direct ranged read, zero Spark aggregations") {
     assume(DirectParquet.enabled)
     val spark = TestSpark.spark
