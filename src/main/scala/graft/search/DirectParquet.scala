@@ -6,7 +6,7 @@ import org.apache.parquet.ParquetReadOptions
 import org.apache.parquet.example.data.Group
 import org.apache.parquet.example.data.simple.convert.GroupRecordConverter
 import org.apache.parquet.filter2.compat.FilterCompat
-import org.apache.parquet.filter2.predicate.FilterApi
+import org.apache.parquet.filter2.predicate.{FilterApi, FilterPredicate}
 import org.apache.parquet.hadoop.ParquetFileReader
 import org.apache.parquet.hadoop.metadata.{BlockMetaData, FileMetaData, ParquetMetadata}
 import org.apache.parquet.hadoop.util.HadoopInputFile
@@ -47,6 +47,11 @@ object DirectParquet {
     * Spark fallback). */
   val reads = new java.util.concurrent.atomic.AtomicLong()
   val fallbacks = new java.util.concurrent.atomic.AtomicLong()
+
+  /** Rows actually decoded (post page-pruning) — specs assert that a
+    * docid-restricted point read of a fat word run decodes its wanted
+    * PAGES, not the run. */
+  val rowsDecoded = new java.util.concurrent.atomic.AtomicLong()
 
   private val conf = new Configuration(false) // local FS only — no cluster conf
 
@@ -155,7 +160,8 @@ object DirectParquet {
         }))
 
   def scanBands(footers: TableFooters, bands: Seq[(Array[Byte], Array[Byte])],
-      secondBand: Option[(String, Array[Byte], Array[Byte])] = None)
+      secondBand: Option[(String, Array[Byte], Array[Byte])] = None,
+      intPoints: Option[(String, Array[Int])] = None)
       (each: Group => Unit): Boolean = {
     if (!enabled) return false
     try {
@@ -177,11 +183,28 @@ object DirectParquet {
       // to the matching pages instead of decoding the key's whole run
       // (e.g. pair rows (w1 = stop word, w2 startsWith prefix)). Row-group
       // SELECTION above stays keyCol-only — this only tightens page reads.
-      val pred = secondBand.fold(bandPred) { case (c, lo, hi) =>
+      val pred0 = secondBand.fold(bandPred) { case (c, lo, hi) =>
         val col2 = FilterApi.binaryColumn(c)
         FilterApi.and(bandPred, FilterApi.and(
           FilterApi.gtEq(col2, Binary.fromConstantByteArray(lo)),
           FilterApi.ltEq(col2, Binary.fromConstantByteArray(hi))))
+      }
+      // optional int-column POINT set (docid-restricted rank fetches): on
+      // the (word, docid)-sorted forward index a word run's pages are
+      // docid-sorted, so point predicates over the ~30 chosen docids keep
+      // ~1 page per (word, docid) instead of the word's whole run. This
+      // must be an OR of Eq's, NOT FilterApi.in — parquet-mr's column
+      // index evaluates In by the set's [min, max] SPAN only (MinMax +
+      // ltEq/gtEq, ColumnIndexBuilder.visit(In)), which a scattered docid
+      // set always covers; Eq binary-searches the ascending page
+      // boundaries per value. Page-prune-only like the rest of the
+      // predicate: surviving pages carry neighbouring rows, callers
+      // re-check keys AND docids.
+      val pred = intPoints.fold(pred0) { case (c, vs) =>
+        val col = FilterApi.intColumn(c)
+        FilterApi.and(pred0,
+          vs.map(v => FilterApi.eq(col, Int.box(v)): FilterPredicate)
+            .reduce(FilterApi.or(_, _)))
       }
       val filter = FilterCompat.get(pred)
       // one task = one private reader over a CHUNK of a file's row groups —
@@ -246,6 +269,7 @@ object DirectParquet {
                 each.synchronized(each(g))
               n += 1
             }
+            rowsDecoded.addAndGet(total)
             pages = r.readNextFilteredRowGroup()
           }
         } finally r.close()

@@ -881,14 +881,35 @@ class GraftIndex(val spark: SparkSession, val dir: String, val settings: IndexSe
   private[search] def directDwpRows(words: Seq[String], prefixes: Seq[String],
       docs: Option[Array[Int]]): Option[Array[(Int, String, Array[Int])]] = {
     if (!dwpDirectPaged) return None
+    // docid POINT pruning for restricted fetches: within one word's run
+    // the rows are docid-sorted, so an In over the chosen docids keeps
+    // ~1 page per (word, docid) — a 200k-row stop-word run restricted to
+    // 30 drained docs decodes ~30k rows, not the run. Only for small
+    // chosen sets: the column index evaluates the point set per page.
+    val docPoints: Option[Array[Int]] =
+      docs.filter(_.length <= GraftIndex.DwpDocPointsMax)
     // volume gate: the driver-side Group decode runs ~1.5M rows/s on the
     // 4-thread pool, the 32-way vectorized Spark scan ~50M — past ~256k
     // estimated postings (≳ 170 ms decode) the full scan's ~250–400 ms
     // floor is the better deal AND doesn't occupy the serving pool.
     // (Estimate = Σ df + prefix ranges off the pinned dict; no pinned
-    // dict → no price → stay on Spark for safety.)
-    if (!estimatePostings(words, prefixes).exists(_ <= GraftIndex.DwpDirectMaxRows))
-      return None
+    // dict → no price → stay on Spark for safety.) With docid points the
+    // per-WORD decode is page-bounded — min(df, (|docs|+2)·pageRows) —
+    // so frequent-word restricted fetches stay direct at any corpus size;
+    // prefix RANGES keep the unrestricted price (a range interleaves many
+    // short word runs whose pages a point set may not prune).
+    val estimate: Option[Long] = docPoints match {
+      case Some(ds) =>
+        dictIndex.map { _ =>
+          val perWordCap = (ds.length.toLong + 2) * graft.index.TableIO.DwpPageRows
+          val m = dfLocal.get
+          words.iterator.map { w =>
+            math.min(Option(m.get(w)).map(_.longValue()).getOrElse(0L), perWordCap)
+          }.sum + estimatePostings(Nil, prefixes).getOrElse(0L)
+        }
+      case None => estimatePostings(words, prefixes)
+    }
+    if (!estimate.exists(_ <= GraftIndex.DwpDirectMaxRows)) return None
     val bands = DirectParquet.keyBands(words) ++
       prefixes.map(DirectParquet.prefixBand)
     if (bands.isEmpty) return Some(Array.empty)
@@ -902,7 +923,8 @@ class GraftIndex(val spark: SparkSession, val dir: String, val settings: IndexSe
       val b = new RoaringBitmap(); ds.foreach(b.add); b
     }
     val out = Array.newBuilder[(Int, String, Array[Int])]
-    val ok = DirectParquet.scanBands(fts, bands) { g =>
+    val ok = DirectParquet.scanBands(fts, bands,
+        intPoints = docPoints.map(("docid", _))) { g =>
       val w = g.getString("word", 0)
       if (wordSet(w) || prefixes.exists(w.startsWith)) {
         val d = g.getInteger("docid", 0)
@@ -1659,9 +1681,17 @@ object GraftIndex {
     * crossover: the pool decodes ~1.5M rows/s (412k-row fetch ≈ 285 ms
     * vs the same Spark scan's 646 ms), so up to ~1M rows the direct read
     * wins; beyond it the fully-parallel scan does. */
-  private[search] val DwpDirectMaxRows: Long =
+  private[search] var DwpDirectMaxRows: Long = // var: specs clamp the gate
     sys.env.get("SPARK_GRAFT_DWP_DIRECT_MAX_ROWS").map(_.toLong)
       .getOrElse(1L << 20)
+
+  /** Chosen-docid cap for docid-point page pruning on restricted direct
+    * forward-index reads; larger chosen sets skip the point predicate
+    * (the column-index In evaluation is O(pages × log points) per touched
+    * group — cheap for a drain page's ~20–60 docs, not for a 8k-doc
+    * verification slice). */
+  private[search] val DwpDocPointsMax: Int =
+    sys.env.get("SPARK_GRAFT_DWP_DOC_POINTS_MAX").map(_.toInt).getOrElse(256)
 
   /** Driver-pinned per-field sort values: min/max numeric value and min/max
     * string norm per docid (keep-first facet-sort semantics: asc reads the

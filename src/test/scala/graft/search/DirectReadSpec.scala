@@ -173,4 +173,73 @@ class DirectReadSpec extends AnyFunSuite with Matchers {
       }
     }
   }
+
+  test("docid point set prunes a fat word run to the wanted pages") {
+    assume(DirectParquet.enabled)
+    // dwp-shaped table: ONE word whose run spans ~20 fine pages; a
+    // restricted read of 2 scattered docids must decode ~2 pages, not the
+    // run. intPoints is page-prune-only: the callback re-checks docids.
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val dir = graft.TestSpark.tempDir("direct-docpoints")
+    val n = 20000
+    spark.range(n).map(i => ("common", i.toInt)).toDF("word", "docid")
+      .coalesce(1).sortWithinPartitions("word", "docid")
+      .write.mode("overwrite")
+      .option("parquet.page.row.count.limit",
+        graft.index.TableIO.DwpPageRows.toString)
+      .parquet(dir)
+    val fts = new DirectParquet.TableFooters(dir, "word")
+    val bands = DirectParquet.keyBands(Seq("common"))
+    val wanted = Array(137, n - 201)
+    val before = DirectParquet.rowsDecoded.get()
+    var got = Vector.empty[Int]
+    val ok = DirectParquet.scanBands(fts, bands,
+        intPoints = Some(("docid", wanted))) { g =>
+      val d = g.getInteger("docid", 0)
+      if (g.getString("word", 0) == "common" && wanted.contains(d)) got :+= d
+    }
+    ok shouldBe true
+    got.sorted shouldBe wanted.sorted.toVector
+    val decoded = DirectParquet.rowsDecoded.get() - before
+    withClue(s"decoded $decoded of $n rows — docid pages not pruned: ")(
+      decoded should be <= (4L * graft.index.TableIO.DwpPageRows))
+  }
+
+  test("docid points keep frequent-word restricted fetches direct past the volume gate") {
+    assume(DirectParquet.enabled)
+    val spark = TestSpark.spark
+    val stg = graft.index.IndexSettings(searchableFields = Seq("text"))
+    val dir = graft.TestSpark.tempDir("direct-docpoints-idx")
+    new graft.index.IndexBuilder(spark, stg)
+      .build(graft.webgen.WebPages.generate(spark, 20000), dir, resume = false)
+    val idx = GraftIndex(spark, dir, stg)
+    idx.warm()
+    val df = idx.wordDocumentsCount("the")
+    withClue("fixture must have a fat run: ")(
+      df should be > (8L * graft.index.TableIO.DwpPageRows))
+    // ground truth through the Spark scan (restricted In predicate)
+    val truth = GraftIndex(spark, dir, stg)
+    truth.warm()
+    val (fullW, _) = truth.dwpCache.get(Seq("the"), Nil, allowDirect = false)
+    val all = fullW("the").map(_._1).distinct.sorted
+    val docids = Array(all.head, all(all.length / 2), all.last)
+    val saved = GraftIndex.DwpDirectMaxRows
+    // clamp the gate BELOW df: the unrestricted direct read must refuse,
+    // the docid-point read (page-bounded decode) must still engage
+    GraftIndex.DwpDirectMaxRows = df - 1
+    try {
+      idx.directDwpRows(Seq("the"), Nil, None) shouldBe None
+      val before = DirectParquet.rowsDecoded.get()
+      val got = idx.directDwpRows(Seq("the"), Nil, Some(docids))
+      withClue("restricted direct read refused under the clamped gate: ")(
+        got.isDefined shouldBe true)
+      val decoded = DirectParquet.rowsDecoded.get() - before
+      withClue(s"decoded $decoded rows for 3 docids of a $df-row run: ")(
+        decoded should be < df)
+      val expect = fullW("the").filter(r => docids.contains(r._1))
+        .map(r => (r._1, r._2, r._3.toSeq)).sortBy(_._1).toSeq
+      got.get.map(r => (r._1, r._2, r._3.toSeq)).sortBy(_._1).toSeq shouldBe expect
+    } finally GraftIndex.DwpDirectMaxRows = saved
+  }
 }
