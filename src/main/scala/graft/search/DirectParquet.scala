@@ -200,7 +200,10 @@ object DirectParquet {
       // boundaries per value. Page-prune-only like the rest of the
       // predicate: surviving pages carry neighbouring rows, callers
       // re-check keys AND docids.
-      val pred = intPoints.fold(pred0) { case (c, vs) =>
+      // an EMPTY point set would throw from the reduce below and demote the
+      // read to a Spark fallback; treat it as "no restriction" instead —
+      // callers re-check docids at assembly, so this is prune-only anyway
+      val pred = intPoints.filter(_._2.nonEmpty).fold(pred0) { case (c, vs) =>
         val col = FilterApi.intColumn(c)
         FilterApi.and(pred0,
           vs.map(v => FilterApi.eq(col, Int.box(v)): FilterPredicate)

@@ -1685,6 +1685,16 @@ object GraftIndex {
     sys.env.get("SPARK_GRAFT_DWP_DIRECT_MAX_ROWS").map(_.toLong)
       .getOrElse(1L << 20)
 
+  /** Test hook: run `f` with the direct-read volume gate clamped, restore
+    * guaranteed — specs must use this instead of assigning the var (a
+    * missed restore would silently flip every later query in the JVM to
+    * the Spark scan path). */
+  private[search] def withDwpMaxRows[A](rows: Long)(f: => A): A = {
+    val saved = DwpDirectMaxRows
+    DwpDirectMaxRows = rows
+    try f finally DwpDirectMaxRows = saved
+  }
+
   /** Chosen-docid cap for docid-point page pruning on restricted direct
     * forward-index reads; larger chosen sets skip the point predicate
     * (the column-index In evaluation is O(pages × log points) per touched

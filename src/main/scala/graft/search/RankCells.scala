@@ -416,6 +416,22 @@ object RankCells {
     // token = one word), so the cap only engages on overlap.
     var sawOverlap = false
 
+    // one And node's ordered-pair material, behind the fetch budget —
+    // SHARED by lbCums's real fetch and the prefetch grouping below so the
+    // two can never silently diverge (the prefetch is invisible to tests:
+    // a drifted mirror would either re-introduce the cold double-decode or
+    // warm the wrong keys, with nothing failing)
+    def ownPairs(sides: Seq[Seq[String]], arity: Int)
+        : Option[Seq[(String, String)]] = {
+      val budget = sides.map(_.length.toLong)
+      if (budget.max * budget.sorted.apply(budget.length - 2) *
+          (if (arity == 2) 2 else 6) > MaxPairFetch) None
+      else Some((for {
+        i <- sides.indices; j <- sides.indices if i != j
+        u <- sides(i); v <- sides(j)
+      } yield (u, v)).distinct)
+    }
+
     /** cums of docs whose LOWER-BOUND internal proximity of `o` is ≤ p.
       * Query → length-1 (internal 0); Or → min over children (pointwise
       * union); And → permutation-chain pair bounds convolved with every
@@ -435,18 +451,12 @@ object RankCells {
         for {
           childCums <- traverse(cs.map(lbCums))
           sides <- traverse(cs.map(subtreeWords))
-          budget = sides.map(_.length.toLong)
-          if budget.max * budget.sorted.apply(budget.length - 2) *
-            (if (cs.length == 2) 2 else 6) <= MaxPairFetch
+          allPairs <- ownPairs(sides, cs.length)
         } yield {
           if (!sawOverlap)
             sawOverlap = sides.indices.exists(i => sides.indices.exists { j =>
               j > i && { val sj = sides(j).toSet; sides(i).exists(sj) }
             })
-          val allPairs = (for {
-            i <- sides.indices; j <- sides.indices if i != j
-            u <- sides(i); v <- sides(j)
-          } yield (u, v)).distinct
           val rows = index.pairProxBitmaps(allPairs)
           val universe = {
             val u = new RoaringBitmap()
@@ -507,42 +517,62 @@ object RankCells {
       if (!sawOverlap || cums.length <= 8) cums
       else cums.take(7) :+ cums.last
 
-    // PREFETCH: one batched pair fetch covering every And node's pair
-    // material, issued before the recursion — the per-And fetches inside
-    // lbCums then hit the bitmap cache. Without it the ngram-variant Ands
-    // of a 3-word tree fetch near-identical left-word bands twice,
-    // re-decoding the shared stop-word runs (measured 84 + 130 ms of the
-    // 1M-doc cold floor). Mirrors lbCums's own gates exactly: same And
-    // arity, same MaxPairFetch budget, children collected unconditionally
-    // (lbCums evaluates childCums before its budget guard).
-    def collectPairs(o: Op): Seq[(String, String)] = o match {
+    // PREFETCH: batched pair fetches issued before the recursion, so the
+    // per-And fetches inside lbCums hit the bitmap cache (the ngram-variant
+    // Ands of a 3-word tree otherwise re-decode the shared stop-word bands —
+    // measured 84 + 130 ms of the 1M-doc cold floor). The groups mirror
+    // lbCums exactly through the shared `ownPairs`: a node fetches iff
+    // every child subtree is lb-viable AND its own budget passes (children
+    // of a 2..3-ary And are always EVALUATED by lbCums, so their own
+    // fetches happen even when a sibling is unviable; a 4-ary And's
+    // children are never evaluated — no recursion there). Groups merge
+    // ONLY when their word material overlaps: batching disjoint-vocabulary
+    // Ands would widen each left band's w2 span page-band (defeating the
+    // narrow-span pruning) and could push the combined bands past the
+    // direct reader's group cap, regressing individually-direct fetches
+    // to a full Spark scan.
+    def lbViable(o: Op): Boolean = o match {
+      case _: Query  => true
+      case Or(_, cs) => cs.forall(lbViable)
+      case And(cs)   => cs.length >= 2 && cs.length <= 3 &&
+        cs.forall(lbViable) &&
+        traverse(cs.map(subtreeWords)).flatMap(ownPairs(_, cs.length)).isDefined
+      case _ => false
+    }
+    def pairGroups(o: Op): Seq[Seq[(String, String)]] = o match {
       case And(cs) if cs.length >= 2 && cs.length <= 3 =>
-        val inner = cs.flatMap(collectPairs)
-        val own = traverse(cs.map(subtreeWords)) match {
-          case Some(sides) if {
-                val budget = sides.map(_.length.toLong)
-                budget.max * budget.sorted.apply(budget.length - 2) *
-                  (if (cs.length == 2) 2 else 6) <= MaxPairFetch
-              } =>
-            for { i <- sides.indices; j <- sides.indices if i != j
-                  u <- sides(i); v <- sides(j) } yield (u, v)
-          case _ => Nil
-        }
-        own ++ inner
-      case Or(_, cs) => cs.flatMap(collectPairs)
-      case _         => Nil
+        cs.flatMap(pairGroups) ++
+          (if (cs.forall(lbViable))
+             traverse(cs.map(subtreeWords)).flatMap(ownPairs(_, cs.length))
+           else None)
+      case Or(_, cs) => cs.flatMap(pairGroups)
+      case _         => Nil // Query / Phrase / arity > 3 (children unevaluated)
+    }
+    def prefetchPairs(o: Op): Unit = {
+      val groups = pairGroups(o).filter(_.nonEmpty)
+      if (groups.isEmpty) return
+      val words = groups.map(g =>
+        g.iterator.flatMap(p => Iterator(p._1, p._2)).toSet)
+      val parent = Array.tabulate(groups.length)(identity)
+      def find(i: Int): Int =
+        if (parent(i) == i) i
+        else { parent(i) = find(parent(i)); parent(i) }
+      for { i <- groups.indices; j <- (i + 1) until groups.length
+            if words(i).exists(words(j)) }
+        parent(find(j)) = find(i)
+      groups.indices.groupBy(find).values.foreach { idxs =>
+        index.pairProxBitmaps(idxs.flatMap(groups).distinct)
+      }
     }
 
     op match {
       // flat 2-side Ands keep the EXACT cells (proxCums) — bound cells are
       // only for the shapes exact algebra can't cover
       case And(cs) if cs.length >= 2 =>
-        val pre = collectPairs(op).distinct
-        if (pre.nonEmpty) index.pairProxBitmaps(pre)
+        prefetchPairs(op)
         lbCums(op).map(capRepeat)
       case Or(_, cs) if cs.nonEmpty =>
-        val pre = collectPairs(op).distinct
-        if (pre.nonEmpty) index.pairProxBitmaps(pre)
+        prefetchPairs(op)
         lbCums(op).map(capRepeat)
       case _ => None
     }

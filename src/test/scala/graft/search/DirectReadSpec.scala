@@ -224,11 +224,9 @@ class DirectReadSpec extends AnyFunSuite with Matchers {
     val (fullW, _) = truth.dwpCache.get(Seq("the"), Nil, allowDirect = false)
     val all = fullW("the").map(_._1).distinct.sorted
     val docids = Array(all.head, all(all.length / 2), all.last)
-    val saved = GraftIndex.DwpDirectMaxRows
     // clamp the gate BELOW df: the unrestricted direct read must refuse,
     // the docid-point read (page-bounded decode) must still engage
-    GraftIndex.DwpDirectMaxRows = df - 1
-    try {
+    GraftIndex.withDwpMaxRows(df - 1) {
       idx.directDwpRows(Seq("the"), Nil, None) shouldBe None
       val before = DirectParquet.rowsDecoded.get()
       val got = idx.directDwpRows(Seq("the"), Nil, Some(docids))
@@ -240,6 +238,6 @@ class DirectReadSpec extends AnyFunSuite with Matchers {
       val expect = fullW("the").filter(r => docids.contains(r._1))
         .map(r => (r._1, r._2, r._3.toSeq)).sortBy(_._1).toSeq
       got.get.map(r => (r._1, r._2, r._3.toSeq)).sortBy(_._1).toSeq shouldBe expect
-    } finally GraftIndex.DwpDirectMaxRows = saved
+    }
   }
 }
