@@ -202,16 +202,19 @@ object Bench {
     val thrLow = scaleDocs / secLow
     val thrHigh = scaleDocs / secHigh
     // Cross-pair best-of (fastest low + fastest high run from DIFFERENT
-    // pairs) is a useful diagnostic but can exceed 1.0 when external load
-    // clips one level of one pair — r4's driver headline read 1.262. The
-    // HEADLINE efficiency is therefore: best-of when it is physically
-    // plausible, else the best calm plausible single pair (same-window
-    // runs, loadavg ≤ calmLoad at both levels), else best-of with the
-    // load_contaminated flag already emitted alongside.
+    // pairs) is a useful diagnostic but a poor headline in BOTH directions:
+    // it exceeded 1.0 when load clipped one level (r4's driver read 1.262),
+    // and a single lucky-fast LOW window DEFLATES it below every same-window
+    // pair (fastest low raises the denominator) while staying inside the
+    // plausible band — masking a measured calm 0.85+ pair behind, say, 0.67.
+    // The HEADLINE efficiency is therefore the designed estimator first:
+    // the best calm plausible single pair (same-window runs, loadavg ≤
+    // calmLoad at both levels, eff ∈ [0.7, 1.0)); only when the host never
+    // yielded one does it fall back to best-of (with load_contaminated
+    // already emitted alongside when even that is implausible).
     val bestOfEfficiency = thrHigh / (thrLow * (highN.toDouble / lowN))
     val efficiency =
-      if (bestOfEfficiency >= 0.6 && bestOfEfficiency < 1.0) bestOfEfficiency
-      else pairs.filter(calmPair).map(eff).maxOption.getOrElse(bestOfEfficiency)
+      pairs.filter(calmPair).map(eff).maxOption.getOrElse(bestOfEfficiency)
 
     // ---- phase 3: query serving on a persistent index at full parallelism
     val mtClients = sys.env.getOrElse("SPARK_GRAFT_MT_CLIENTS", "8").toInt
