@@ -59,8 +59,15 @@ object TableIO {
     (if (dwp || pair)
        w.option("parquet.page.row.count.limit", DwpPageRows.toString)
      else w).parquet(path)
-    if (dwp) new java.io.File(path, DwpPageMarker).createNewFile()
-    if (pair) new java.io.File(path, PairPageMarker).createNewFile()
+    // the marker CONTENT records the page-row cap the files were written
+    // under: the serving volume gate prices page-bounded decodes with it,
+    // and the build-time value (env-overridable) need not match the
+    // serve-time one. Empty/older markers fall back to the serve default.
+    def mark(name: String): Unit =
+      java.nio.file.Files.write(java.nio.file.Paths.get(path, name),
+        DwpPageRows.toString.getBytes("UTF-8"))
+    if (dwp) mark(DwpPageMarker)
+    if (pair) mark(PairPageMarker)
   }
 
   /** Atomic-ish table replace: write to side dir then swap. */
@@ -194,6 +201,21 @@ object TableIO {
       if (touchedF.isEmpty) spark.read.parquet(oldPath).limit(0)
       else spark.read.parquet(touchedF.map(_._1): _*)
     writeParquet(merge(touchedDf, deltaDf), tmp)
+    // untouched files carry over byte-for-byte: if they were written under
+    // a LARGER page-row cap than this JVM's, the fresh marker writeParquet
+    // just wrote would under-price them — keep the max of the two
+    Seq(DwpPageMarker, PairPageMarker).foreach { m =>
+      val oldF = new java.io.File(oldPath, m)
+      val newF = new java.io.File(tmp, m)
+      if (oldF.exists() && newF.exists()) {
+        def rows(f: java.io.File): Long = scala.util.Try(new String(
+          java.nio.file.Files.readAllBytes(f.toPath), UTF_8).trim.toLong)
+          .toOption.filter(_ > 0).getOrElse(0L)
+        if (rows(oldF) > rows(newF))
+          java.nio.file.Files.copy(oldF.toPath, newF.toPath,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+    }
     keepF.foreach { case (f, _) =>
       val src = java.nio.file.Paths.get(f)
       java.nio.file.Files.copy(src,
@@ -218,6 +240,25 @@ object TableIO {
       java.nio.file.Files.copy(f.toPath,
         java.nio.file.Paths.get(oldPath, s"inc-$stamp-${f.getName}"),
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    // page-marker content = the page-row cap the dir's files were written
+    // under; after mixing in delta files written under a LARGER cap the
+    // live marker must record the max, or the serving volume gate would
+    // under-price page-bounded decodes on the new files
+    Seq(DwpPageMarker, PairPageMarker).foreach { m =>
+      def rows(p: String): Option[Long] = {
+        val f = new java.io.File(p, m)
+        if (!f.exists()) None
+        else scala.util.Try(new String(
+          java.nio.file.Files.readAllBytes(f.toPath), "UTF-8").trim.toLong)
+          .toOption.filter(_ > 0)
+      }
+      (rows(oldPath), rows(newPath)) match {
+        case (Some(o), Some(n)) if n > o =>
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(oldPath, m), n.toString.getBytes("UTF-8"))
+        case _ => ()
+      }
     }
     invalidate(spark, oldPath)
     true

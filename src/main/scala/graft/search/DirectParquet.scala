@@ -200,14 +200,23 @@ object DirectParquet {
       // boundaries per value. Page-prune-only like the rest of the
       // predicate: surviving pages carry neighbouring rows, callers
       // re-check keys AND docids.
-      // an EMPTY point set would throw from the reduce below and demote the
-      // read to a Spark fallback; treat it as "no restriction" instead —
-      // callers re-check docids at assembly, so this is prune-only anyway
+      // an EMPTY point set would throw from the balanced-or below and demote
+      // the read to a Spark fallback; treat it as "no restriction" instead —
+      // callers re-check docids at assembly, so this is prune-only anyway.
+      // The OR tree must be BALANCED (depth log n): parquet-mr evaluates
+      // predicates recursively, and a left-deep fold over a large
+      // env-raised point set (SPARK_GRAFT_DWP_DOC_POINTS_MAX) would throw
+      // StackOverflowError — which NonFatal does NOT catch, killing the
+      // decode-pool thread under an Await with no timeout.
+      def balancedOr(ps: IndexedSeq[FilterPredicate], lo: Int, hi: Int): FilterPredicate =
+        if (hi - lo == 1) ps(lo)
+        else { val mid = (lo + hi) >>> 1
+               FilterApi.or(balancedOr(ps, lo, mid), balancedOr(ps, mid, hi)) }
       val pred = intPoints.filter(_._2.nonEmpty).fold(pred0) { case (c, vs) =>
         val col = FilterApi.intColumn(c)
-        FilterApi.and(pred0,
-          vs.map(v => FilterApi.eq(col, Int.box(v)): FilterPredicate)
-            .reduce(FilterApi.or(_, _)))
+        val eqs: IndexedSeq[FilterPredicate] =
+          vs.toIndexedSeq.map(v => FilterApi.eq(col, Int.box(v)): FilterPredicate)
+        FilterApi.and(pred0, balancedOr(eqs, 0, eqs.length))
       }
       val filter = FilterCompat.get(pred)
       // one task = one private reader over a CHUNK of a file's row groups —

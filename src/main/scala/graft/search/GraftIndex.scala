@@ -864,6 +864,20 @@ class GraftIndex(val spark: SparkSession, val dir: String, val settings: IndexSe
     DirectParquet.enabled && new java.io.File(
       s"$dir/${T.DocWordPositions}", graft.index.TableIO.DwpPageMarker).exists()
 
+  /** Page-row cap the committed forward index was actually WRITTEN under
+    * (marker content; older empty markers → serve-time default). The
+    * volume gate must price decodes with the build-time value: a dir
+    * built under SPARK_GRAFT_DWP_PAGE_ROWS=16k served with default 1k
+    * would otherwise under-estimate page-bounded decodes 16×. */
+  private[search] lazy val dwpPageRows: Long = {
+    val f = new java.io.File(
+      s"$dir/${T.DocWordPositions}", graft.index.TableIO.DwpPageMarker)
+    (if (f.exists())
+       scala.util.Try(new String(java.nio.file.Files.readAllBytes(f.toPath),
+         "UTF-8").trim.toLong).toOption.filter(_ > 0)
+     else None).getOrElse(graft.index.TableIO.DwpPageRows.toLong)
+  }
+
   /** Pair-table twin of [[dwpDirectPaged]]. */
   private[search] lazy val pairDirectPaged: Boolean =
     DirectParquet.enabled && new java.io.File(
@@ -901,7 +915,7 @@ class GraftIndex(val spark: SparkSession, val dir: String, val settings: IndexSe
     val estimate: Option[Long] = docPoints match {
       case Some(ds) =>
         dictIndex.map { _ =>
-          val perWordCap = (ds.length.toLong + 2) * graft.index.TableIO.DwpPageRows
+          val perWordCap = (ds.length.toLong + 2) * dwpPageRows
           val m = dfLocal.get
           words.iterator.map { w =>
             math.min(Option(m.get(w)).map(_.longValue()).getOrElse(0L), perWordCap)

@@ -233,8 +233,12 @@ class DirectReadSpec extends AnyFunSuite with Matchers {
       withClue("restricted direct read refused under the clamped gate: ")(
         got.isDefined shouldBe true)
       val decoded = DirectParquet.rowsDecoded.get() - before
+      // pin the PAGE-BOUNDED property the volume gate prices with
+      // ((|docs|+2)·pageRows per word) — `decoded < df` alone would pass
+      // a regression that keeps nearly every page of the run
       withClue(s"decoded $decoded rows for 3 docids of a $df-row run: ")(
-        decoded should be < df)
+        decoded should be <= ((docids.length + 2L) *
+          graft.index.TableIO.DwpPageRows))
       val expect = fullW("the").filter(r => docids.contains(r._1))
         .map(r => (r._1, r._2, r._3.toSeq)).sortBy(_._1).toSeq
       got.get.map(r => (r._1, r._2, r._3.toSeq)).sortBy(_._1).toSeq shouldBe expect
