@@ -222,8 +222,13 @@ object Bench {
     // bm25 mt8 166 QPS at loadavg 7.75 vs 6,255 in r3) — gate them behind
     // the same calm-wait the scaling pairs use, and record the pre-phase
     // loadavg so a contaminated window is visible in the JSON.
+    // 600 s shared across the serving waits (cold samples + 4 mt windows):
+    // the phase follows the 32-thread serving-index build whose 1-min
+    // loadavg tail alone can eat a 300 s budget (session-7 run entered mt
+    // at 3.66 with the budget spent and honestly flagged itself; the calm
+    // session-6 numbers were 14.6× apart from the flagged ones)
     var servingCalmBudgetNs =
-      sys.env.getOrElse("SPARK_GRAFT_MT_CALM_WAIT_SEC", "300").toInt * 1000000000L
+      sys.env.getOrElse("SPARK_GRAFT_MT_CALM_WAIT_SEC", "600").toInt * 1000000000L
     def waitForCalmServing(): Double = {
       var l = loadavg()
       while (l > calmLoad && servingCalmBudgetNs > 0) {
