@@ -146,15 +146,17 @@ object DirectParquet {
     * false too — the Spark path is the source of truth. */
   /** Decode pool: row-group decode is CPU-bound (snappy + Group assembly),
     * so multi-file reads fan out here instead of running single-threaded.
-    * Sized cores/4 (min 4, max 8): single-client fat reads chunk to ≤ 8
-    * tasks anyway, and under 8 concurrent serving clients a 4-thread pool
-    * queued one client's read behind another's (background fills are
-    * already routed OFF this pool — NOTES_ROUND5 #13b). */
+    * Sized cores/2 (min 4, max 12): MtColdProfile at 300k docs / 8 cold
+    * clients measured 8-client p50 206 → 143-157 ms going 8 → 12-16
+    * threads with single-client latency flat, and no further gain at 32 —
+    * the pool, not IO, was queueing one client's read behind another's
+    * (background fills are already routed OFF this pool — NOTES_ROUND5
+    * #13b, #43). */
   private val decodeEc: scala.concurrent.ExecutionContext =
     scala.concurrent.ExecutionContext.fromExecutorService(
       java.util.concurrent.Executors.newFixedThreadPool(
         sys.env.get("SPARK_GRAFT_DECODE_THREADS").map(_.toInt).getOrElse(
-          math.min(8, math.max(4, Runtime.getRuntime.availableProcessors() / 4))),
+          math.min(12, math.max(4, Runtime.getRuntime.availableProcessors() / 2))),
         (r: Runnable) => {
           val t = new Thread(r, "graft-direct-decode"); t.setDaemon(true); t
         }))
