@@ -46,6 +46,24 @@ object TableIO {
     * word's rows to its own pages. */
   val PairPageMarker = "_graft_pair_paged"
 
+  /** Page-row cap of dirs whose marker predates marker CONTENT (empty
+    * `createNewFile` markers): those files were written while the default
+    * was 1024 and no override path existed, so the value is known. */
+  val LegacyPageRows = 1024L
+
+  /** The page-row cap `dir`'s files were committed under. Absent marker →
+    * None (dir is not fine-paged; direct point reads must not engage).
+    * Present-but-empty / unparsable → [[LegacyPageRows]]. ONE helper on
+    * purpose: three divergent inline parses previously disagreed on the
+    * empty-marker case, under-pricing the serving volume gate. */
+  def readPageMarker(dir: String, name: String): Option[Long] = {
+    val f = new java.io.File(dir, name)
+    if (!f.exists()) None
+    else Some(scala.util.Try(new String(
+      java.nio.file.Files.readAllBytes(f.toPath), "UTF-8").trim.toLong)
+      .toOption.filter(_ > 0).getOrElse(LegacyPageRows))
+  }
+
   /** Parquet write with the serving row-group cap (+ fine-grained pages
     * for the forward index and the pair table — see [[DwpPageRows]]). */
   def writeParquet(df: DataFrame, path: String): Unit = {
@@ -201,19 +219,21 @@ object TableIO {
       if (touchedF.isEmpty) spark.read.parquet(oldPath).limit(0)
       else spark.read.parquet(touchedF.map(_._1): _*)
     writeParquet(merge(touchedDf, deltaDf), tmp)
-    // untouched files carry over byte-for-byte: if they were written under
-    // a LARGER page-row cap than this JVM's, the fresh marker writeParquet
-    // just wrote would under-price them — keep the max of the two
+    // untouched files carry over byte-for-byte, so the fresh marker
+    // writeParquet just wrote can misdescribe them two ways: (a) the old
+    // dir had NO marker (pre-marker coarse pages spanning whole row
+    // groups) — a marker appearing now would turn direct point reads ON
+    // over those files, the exact regression the gate exists to prevent,
+    // so drop it unless every old file was rewritten; (b) the old files
+    // used a LARGER cap — keep the max so the volume gate never
+    // under-prices them.
     Seq(DwpPageMarker, PairPageMarker).foreach { m =>
-      val oldF = new java.io.File(oldPath, m)
       val newF = new java.io.File(tmp, m)
-      if (oldF.exists() && newF.exists()) {
-        def rows(f: java.io.File): Long = scala.util.Try(new String(
-          java.nio.file.Files.readAllBytes(f.toPath), UTF_8).trim.toLong)
-          .toOption.filter(_ > 0).getOrElse(0L)
-        if (rows(oldF) > rows(newF))
-          java.nio.file.Files.copy(oldF.toPath, newF.toPath,
-            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      (readPageMarker(oldPath, m), readPageMarker(tmp, m)) match {
+        case (None, Some(_)) if keepF.nonEmpty => newF.delete()
+        case (Some(o), Some(n)) if o > n =>
+          java.nio.file.Files.write(newF.toPath, o.toString.getBytes("UTF-8"))
+        case _ => ()
       }
     }
     keepF.foreach { case (f, _) =>
@@ -244,16 +264,12 @@ object TableIO {
     // page-marker content = the page-row cap the dir's files were written
     // under; after mixing in delta files written under a LARGER cap the
     // live marker must record the max, or the serving volume gate would
-    // under-price page-bounded decodes on the new files
+    // under-price page-bounded decodes on the new files. readPageMarker
+    // maps legacy EMPTY markers to their known 1024, so an old empty
+    // marker still loses to a raised delta cap. An old dir with NO marker
+    // stays unmarked (its own coarse files must keep direct reads off).
     Seq(DwpPageMarker, PairPageMarker).foreach { m =>
-      def rows(p: String): Option[Long] = {
-        val f = new java.io.File(p, m)
-        if (!f.exists()) None
-        else scala.util.Try(new String(
-          java.nio.file.Files.readAllBytes(f.toPath), "UTF-8").trim.toLong)
-          .toOption.filter(_ > 0)
-      }
-      (rows(oldPath), rows(newPath)) match {
+      (readPageMarker(oldPath, m), readPageMarker(newPath, m)) match {
         case (Some(o), Some(n)) if n > o =>
           java.nio.file.Files.write(
             java.nio.file.Paths.get(oldPath, m), n.toString.getBytes("UTF-8"))

@@ -146,17 +146,18 @@ object DirectParquet {
     * false too — the Spark path is the source of truth. */
   /** Decode pool: row-group decode is CPU-bound (snappy + Group assembly),
     * so multi-file reads fan out here instead of running single-threaded.
-    * Sized cores/2 (min 4, max 12): MtColdProfile at 300k docs / 8 cold
-    * clients measured 8-client p50 206 → 143-157 ms going 8 → 12-16
-    * threads with single-client latency flat, and no further gain at 32 —
-    * the pool, not IO, was queueing one client's read behind another's
-    * (background fills are already routed OFF this pool — NOTES_ROUND5
-    * #13b, #43). */
+    * Sized cores/2 (min 4, max 16): MtColdProfile at 300k docs / 8 cold
+    * clients (disjoint-range baseline, honest sampling) measured 8-client
+    * p50 243 / 173 / 150 ms at 8 / 12 / 16 threads (queueing ×2.28 /
+    * ×1.82 / ×1.57 over the single-client floor) with single-client
+    * latency flat, and no further gain at 32 — the pool, not IO, was
+    * queueing one client's read behind another's (background fills are
+    * already routed OFF this pool — NOTES_ROUND5 #13b, #43). */
   private val decodeEc: scala.concurrent.ExecutionContext =
     scala.concurrent.ExecutionContext.fromExecutorService(
       java.util.concurrent.Executors.newFixedThreadPool(
         sys.env.get("SPARK_GRAFT_DECODE_THREADS").map(_.toInt).getOrElse(
-          math.min(12, math.max(4, Runtime.getRuntime.availableProcessors() / 2))),
+          math.min(16, math.max(4, Runtime.getRuntime.availableProcessors() / 2))),
         (r: Runnable) => {
           val t = new Thread(r, "graft-direct-decode"); t.setDaemon(true); t
         }))

@@ -865,18 +865,14 @@ class GraftIndex(val spark: SparkSession, val dir: String, val settings: IndexSe
       s"$dir/${T.DocWordPositions}", graft.index.TableIO.DwpPageMarker).exists()
 
   /** Page-row cap the committed forward index was actually WRITTEN under
-    * (marker content; older empty markers → serve-time default). The
+    * (marker content; legacy empty markers → the then-only 1024). The
     * volume gate must price decodes with the build-time value: a dir
     * built under SPARK_GRAFT_DWP_PAGE_ROWS=16k served with default 1k
     * would otherwise under-estimate page-bounded decodes 16×. */
-  private[search] lazy val dwpPageRows: Long = {
-    val f = new java.io.File(
+  private[search] lazy val dwpPageRows: Long =
+    graft.index.TableIO.readPageMarker(
       s"$dir/${T.DocWordPositions}", graft.index.TableIO.DwpPageMarker)
-    (if (f.exists())
-       scala.util.Try(new String(java.nio.file.Files.readAllBytes(f.toPath),
-         "UTF-8").trim.toLong).toOption.filter(_ > 0)
-     else None).getOrElse(graft.index.TableIO.DwpPageRows.toLong)
-  }
+      .getOrElse(graft.index.TableIO.DwpPageRows.toLong)
 
   /** Pair-table twin of [[dwpDirectPaged]]. */
   private[search] lazy val pairDirectPaged: Boolean =

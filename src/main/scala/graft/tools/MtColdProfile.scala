@@ -45,20 +45,26 @@ object MtColdProfile {
 
     // disjoint rare ranges per (client, iteration): w5000.. has df ~1-30 at
     // 300k docs, so every query is a genuine cache miss with a restricted
-    // forward fetch; the +nDocs stride keeps reruns on a resumed index cold
-    val salt = (System.nanoTime() % 97).toInt * 211
+    // forward fetch. Driver caches are fresh per process; the salt only
+    // de-correlates word ranges ACROSS runs — and since the webgen vocab
+    // is just 50k words, a rerun against the same resumed index CAN
+    // overlap a prior run's OS page-cache footprint. Treat cross-run
+    // absolutes as ±noise; the within-run queueing RATIO is the signal.
+    // Bounds: max id = 5000 + 96·105 + (clients)·2500 + 23·73 + 13121
+    // < 50000 at the default 8 clients (client id `clients` = baseline).
+    val salt = (System.nanoTime() % 97).toInt * 105
     def query(c: Int, i: Int): String = {
       val base = 5000 + salt + c * 2500 + i * 73
       s"w$base w${base + 13121}"
     }
 
-    def run(nClients: Int): Seq[Double] = {
+    def run(nClients: Int, firstClient: Int): Seq[Double] = {
       val times = new java.util.concurrent.ConcurrentLinkedQueue[Double]()
       val pool = java.util.concurrent.Executors.newFixedThreadPool(nClients)
-      val futs = (0 until nClients).map { c =>
+      val futs = (0 until nClients).map { ci =>
         pool.submit(new Runnable {
           override def run(): Unit = (0 until perClient).foreach { i =>
-            val q = query(c, i)
+            val q = query(firstClient + ci, i)
             val t0 = System.nanoTime()
             search.execute(SearchRequest(query = Some(q), limit = 20))
             times.add((System.nanoTime() - t0) / 1e6)
@@ -73,10 +79,10 @@ object MtColdProfile {
     def pct(xs: Seq[Double], p: Double): Double =
       xs(math.min(xs.length - 1, (p * xs.length).toInt))
 
-    // single-client floor first (client id beyond the mt range keeps its
-    // words disjoint from the mt phase's)
-    val single = run(1)
-    val mt = run(clients)
+    // single-client floor first — its client id sits BEYOND the mt range
+    // (clients 0..N-1), so no mt sample replays a baseline-warmed word
+    val single = run(1, firstClient = clients)
+    val mt = run(clients, firstClient = 0)
     val reads = graft.search.DirectParquet.reads.get()
     val falls = graft.search.DirectParquet.fallbacks.get()
     println(f"[mtcold] docs=$nDocs decodeThreads=" +
