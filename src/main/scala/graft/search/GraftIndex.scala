@@ -860,6 +860,12 @@ class GraftIndex(val spark: SparkSession, val dir: String, val settings: IndexSe
     * direct point reader prunes at. Coarse-paged dirs (pre-marker builds)
     * keep the Spark scan: their word-column pages span whole row groups,
     * so a direct read would decode ~400k rows per touched group. */
+  /** Queries currently inside Search.execute on this handle — background
+    * complete fills defer (bounded) while nonzero, so their distributed
+    * scan lands after the cold query that scheduled them instead of
+    * competing with its driver-side ranking tail. */
+  private[search] val activeQueries = new java.util.concurrent.atomic.AtomicInteger(0)
+
   private[search] lazy val dwpDirectPaged: Boolean =
     DirectParquet.enabled && new java.io.File(
       s"$dir/${T.DocWordPositions}", graft.index.TableIO.DwpPageMarker).exists()

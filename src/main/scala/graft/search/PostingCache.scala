@@ -391,6 +391,16 @@ final class DwpCache(index: GraftIndex, maxBytes: Long = 256L << 20) {
     rMemo = RestrictedMemo(words, prefixes, docids,
       (hitW ++ lightFedW ++ fetchedW, hitP ++ lightFedP ++ fetchedP))
     if (fillW.nonEmpty || fillP.nonEmpty) filler.execute { () =>
+      // defer while any query is in flight (bounded): the fill's 32-thread
+      // Spark scan otherwise runs DURING the cold query that scheduled it,
+      // competing with its driver-side ranking tail (a 1M-doc cold probe
+      // captured a 519 ms fill job inside the query's own window). Under
+      // sustained load the bound expires and the fill proceeds — warm
+      // queries never need it, so the contention is gone either way.
+      val t0 = System.nanoTime()
+      while (index.activeQueries.get() > 0 &&
+          System.nanoTime() - t0 < PostingCache.FillDeferMaxNs)
+        Thread.sleep(20)
       // background fills take the DISTRIBUTED scan: a multi-hundred-ms
       // Group decode on the 4-thread direct pool starves the foreground
       // queries' point reads (measured: a 229 ms back-fill inflated the
@@ -417,4 +427,13 @@ final class DwpCache(index: GraftIndex, maxBytes: Long = 256L << 20) {
       prefixes: Seq[String], docids: Array[Int],
       result: (Map[String, Rows], Map[String, Rows]))
   @volatile private var rMemo: RestrictedMemo = null
+}
+
+object PostingCache {
+  /** Max time a background complete fill waits for in-flight queries to
+    * drain before running anyway (see the filler task in
+    * [[DwpCache.getForDocs]]). */
+  val FillDeferMaxNs: Long =
+    sys.env.get("SPARK_GRAFT_FILL_DEFER_MS").map(_.toLong)
+      .getOrElse(2000L) * 1000000L
 }

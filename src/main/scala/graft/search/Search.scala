@@ -277,6 +277,14 @@ class Search(index: GraftIndex,
   private val settings = index.settings
 
   def execute(req: SearchRequest): SearchResult = {
+    // in-flight marker: background complete fills defer (bounded) while any
+    // query runs — their 32-thread Spark scan otherwise competes with the
+    // scheduling query's own driver-side ranking tail (PostingCache)
+    index.activeQueries.incrementAndGet()
+    try executeImpl(req) finally index.activeQueries.decrementAndGet()
+  }
+
+  private def executeImpl(req: SearchRequest): SearchResult = {
     index.checkFresh() // stale-handle guard: caches pin the opened version
     val criteria: Seq[Criterion] =
       req.criteriaOverride.getOrElse(settings.criteria.map(Criterion.parse))
