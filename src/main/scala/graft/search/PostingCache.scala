@@ -397,15 +397,20 @@ final class DwpCache(index: GraftIndex, maxBytes: Long = 256L << 20) {
       // captured a 519 ms fill job inside the query's own window). Under
       // sustained load the bound expires and the fill proceeds — warm
       // queries never need it, so the contention is gone either way.
-      val t0 = System.nanoTime()
-      while (index.activeQueries.get() > 0 &&
-          System.nanoTime() - t0 < PostingCache.FillDeferMaxNs)
-        Thread.sleep(20)
       // background fills take the DISTRIBUTED scan: a multi-hundred-ms
       // Group decode on the 4-thread direct pool starves the foreground
       // queries' point reads (measured: a 229 ms back-fill inflated the
-      // next query's leaf fetches to ~230 ms)
-      try get(fillW, fillP, allowDirect = false)
+      // next query's leaf fetches to ~230 ms). The defer sleep sits
+      // INSIDE the try: an interrupt there (shutdown) must still clear
+      // the `filling` keys, or survivors would pin those words on the
+      // restricted path for the handle's lifetime.
+      try {
+        val t0 = System.nanoTime()
+        while (index.activeQueries.get() > 0 &&
+            System.nanoTime() - t0 < PostingCache.FillDeferMaxNs)
+          Thread.sleep(20)
+        get(fillW, fillP, allowDirect = false)
+      }
       catch {
         // rotated/poisoned handle is expected churn; anything else is
         // surfaced (repeated silent fill failures would pin every query
