@@ -57,4 +57,21 @@ class ServingConcurrencySpec extends AnyFunSuite with Matchers {
     pool.shutdown()
     withClue(failures.toString) { failures.isEmpty shouldBe true }
   }
+
+  // the background-fill defer waits for this counter to reach zero: a
+  // leaked increment would silently delay EVERY future fill by the full
+  // defer bound, so the balance must hold across success AND failure paths
+  test("activeQueries rebalances to zero across execute, incl. failures") {
+    val search = new Search(index)
+    index.activeQueries.get() shouldBe 0
+    search.execute(SearchRequest(query = Some("w10 "), limit = 5))
+    index.activeQueries.get() shouldBe 0
+    // sort without the Sort criterion throws inside executeImpl
+    intercept[IllegalArgumentException] {
+      search.execute(SearchRequest(query = Some("w10 "), limit = 5,
+        sortCriteria = Seq(SortSpec("lang", ascending = true)),
+        criteriaOverride = Some(Seq(Criterion.Words))))
+    }
+    index.activeQueries.get() shouldBe 0
+  }
 }
