@@ -94,7 +94,12 @@ class Bm25(index: GraftIndex, k1: Double = 1.2, b: Double = 0.75,
       maxDocid: Int, ub: Double, count: Int)
 
   /** Exact top-k. `prune = false` forces full scoring (the oracle path). */
-  def topK(terms: Seq[String], k: Int, prune: Boolean = true): Array[(Int, Double)] = {
+  def topK(terms: Seq[String], k: Int, prune: Boolean = true): Array[(Int, Double)] =
+    // in-flight marker: deferred background fills must not land mid-query
+    index.markQuery(topKImpl(terms, k, prune))
+
+  private def topKImpl(terms: Seq[String], k: Int,
+      prune: Boolean): Array[(Int, Double)] = {
     index.checkFresh() // stale-handle guard: caches pin the opened version
     val (_, avgdl) = stats
     val qterms = terms.distinct

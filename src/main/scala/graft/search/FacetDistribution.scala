@@ -24,7 +24,16 @@ class FacetDistribution(index: GraftIndex) {
       candidates: Option[RoaringBitmap] = None,
       maxValuesPerFacet: Int = 100,
       /** false forces the distributed aggregation (parity tests). */
-      allowLocal: Boolean = true): Map[String, Seq[(String, Long)]] = {
+      allowLocal: Boolean = true): Map[String, Seq[(String, Long)]] =
+    // in-flight marker: deferred background fills must not land mid-query
+    index.markQuery(
+      executeImpl(facets, candidates, maxValuesPerFacet, allowLocal))
+
+  private def executeImpl(
+      facets: Seq[String],
+      candidates: Option[RoaringBitmap],
+      maxValuesPerFacet: Int,
+      allowLocal: Boolean): Map[String, Seq[(String, Long)]] = {
     if (facets.isEmpty) return Map.empty
     // serving path: every requested field's rows pinned driver-side →
     // iterate in-process (zero jobs warm) — the reference's small-candidate

@@ -855,17 +855,25 @@ class GraftIndex(val spark: SparkSession, val dir: String, val settings: IndexSe
       .as[(String, Array[Byte])].collect()
       .map { case (k, b) => k -> Bitmaps.cboDeserialize(b) }.toMap
 
+  /** Queries currently in flight on this handle (ranked search, BM25,
+    * facet distribution) — background complete fills defer (bounded)
+    * while nonzero, so their distributed scan lands after the cold query
+    * that scheduled them instead of competing with its driver-side
+    * ranking tail. Every query entry point wraps itself in [[markQuery]];
+    * a leaked increment would silently delay every future fill by the
+    * full defer bound (balance pinned in ServingConcurrencySpec). */
+  private[search] val activeQueries = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  private[search] def markQuery[A](f: => A): A = {
+    activeQueries.incrementAndGet()
+    try f finally activeQueries.decrementAndGet()
+  }
+
   /** True when the committed forward index was written with fine-grained
     * pages ([[graft.index.TableIO.DwpPageRows]] marker) — the unit the
     * direct point reader prunes at. Coarse-paged dirs (pre-marker builds)
     * keep the Spark scan: their word-column pages span whole row groups,
     * so a direct read would decode ~400k rows per touched group. */
-  /** Queries currently inside Search.execute on this handle — background
-    * complete fills defer (bounded) while nonzero, so their distributed
-    * scan lands after the cold query that scheduled them instead of
-    * competing with its driver-side ranking tail. */
-  private[search] val activeQueries = new java.util.concurrent.atomic.AtomicInteger(0)
-
   private[search] lazy val dwpDirectPaged: Boolean =
     DirectParquet.enabled && new java.io.File(
       s"$dir/${T.DocWordPositions}", graft.index.TableIO.DwpPageMarker).exists()

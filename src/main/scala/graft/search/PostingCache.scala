@@ -390,13 +390,19 @@ final class DwpCache(index: GraftIndex, maxBytes: Long = 256L << 20) {
     // and that clear must never race an assignment that would outlive it
     rMemo = RestrictedMemo(words, prefixes, docids,
       (hitW ++ lightFedW ++ fetchedW, hitP ++ lightFedP ++ fetchedP))
-    if (fillW.nonEmpty || fillP.nonEmpty) filler.execute { () =>
+    if (fillW.nonEmpty || fillP.nonEmpty) {
       // defer while any query is in flight (bounded): the fill's 32-thread
       // Spark scan otherwise runs DURING the cold query that scheduled it,
       // competing with its driver-side ranking tail (a 1M-doc cold probe
       // captured a 519 ms fill job inside the query's own window). Under
       // sustained load the bound expires and the fill proceeds — warm
       // queries never need it, so the contention is gone either way.
+      // The deadline is stamped at SCHEDULE time, not task start: the
+      // filler is single-threaded, and per-task deadlines would let a
+      // backlog of K fills serialize at up to K × the bound under
+      // sustained load (and silently outlive awaitFills' timeout).
+      val deadline = System.nanoTime() + PostingCache.FillDeferMaxNs
+      filler.execute { () =>
       // background fills take the DISTRIBUTED scan: a multi-hundred-ms
       // Group decode on the 4-thread direct pool starves the foreground
       // queries' point reads (measured: a 229 ms back-fill inflated the
@@ -405,9 +411,8 @@ final class DwpCache(index: GraftIndex, maxBytes: Long = 256L << 20) {
       // the `filling` keys, or survivors would pin those words on the
       // restricted path for the handle's lifetime.
       try {
-        val t0 = System.nanoTime()
         while (index.activeQueries.get() > 0 &&
-            System.nanoTime() - t0 < PostingCache.FillDeferMaxNs)
+            System.nanoTime() < deadline)
           Thread.sleep(20)
         get(fillW, fillP, allowDirect = false)
       }
@@ -421,6 +426,7 @@ final class DwpCache(index: GraftIndex, maxBytes: Long = 256L << 20) {
       finally {
         fillW.foreach(w => filling.remove("w:" + w))
         fillP.foreach(p => filling.remove("p:" + p))
+      }
       }
     }
     (hitW ++ lightFedW ++ fetchedW, hitP ++ lightFedP ++ fetchedP)

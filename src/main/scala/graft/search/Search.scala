@@ -276,13 +276,11 @@ class Search(index: GraftIndex,
 
   private val settings = index.settings
 
-  def execute(req: SearchRequest): SearchResult = {
+  def execute(req: SearchRequest): SearchResult =
     // in-flight marker: background complete fills defer (bounded) while any
     // query runs — their 32-thread Spark scan otherwise competes with the
     // scheduling query's own driver-side ranking tail (PostingCache)
-    index.activeQueries.incrementAndGet()
-    try executeImpl(req) finally index.activeQueries.decrementAndGet()
-  }
+    index.markQuery(executeImpl(req))
 
   private def executeImpl(req: SearchRequest): SearchResult = {
     index.checkFresh() // stale-handle guard: caches pin the opened version

@@ -71,9 +71,13 @@ class LocalRankBitmapSpec extends AnyFunSuite with Matchers {
     val reqs = Seq(
       SearchRequest(query = Some("the w100 "), limit = 20),
       SearchRequest(query = Some("w3 w17 "), limit = 20))
-    // warm every cache path once
+    // warm every cache path once, then drain the warmup's own background
+    // complete fills — they now DEFER while queries are in flight
+    // (PostingCache), so without the quiesce their Spark scan lands
+    // inside the measurement window below
     reqs.foreach(search.execute)
     bm25.topK(Seq("w3", "w17"), 20)
+    index.quiesce()
     val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
     val listener = new org.apache.spark.scheduler.SparkListener {
       override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
