@@ -578,12 +578,16 @@ class IndexBuilder(spark: SparkSession, settings: IndexSettings) extends Seriali
   /** prefixes of length 1..=4 shared by ≥ threshold words
     * (words_prefixes_fst.rs:43-96). `words`: one row per distinct word. */
   def buildPrefixDictFrom(words: DataFrame): DataFrame =
-    (1 to settings.maxPrefixLength).map { n =>
-      words.where(length($"word") > n)
-        .select(substring($"word", 1, n).as("prefix"))
-        .groupBy($"prefix").agg(count(lit(1)).as("n_words"))
-        .where($"n_words" >= settings.prefixThreshold)
-    }.reduce(_ unionAll _)
+    // one explode + ONE count shuffle for all lengths 1..maxPrefixLength
+    // (was one groupBy shuffle per length unioned — 4× the jobs for the
+    // same rows; prefix n of word w exists iff length(w) > n, preserved
+    // by the sequence bound below)
+    words.where(length($"word") > 1)
+      .select(explode(transform(
+        sequence(lit(1), least(length($"word") - 1, lit(settings.maxPrefixLength))),
+        n => $"word".substr(lit(1), n))).as("prefix"))
+      .groupBy($"prefix").agg(count(lit(1)).as("n_words"))
+      .where($"n_words" >= settings.prefixThreshold)
       .repartitionByRange($"prefix").sortWithinPartitions("prefix")
 
   def buildPrefixDict(dir: String): DataFrame =
@@ -766,14 +770,14 @@ class IndexBuilder(spark: SparkSession, settings: IndexSettings) extends Seriali
     val base = spark.read.parquet(s"$dir/${T.DocFacetNumbers}")
       .select($"field", $"value".cast("double").as("bound"), $"docid")
     IndexBuilder.buildFacetLevels(spark,
-      onlyFields.fold(base)(fs => base.where($"field".isin(fs: _*))))
+      onlyFields.fold(base)(fs => base.where($"field".isin(fs: _*))), transient)
   }
 
   def buildFacetStringLevels(dir: String, onlyFields: Option[Seq[String]] = None): DataFrame = {
     val base = spark.read.parquet(s"$dir/${T.DocFacetStrings}")
       .select($"field", $"norm".as("bound"), $"docid")
     IndexBuilder.buildFacetLevels(spark,
-      onlyFields.fold(base)(fs => base.where($"field".isin(fs: _*))))
+      onlyFields.fold(base)(fs => base.where($"field".isin(fs: _*))), transient)
   }
 
   /** Rebuild every derived table (prefix dict + the four prefix posting
@@ -1675,63 +1679,237 @@ object IndexBuilder extends Serializable {
     * growing levels when the next level would hold fewer than
     * `FACET_MIN_LEVEL_SIZE` = 5 groups. Input: (field, bound, docid) with
     * `bound` orderable (double or string). */
-  def buildFacetLevels(spark: SparkSession, input: DataFrame): DataFrame = {
-    import spark.implicits._
+  def buildFacetLevels(spark: SparkSession, input: DataFrame,
+      register: DataFrame => DataFrame = identity): DataFrame = {
     val F = graft.functions.GraftFunctions
     val GroupSize = 4
     val MinLevelSize = 5
     // Per-field value rank WITHOUT a per-field window (which lands every
     // value of one field on a single task — a high-cardinality facet at
     // 10^9 docs would single-thread the build): range-partition + sort by
-    // (field, bound) gives a total order, zipWithIndex numbers it globally
-    // (two passes, same trick as assignDocids), and rank-within-field =
-    // global index − the field's first global index (one broadcast join).
-    val agg0 = input.groupBy(col("field"), col("bound"))
-      .agg(F.bitmap_or_agg(col("docid")).as("docids"))
-    val sorted = agg0.repartitionByRange(col("field"), col("bound"))
+    // (field, bound) gives a total order; per-(partition, field) entry
+    // counts (one tiny projection-only job) turn into driver-side prefix
+    // offsets, so every partition knows each row's rank within its field.
+    //
+    // ALL upper levels then build in ONE partition-local combine pass +
+    // ONE merge aggregation (the same partial-bitmap pattern as the pair
+    // tables): a level-ℓ group covers L0 ranks [g·4^ℓ, (g+1)·4^ℓ), so a
+    // partition emits per-level partials for the groups it overlaps (≤ 2
+    // boundary fragments per level) and `bitmap_union_agg` merges them.
+    // Replaces the former per-level loop (groupBy + persist + driver
+    // collect PER LEVEL — ~25 jobs/789 tasks per table at bench scale, the
+    // whole build's critical path) with 4 jobs total, and drops no
+    // parallelism: the partial pass is as wide as the data.
+    // L0 in ONE exchange: partition-local (field, bound) → bitmap combine,
+    // range shuffle of the pre-merged partials, streaming sorted-run merge
+    // (the wordPositionPartials pattern) — replaces hash-agg exchange +
+    // range exchange with a single range exchange of combined rows.
+    val boundType = input.schema("bound").dataType
+    val isDouble =
+      boundType == org.apache.spark.sql.types.DoubleType
+    val partialSchema0 = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("field",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("bound", boundType),
+      org.apache.spark.sql.types.StructField("partial",
+        org.apache.spark.sql.types.BinaryType)))
+    val l0Partials = spark.createDataFrame(
+      input.rdd.mapPartitions { it =>
+        val m = mutable.HashMap.empty[(String, Any), RoaringBitmap]
+        it.foreach { r =>
+          // Spark's groupBy normalizes -0.0 to 0.0 for float keys
+          // (NormalizeFloatingNumbers) — match it so boxed-key equality
+          // can't split a value group the old hash aggregation merged
+          val b0 = r.get(1)
+          val b = if (isDouble && b0 != null &&
+              b0.asInstanceOf[Double] == 0.0) java.lang.Double.valueOf(0.0)
+            else b0
+          m.getOrElseUpdate((r.getString(0), b), new RoaringBitmap())
+            .add(r.getInt(2))
+        }
+        m.iterator.map { case ((f, b), bm) =>
+          org.apache.spark.sql.Row(f, b, Bitmaps.cboSerialize(bm)) }
+      }, partialSchema0)
+    val sortedRows = l0Partials
+      .repartitionByRange(col("field"), col("bound"))
       .sortWithinPartitions("field", "bound")
-    val zSchema = org.apache.spark.sql.types.StructType(sorted.schema.fields :+
-      org.apache.spark.sql.types.StructField("gidx",
-        org.apache.spark.sql.types.LongType, nullable = false))
-    val zipped = spark.createDataFrame(
-        sorted.rdd.zipWithIndex().map { case (r, i) =>
-          org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i) }, zSchema)
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val firsts = zipped.groupBy(col("field")).agg(min(col("gidx")).as("g0__"))
-    var cur = zipped.join(broadcast(firsts), Seq("field"))
-      .withColumn("rank", (col("gidx") - col("g0__")).cast("int"))
-      .drop("gidx", "g0__")
+      .rdd.mapPartitions { it =>
+        new Iterator[org.apache.spark.sql.Row] {
+          private val src = it.buffered
+          override def hasNext: Boolean = src.hasNext
+          override def next(): org.apache.spark.sql.Row = {
+            val first = src.next()
+            val f = first.getString(0)
+            val b = first.get(1)
+            var bm: RoaringBitmap = null
+            while (src.hasNext && src.head.getString(0) == f &&
+                src.head.get(1) == b) {
+              if (bm == null)
+                bm = Bitmaps.cboDeserialize(first.getAs[Array[Byte]](2))
+              bm.or(Bitmaps.cboDeserialize(src.next().getAs[Array[Byte]](2)))
+            }
+            val bytes =
+              if (bm == null) first.getAs[Array[Byte]](2)
+              else Bitmaps.cboSerialize(bm)
+            org.apache.spark.sql.Row(f, b, bytes)
+          }
+        }
+      }
+    val sorted = register(spark.createDataFrame(sortedRows,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("field",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("bound", boundType),
+          org.apache.spark.sql.types.StructField("docids",
+            org.apache.spark.sql.types.BinaryType))))
+      .persist(StorageLevel.MEMORY_AND_DISK))
+    // pass 1: per-(partition, field) counts — projection only, reads the
+    // cache, partition indices align with the full-row pass below (narrow)
+    val partCounts: Array[(Int, Seq[(String, Long)])] =
+      sorted.select("field").rdd.mapPartitionsWithIndex { (pid, it) =>
+        val buf = mutable.ArrayBuffer[(String, Long)]()
+        var curF: String = null
+        var n = 0L
+        it.foreach { r =>
+          val f = r.getString(0)
+          if (f != curF) { if (curF != null) buf += ((curF, n)); curF = f; n = 0L }
+          n += 1
+        }
+        if (curF != null) buf += ((curF, n))
+        Iterator((pid, buf.toSeq))
+      }.collect()
+    // prefix offsets: rank of each partition's first row per field
+    val startRank = mutable.Map.empty[(Int, String), Long]
+    val n0 = mutable.Map.empty[String, Long]
+    partCounts.sortBy(_._1).foreach { case (pid, fields) =>
+      fields.foreach { case (f, n) =>
+        val so = n0.getOrElse(f, 0L)
+        startRank((pid, f)) = so
+        n0(f) = so + n
+      }
+    }
+    // levels to build per field: level ℓ exists while the level ℓ−1 entry
+    // count ceil(n0 / 4^(ℓ−1)) is ≥ GroupSize·MinLevelSize (same rule as
+    // the reference's bulk facet build, update/facet/mod.rs:75-77)
+    def ceilDiv(a: Long, b: Long): Long = (a + b - 1) / b
+    val maxLevel: Map[String, Int] = n0.toMap.map { case (f, n) =>
+      var lv = 0
+      while (ceilDiv(n, 1L << (2 * lv)) >= GroupSize * MinLevelSize) lv += 1
+      f -> lv
+    }
+    val l0 = sorted.select(col("field"), col("bound"), col("docids"))
       .withColumn("level", lit(0))
       .withColumn("group_size", lit(1))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val levels = mutable.ArrayBuffer[DataFrame](cur.drop("rank"))
-    var level = 1
-    var active = cur.groupBy(col("field")).count()
-      .where(col("count") >= GroupSize * MinLevelSize)
-      .select("field").as[String](org.apache.spark.sql.Encoders.STRING).collect().toSeq
-    while (active.nonEmpty) {
-      val next = cur.where(col("field").isin(active: _*))
-        .groupBy(col("field"), floor(col("rank") / GroupSize).as("grp"))
-        .agg(min(col("bound")).as("bound"),
-          F.bitmap_union_agg(col("docids")).as("docids"),
-          count(lit(1)).cast("int").as("group_size"))
-        .withColumn("rank", col("grp").cast("int"))
-        .withColumn("level", lit(level))
-        .drop("grp")
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      levels += next.drop("rank")
-      cur = next
-      active = cur.groupBy(col("field")).count()
-        .where(col("count") >= GroupSize * MinLevelSize)
-        .select("field").as[String](org.apache.spark.sql.Encoders.STRING).collect().toSeq
-      level += 1
-    }
+    val all =
+      if (!maxLevel.values.exists(_ >= 1)) l0
+      else {
+        val partialSchema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("field",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("bound", boundType),
+          org.apache.spark.sql.types.StructField("level",
+            org.apache.spark.sql.types.IntegerType, nullable = false),
+          org.apache.spark.sql.types.StructField("grp",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("partial",
+            org.apache.spark.sql.types.BinaryType)))
+        val bStart = spark.sparkContext.broadcast(startRank.toMap)
+        val bMax = spark.sparkContext.broadcast(maxLevel)
+        // pass 2: streaming partial emission — completed groups flush as
+        // soon as their L0 rank range is exhausted, so task memory holds
+        // one open accumulator per level, never the partition's output
+        val partialsRdd = sorted.rdd.mapPartitionsWithIndex { (pid, rows) =>
+          new Iterator[org.apache.spark.sql.Row] {
+            private val pending =
+              mutable.Queue.empty[org.apache.spark.sql.Row]
+            private var curF: String = null
+            private var rank = 0L
+            private var maxL = 0
+            private var accG: Array[Long] = null
+            private var accBound: Array[Any] = null
+            private var accBm: Array[RoaringBitmap] = null
+            private def flush(lv: Int): Unit = if (accBm(lv) != null) {
+              pending += org.apache.spark.sql.Row(curF, accBound(lv), lv,
+                accG(lv), Bitmaps.cboSerialize(accBm(lv)))
+              accBm(lv) = null
+            }
+            private def flushAll(): Unit =
+              if (curF != null) (1 to maxL).foreach(flush)
+            private def pump(): Unit =
+              while (pending.isEmpty && rows.hasNext) {
+                val r = rows.next()
+                val f = r.getString(0)
+                if (f != curF) {
+                  flushAll()
+                  curF = f
+                  rank = bStart.value((pid, f))
+                  maxL = bMax.value.getOrElse(f, 0)
+                  accG = new Array[Long](maxL + 1)
+                  accBound = new Array[Any](maxL + 1)
+                  accBm = new Array[RoaringBitmap](maxL + 1)
+                }
+                if (maxL >= 1) {
+                  val bm = Bitmaps.cboDeserialize(r.getAs[Array[Byte]](2))
+                  var lv = 1
+                  var g = rank >> 2
+                  while (lv <= maxL) {
+                    if (accBm(lv) != null && accG(lv) != g) flush(lv)
+                    if (accBm(lv) == null) {
+                      accG(lv) = g; accBound(lv) = r.get(1)
+                      accBm(lv) = new RoaringBitmap()
+                    }
+                    accBm(lv).or(bm)
+                    lv += 1
+                    g >>= 2
+                  }
+                }
+                rank += 1
+                if (!rows.hasNext) flushAll()
+              }
+            override def hasNext: Boolean = { pump(); pending.nonEmpty }
+            override def next(): org.apache.spark.sql.Row = {
+              pump(); pending.dequeue()
+            }
+          }
+        }
+        import scala.jdk.CollectionConverters._
+        val countsDf = spark.createDataFrame(
+          n0.toSeq.map { case (f, n) => org.apache.spark.sql.Row(f, n) }
+            .asJava,
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("field",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("n0__",
+              org.apache.spark.sql.types.LongType, nullable = false))))
+        // group_size (= child count at level ℓ−1, ≤ 4) is deterministic
+        // from the field's L0 entry count — no partial count aggregation:
+        // children(ℓ−1) = ceil(n0 / 4^(ℓ−1)); this group holds the child
+        // indices [4g, min(4g+4, children))
+        val upper = spark.createDataFrame(partialsRdd, partialSchema)
+          .groupBy(col("field"), col("level"), col("grp"))
+          .agg(min(col("bound")).as("bound"),
+            F.bitmap_union_agg(col("partial")).as("docids"))
+          .join(broadcast(countsDf), Seq("field"))
+          .withColumn("children__", expr(
+            "(n0__ + shiftleft(1L, 2*(level-1)) - 1) div shiftleft(1L, 2*(level-1))"))
+          .withColumn("group_size",
+            least(lit(4L), col("children__") - col("grp") * 4).cast("int"))
+          .select(col("field"), col("bound"), col("docids"), col("level"),
+            col("group_size"))
+        l0.unionByName(upper)
+      }
     // field-major range sort: per-file footer field intervals let the
     // incremental refresh carry untouched fields' FILES over byte-for-byte
     // (TableIO.mergeTouchedFiles) and let the FacetLevels reader's ranged
-    // per-level fetches footer-prune to one field's band
-    levels.reduce(_ unionByName _)
-      .repartitionByRange(col("field"), col("level"), col("bound"))
+    // per-level fetches footer-prune to one field's band. Partition count
+    // derives from the (known) L0 entry count instead of inheriting
+    // spark.sql.shuffle.partitions — a 20k-row tree writes one file, a
+    // 10^8-row tree still fans out up to the configured parallelism.
+    val totalL0 = n0.values.sum
+    val outParts = math.max(1L, math.min(
+      spark.sessionState.conf.numShufflePartitions.toLong,
+      ceilDiv(totalL0 * 4 / 3 + 1, 65536L))).toInt
+    all.repartitionByRange(outParts, col("field"), col("level"), col("bound"))
       .sortWithinPartitions("field", "level", "bound")
   }
 
