@@ -65,10 +65,13 @@ object Queries {
         min("doc_id").as("min_docid"), max("doc_id").as("max_docid"))
       .orderBy("word")
 
-  /** forward-index doc stats (doclen for BM25). */
+  /** forward-index doc stats (doclen for BM25) — map-side off the cached
+    * token arrays (was a groupBy shuffle of every token occurrence). */
   def qDocStats(spark: SparkSession, dir: String): DataFrame =
-    tokens(spark, dir).groupBy("doc_id")
-      .agg(count(lit(1)).as("n_tokens"), countDistinct("word").as("n_distinct"))
+    tokArrays(spark, dir).where(size(col("toks")) > 0)
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        size(array_distinct(col("toks"))).cast("long").as("n_distinct"))
       .orderBy("doc_id")
 
   /** term dictionary with collection frequencies. */
@@ -77,43 +80,45 @@ object Queries {
       .agg(countDistinct("doc_id").as("df"), count(lit(1)).as("cf"))
       .orderBy(desc("cf"), asc("word"))
 
-  /** AND of two posting lists (bitmap intersection analogue). */
-  def qSearchAnd(spark: SparkSession, dir: String): DataFrame = {
-    val t = tokens(spark, dir)
-    val a = t.where(col("word") === "spark").select("doc_id").distinct()
-    val b = t.where(col("word") === "merge").select("doc_id").distinct()
-    a.join(b, Seq("doc_id"), "left_semi").orderBy("doc_id")
-  }
+  /** AND of two posting lists (bitmap intersection analogue). Membership
+    * tests run map-side on the per-doc token array — one row per doc, so
+    * the old explode + distinct + semi-join shuffles disappear; only the
+    * oracle's output ordering exchanges anything. */
+  def qSearchAnd(spark: SparkSession, dir: String): DataFrame =
+    tokArrays(spark, dir)
+      .where(array_contains(col("toks"), "spark") &&
+        array_contains(col("toks"), "merge"))
+      .select("doc_id").orderBy("doc_id")
 
   /** OR (bitmap union). */
-  def qSearchOr(spark: SparkSession, dir: String): DataFrame = {
-    val t = tokens(spark, dir)
-    t.where(col("word").isin("spark", "stream")).select("doc_id").distinct()
-      .orderBy("doc_id")
-  }
+  def qSearchOr(spark: SparkSession, dir: String): DataFrame =
+    tokArrays(spark, dir)
+      .where(array_contains(col("toks"), "spark") ||
+        array_contains(col("toks"), "stream"))
+      .select("doc_id").orderBy("doc_id")
 
   /** AND NOT (bitmap difference / soft-delete subtraction analogue). */
-  def qSearchNot(spark: SparkSession, dir: String): DataFrame = {
-    val t = tokens(spark, dir)
-    val a = t.where(col("word") === "spark").select("doc_id").distinct()
-    val b = t.where(col("word") === "merge").select("doc_id").distinct()
-    a.join(b, Seq("doc_id"), "left_anti").orderBy("doc_id")
-  }
+  def qSearchNot(spark: SparkSession, dir: String): DataFrame =
+    tokArrays(spark, dir)
+      .where(array_contains(col("toks"), "spark") &&
+        !array_contains(col("toks"), "merge"))
+      .select("doc_id").orderBy("doc_id")
 
-  /** phrase = adjacent positions (resolve_phrase, prox-1 pair). */
-  def qSearchPhrase(spark: SparkSession, dir: String): DataFrame = {
-    val t = tokens(spark, dir)
-    val a = t.where(col("word") === "data").select(col("doc_id"), col("pos"))
-    val b = t.where(col("word") === "spark")
-      .select(col("doc_id"), (col("pos") - 1).as("pos"))
-    a.join(b, Seq("doc_id", "pos"), "left_semi")
-      .select("doc_id").distinct().orderBy("doc_id")
-  }
+  /** phrase = adjacent positions (resolve_phrase, prox-1 pair): the
+    * position join becomes an adjacent-pair scan of the token array. */
+  def qSearchPhrase(spark: SparkSession, dir: String): DataFrame =
+    tokArrays(spark, dir)
+      .where(when(size(col("toks")) >= 2,
+        exists(transform(sequence(lit(0), size(col("toks")) - 2),
+          i => col("toks")(i) === "data" && col("toks")(i + 1) === "spark"),
+          b => b)).otherwise(lit(false)))
+      .select("doc_id").orderBy("doc_id")
 
   /** prefix search (word_prefix_docids analogue). */
   def qSearchPrefix(spark: SparkSession, dir: String): DataFrame =
-    tokens(spark, dir).where(col("word").startsWith("st"))
-      .select("doc_id").distinct().orderBy("doc_id")
+    tokArrays(spark, dir)
+      .where(exists(col("toks"), w => w.startsWith("st")))
+      .select("doc_id").orderBy("doc_id")
 
   /** typo-tolerant search: dictionary words within Damerau-Levenshtein 1 of
     * the query word, same first letter (milli's 1-typo rule) → their docs.
@@ -137,21 +142,41 @@ object Queries {
     * one TakeOrdered; the block-max WAND kernel is the scale path, this is
     * its oracle-checkable equivalent. */
   def qBm25(spark: SparkSession, dir: String): DataFrame = {
-    val t = tokens(spark, dir)
     val k1 = 1.2; val b = 0.75
     val qterms = Seq("spark", "merge")
-    val dl = t.groupBy("doc_id").agg(count(lit(1)).as("dl"))
-    val n = docs(spark, dir).count()
-    val avgdl = dl.agg(avg("dl")).first().getDouble(0)
-    val tf = t.where(col("word").isin(qterms: _*))
-      .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
-    val df = tf.groupBy("word").agg(countDistinct("doc_id").as("df"))
-    val scored = tf.join(broadcast(df), "word").join(dl, "doc_id")
-      .withColumn("idf", log(lit(1.0) + (lit(n.toDouble) - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
-      .withColumn("s", col("idf") * (col("tf") * (lit(k1) + 1)) /
-        (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / lit(avgdl))))
-      .groupBy("doc_id").agg(sum("s").as("score"))
-    scored.select(col("doc_id"), fp(col("score")).as("score_fp"))
+    // Everything derives map-side from the cached per-doc token arrays:
+    // tf_t = in-array occurrence count, dl = size(toks), and the global
+    // scalars (N, avgdl, df per term) come from ONE one-row aggregation
+    // cross-joined in as a broadcast. The old shape shuffled every token
+    // occurrence through a (doc, word) aggregation, re-computed that
+    // subtree a second time for df, and broadcast an N-doc doclen
+    // relation; this one's only exchanges are the one-row broadcast and
+    // the top-k — at any corpus size the query is a single scan.
+    // Numerically identical: per-term score expressions are unchanged and
+    // the two-term sum is a commutative double add.
+    val ta = tokArrays(spark, dir)
+    val dlc = size(col("toks"))
+    val tf = qterms.map(t =>
+      size(filter(col("toks"), w => w === t)).as(s"tf_$t"))
+    val statAggs =
+      Seq(count(lit(1)).as("n__"), avg(when(dlc > 0, dlc)).as("avgdl__")) ++
+        qterms.map(t => count(when(array_contains(col("toks"), t), 1))
+          .as(s"df_$t"))
+    val stats = ta.agg(statAggs.head, statAggs.tail: _*)
+    val wide = ta.select(col("doc_id") +: dlc.as("dl") +: tf: _*)
+      .where(qterms.map(t => col(s"tf_$t") > 0).reduce(_ || _))
+      .crossJoin(broadcast(stats))
+    val score = qterms.map { t =>
+      val idf = log(lit(1.0) +
+        (col("n__").cast("double") - col(s"df_$t") + lit(0.5)) /
+          (col(s"df_$t") + lit(0.5)))
+      when(col(s"tf_$t") > 0,
+        idf * (col(s"tf_$t") * (lit(k1) + 1)) /
+          (col(s"tf_$t") + lit(k1) *
+            (lit(1 - b) + lit(b) * col("dl") / col("avgdl__"))))
+        .otherwise(lit(0.0))
+    }.reduce(_ + _)
+    wide.select(col("doc_id"), fp(score).as("score_fp"))
       .orderBy(desc("score_fp"), asc("doc_id")).limit(20)
   }
 
@@ -269,35 +294,55 @@ object Queries {
   private def md5long(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
-  /** 3-token shingles per doc — array-derived (no window), distinct'd once
-    * and cached (three dedup queries share it). */
+  /** 3-token shingles per doc — array-derived (no window), de-duplicated
+    * PER DOC with `array_distinct` before the explode (the rows are
+    * per-(doc, shingle) distinct either way, but the old global
+    * `.distinct()` was a full shuffle of every shingle occurrence), cached
+    * (three dedup queries share it). */
   private def shingles(spark: SparkSession, dir: String): DataFrame =
     cached(spark, dir, "shingles") {
       val toks = col("toks")
       tokArrays(spark, dir).select(col("doc_id"),
         explode(when(size(toks) >= 3,
-          transform(sequence(lit(0), size(toks) - 3),
-            i => concat_ws(" ", toks(i), toks(i + 1), toks(i + 2))))
+          array_distinct(transform(sequence(lit(0), size(toks) - 3),
+            i => concat_ws(" ", toks(i), toks(i + 1), toks(i + 2)))))
           .otherwise(array().cast("array<string>"))).as("shingle"))
-        .distinct()
+    }
+
+  /** per-doc distinct-shingle counts, cached — shared by the LSH verify
+    * and n-gram Jaccard queries (each previously re-aggregated it, twice
+    * in the Jaccard case). */
+  private def shingleSizes(spark: SparkSession, dir: String): DataFrame =
+    cached(spark, dir, "shingle-sizes") {
+      shingles(spark, dir).groupBy("doc_id").agg(count(lit(1)).as("n"))
+    }
+
+  /** unsorted MinHash signatures, persisted once per (session, dir) — the
+    * oracle-only global sort of [[qDedupMinhash]] must never be what the
+    * banding pipeline materializes (persist is an optimizer barrier, so a
+    * cached sorted frame cannot have its sort elided under the joins). */
+  private def minhashSignatures(spark: SparkSession, dir: String): DataFrame =
+    cached(spark, dir, "minhash-sig") {
+      val sh = shingles(spark, dir)
+      val mh = (0 until 4).map(j =>
+        min(md5long(concat(lit(s"$j:"), col("shingle")))).as(s"mh$j"))
+      sh.groupBy("doc_id").agg(mh.head, mh.tail: _*)
     }
 
   /** MinHash signatures (4 seeds) over 3-token shingles. */
-  def qDedupMinhash(spark: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(spark, dir)
-    val mh = (0 until 4).map(j =>
-      min(md5long(concat(lit(s"$j:"), col("shingle")))).as(s"mh$j"))
-    sh.groupBy("doc_id").agg(mh.head, mh.tail: _*).orderBy("doc_id")
-  }
+  def qDedupMinhash(spark: SparkSession, dir: String): DataFrame =
+    minhashSignatures(spark, dir).orderBy("doc_id")
 
   /** LSH banding: candidate pairs sharing any minhash band, verified with
     * exact shingle-Jaccard ≥ 0.5. The minhash→band→bucket-join→verify
     * pipeline of a web-scale near-dup stage. */
   def qLshPairs(spark: SparkSession, dir: String): DataFrame = {
-    val sig = qDedupMinhash(spark, dir).cache()
-    val bands = (0 until 4).map(j =>
-      sig.select(col("doc_id"), lit(j).as("band"), col(s"mh$j").as("h")))
-      .reduce(_ unionAll _)
+    val sig = minhashSignatures(spark, dir)
+    // one map-side posexplode instead of a 4-way unionAll (4 passes over
+    // the signature cache → 1)
+    val bands = sig.select(col("doc_id"),
+      posexplode(array(col("mh0"), col("mh1"), col("mh2"), col("mh3")))
+        .as(Seq("band", "h")))
     val cand = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.h") === col("b.h") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -307,7 +352,7 @@ object Queries {
       .join(sh.as("sb"),
         col("db") === col("sb.doc_id") && col("sa.shingle") === col("sb.shingle"))
       .groupBy("da", "db").agg(count(lit(1)).as("ninter"))
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val sizes = shingleSizes(spark, dir)
     inter.join(sizes.as("za"), col("da") === col("za.doc_id"))
       .join(sizes.as("zb"), col("db") === col("zb.doc_id"))
       .withColumn("jac", col("ninter").cast("double") /
@@ -317,19 +362,27 @@ object Queries {
       .orderBy("da", "db")
   }
 
-  /** 16-bit SimHash over distinct tokens. */
-  def qDedupSimhash(spark: SparkSession, dir: String): DataFrame = {
-    val t = tokens(spark, dir).select("doc_id", "word").distinct()
-      .withColumn("h", md5long(col("word")))
-    val bits = t.select(col("doc_id"),
-      explode(sequence(lit(0), lit(15))).as("bit"), col("h"))
-      .withColumn("v", when(expr("shiftright(h, bit) & 1") === 1, 1).otherwise(-1))
-      .groupBy("doc_id", "bit").agg(sum("v").as("s"))
-    bits.withColumn("bitval",
-        when(col("s") > 0, expr("shiftleft(1L, bit)")).otherwise(lit(0L)))
-      .groupBy("doc_id").agg(sum("bitval").cast("long").as("simhash"))
+  /** 16-bit SimHash over distinct tokens. Entirely map-side off the cached
+    * token arrays: the distinct token set, the 16 ±1 bit sums and the final
+    * bit assembly are array expressions per document — the old shape
+    * shuffled doc×word distinct pairs and then doc×word×16 exploded rows
+    * through two aggregations (integer ±1 sums are order-independent, so
+    * the per-doc result is bit-identical). */
+  def qDedupSimhash(spark: SparkSession, dir: String): DataFrame =
+    tokArrays(spark, dir)
+      .where(size(col("toks")) > 0) // token-less docs absent, like the oracle
+      .select(col("doc_id"),
+        expr(
+          """aggregate(
+            |  transform(array_distinct(toks),
+            |    w -> cast(conv(substring(md5(w), 1, 15), 16, 10) as bigint)),
+            |  array_repeat(0L, 16),
+            |  (acc, h) -> transform(acc,
+            |    (a, bit) -> a + if((shiftright(h, bit) & 1) = 1, 1L, -1L)),
+            |  acc -> aggregate(
+            |    transform(acc, (s, bit) -> if(s > 0, shiftleft(1L, bit), 0L)),
+            |    0L, (a, x) -> a + x))""".stripMargin).as("simhash"))
       .orderBy("doc_id")
-  }
 
   /** n-gram Jaccard between consecutive doc ids (cheap exact near-dup
     * check; the planted `dup` docs at sf0.1 surface here). */
@@ -340,7 +393,7 @@ object Queries {
     val inter = a.join(b,
         col("sa.doc_id") === col("sb.doc_id") && col("sa.shingle") === col("sb.shingle"))
       .groupBy(col("sa.doc_id").as("doc_id")).agg(count(lit(1)).as("ninter"))
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val sizes = shingleSizes(spark, dir)
     val sz2 = sizes.withColumn("doc_id", col("doc_id") - 1)
       .withColumnRenamed("n", "n2")
     sizes.join(sz2, "doc_id").join(inter, Seq("doc_id"), "left")
@@ -456,26 +509,31 @@ object Queries {
 
   private val StopEn = Seq("the", "a", "and", "of", "to", "in", "is")
 
-  /** naive language id: stop-token evidence vs the labeled lang column. */
-  def qLangId(spark: SparkSession, dir: String): DataFrame = {
-    val t = tokens(spark, dir)
-    val en = t.where(col("word").isin(StopEn: _*))
-      .groupBy("doc_id").agg(count(lit(1)).as("en_hits"))
-    docs(spark, dir).select("doc_id", "lang").join(en, Seq("doc_id"), "left")
-      .withColumn("en_hits", coalesce(col("en_hits"), lit(0L)))
+  /** naive language id: stop-token evidence vs the labeled lang column —
+    * the stop-hit count is a map-side array filter over the tokenized text
+    * (was an exploded-token aggregation joined back to documents). */
+  def qLangId(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        size(filter(split(lower(col("text")), "[^a-z0-9]+"),
+          w => w.isin(StopEn.map(lit): _*))).cast("long").as("en_hits"))
       .withColumn("pred", when(col("en_hits") >= 3, lit("en")).otherwise(lit("other")))
       .orderBy("doc_id")
-  }
 
-  /** quality scoring: length / stopword ratio / mean token length. */
+  /** quality scoring: length / stopword ratio / mean token length —
+    * map-side array expressions per doc (shuffle-free; ±1 integer sums and
+    * a single double division reproduce the aggregated values exactly). */
   def qQuality(spark: SparkSession, dir: String): DataFrame = {
-    val t = tokens(spark, dir)
-    val agg = t.groupBy("doc_id").agg(
-      count(lit(1)).as("n_tokens"),
-      fp(avg(length(col("word")))).as("avg_len_fp"),
-      fp(sum(when(col("word").isin(StopEn: _*), 1.0).otherwise(0.0)) / count(lit(1)))
-        .as("stop_ratio_fp"))
-    agg.orderBy("doc_id")
+    val n = size(col("toks"))
+    val lenSum = aggregate(transform(col("toks"), w => length(w).cast("long")),
+      lit(0L), (a, x) => a + x)
+    val stops = size(filter(col("toks"), w => w.isin(StopEn.map(lit): _*)))
+    tokArrays(spark, dir).where(n > 0)
+      .select(col("doc_id"),
+        n.cast("long").as("n_tokens"),
+        fp(lenSum.cast("double") / n).as("avg_len_fp"),
+        fp(stops.cast("double") / n).as("stop_ratio_fp"))
+      .orderBy("doc_id")
   }
 
   /** token counting: whitespace split vs alnum-run tokens. */
@@ -487,13 +545,16 @@ object Queries {
       .orderBy("doc_id")
 
   /** order-sensitive document fingerprint: xor of position-salted token
-    * hashes (rolling-hash analogue, exactly reproducible in SQL). */
+    * hashes (rolling-hash analogue, exactly reproducible in SQL) — the
+    * xor folds map-side over the token array (xor is order-independent,
+    * so the per-doc value is identical to the old shuffled bit_xor). */
   def qFingerprint(spark: SparkSession, dir: String): DataFrame =
-    tokens(spark, dir)
+    tokArrays(spark, dir).where(size(col("toks")) > 0)
       .select(col("doc_id"),
-        md5long(concat(col("word"), lit("@"), col("pos"))).as("h"))
-      .groupBy("doc_id")
-      .agg(expr("bit_xor(h)").as("fp"))
+        aggregate(
+          transform(col("toks"), (w, i) =>
+            md5long(concat(w, lit("@"), (i + 1).cast("string")))),
+          lit(0L), (a, x) => a.bitwiseXOR(x)).as("fp"))
       .orderBy("doc_id")
 
   /** multimodal plumbing: opaque binary column + typed metadata. The

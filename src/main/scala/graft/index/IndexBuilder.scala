@@ -521,13 +521,19 @@ class IndexBuilder(spark: SparkSession, settings: IndexSettings) extends Seriali
     stageF(T.WordPrefixPairProximityDocids, Seq("__ppBoth")) { ppTables._1 }
     stageF(T.PrefixWordPairProximityDocids, Seq("__ppBoth")) { ppTables._2 }
 
-    // facet extraction (reads the committed documents table)
+    // facet extraction — from the INPUT frame when its lineage is
+    // deterministic (same rule and flag as the concurrent tokenize above),
+    // so the facet tables don't serialize behind the documents commit; a
+    // settings reindex or non-deterministic input still reads the
+    // committed table
     var facets: (DataFrame, DataFrame, DataFrame) = null
-    done("__facets") = done(T.Documents).map { _ =>
-      facets = facetOverride.getOrElse(
-        extractFacets(spark.read.parquet(s"$dir/${T.Documents}")))
-      ()
-    }
+    done("__facets") =
+      if (facetOverride.isDefined) { facets = facetOverride.get; Future.successful(()) }
+      else if (readsOwnOutput) done(T.Documents).map { _ =>
+        facets = extractFacets(spark.read.parquet(s"$dir/${T.Documents}"))
+        ()
+      }
+      else { facets = extractFacets(docs); Future.successful(()) }
     stageF(T.DocFacetNumbers, Seq("__facets")) {
       facets._1.repartitionByRange($"field", $"value")
         .sortWithinPartitions("field", "value")
@@ -1906,9 +1912,11 @@ object IndexBuilder extends Serializable {
     // spark.sql.shuffle.partitions — a 20k-row tree writes one file, a
     // 10^8-row tree still fans out up to the configured parallelism.
     val totalL0 = n0.values.sum
+    val rowsPerFile = spark.conf
+      .get("spark.graft.facetLevels.rowsPerFile", "65536").toLong
     val outParts = math.max(1L, math.min(
       spark.sessionState.conf.numShufflePartitions.toLong,
-      ceilDiv(totalL0 * 4 / 3 + 1, 65536L))).toInt
+      ceilDiv(totalL0 * 4 / 3 + 1, rowsPerFile))).toInt
     all.repartitionByRange(outParts, col("field"), col("level"), col("bound"))
       .sortWithinPartitions("field", "level", "bound")
   }

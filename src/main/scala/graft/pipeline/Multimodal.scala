@@ -38,6 +38,13 @@ final case class ImageInfo(width: Int, height: Int,
   */
 object Multimodal {
 
+  // ImageIO's default ImageInputStream/ImageOutputStream cache is a TEMP
+  // FILE per read/write — under a concurrent decode fan-out every tiny
+  // image pays file creation + deletion and the tasks serialize on /tmp.
+  // The in-memory cache is strictly better for byte-array sources. Static
+  // so it runs once per JVM (driver and executors) on first use.
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** === STUB === (audio/video only): deterministic fake "decode" — hashes
     * bytes into an 8-dim feature vector. Real deployments replace this body
     * with a codec binding (the signature and batching stay). */
@@ -103,21 +110,30 @@ object Multimodal {
     val sampleRate = 8000
     val frames = 200 + (id % 5).toInt * 50
     val amp = (id % 1000).toInt // constant amplitude → mean |amp| == amp
-    val pcm = new Array[Byte](frames * 2)
+    // canonical 44-byte RIFF/WAVE PCM header written directly — the
+    // provider-registry round trip through AudioSystem.write dominated the
+    // synthesis cost under a 32-way fan-out; the DECODE side stays the
+    // real javax.sound.sampled path and reads these bytes identically
+    val dataLen = frames * 2 // 16-bit mono
+    val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1.toShort) // PCM
+      .putShort(1.toShort) // mono
+      .putInt(sampleRate)
+      .putInt(sampleRate * 2) // byte rate
+      .putShort(2.toShort) // block align
+      .putShort(16.toShort) // bits per sample
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
     var i = 0
     while (i < frames) {
-      pcm(2 * i) = (amp & 0xff).toByte
-      pcm(2 * i + 1) = ((amp >> 8) & 0xff).toByte
+      buf.put((amp & 0xff).toByte)
+      buf.put(((amp >> 8) & 0xff).toByte)
       i += 1
     }
-    val fmt = new javax.sound.sampled.AudioFormat(sampleRate.toFloat, 16, 1,
-      true, false) // signed, little-endian
-    val stream = new javax.sound.sampled.AudioInputStream(
-      new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong)
-    val out = new java.io.ByteArrayOutputStream()
-    javax.sound.sampled.AudioSystem.write(stream,
-      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
-    out.toByteArray
+    buf.array()
   }
 
   /** Deterministic solid-color PNG (test/bench corpus): dimensions and
@@ -172,7 +188,12 @@ object Multimodal {
     * hash of the bytes. */
   def decodeQuery(spark: SparkSession, docs: DataFrame, idCol: String): DataFrame = {
     import spark.implicits._
+    // spread the per-row encode/decode across the cluster BEFORE the
+    // expensive work: the id column is a few bytes per row, while the
+    // docs table often arrives as one small input split — without this
+    // the whole decode runs in a single task
     val items = docs.select(col(idCol).cast("long")).as[Long]
+      .repartition(spark.sparkContext.defaultParallelism)
       .mapPartitions(_.map(id =>
         MediaItem(id, "image", syntheticPng(id), 0, 0, 0L)))
     extractFeatures(spark, items)
@@ -204,7 +225,9 @@ object Multimodal {
     * planted format + amplitude — proves the audio decode path is real. */
   def decodeAudioQuery(spark: SparkSession, docs: DataFrame, idCol: String): DataFrame = {
     import spark.implicits._
+    // ids-only repartition before the per-row codec work (see decodeQuery)
     val items = docs.select(col(idCol).cast("long")).as[Long]
+      .repartition(spark.sparkContext.defaultParallelism)
       .mapPartitions(_.map(id =>
         MediaItem(id, "audio", syntheticWav(id), 0, 0, 0L)))
     extractFeatures(spark, items)

@@ -63,15 +63,44 @@ object BenchExtra {
         }
 
       case "battery" =>
-        // per-query noop-style timing, N repeats, bypassing nothing
+        // per-query noop-style timing, N repeats, bypassing nothing;
+        // optional query-name filter after the repeat count
         val n = args.drop(1).headOption.map(_.toInt).getOrElse(2)
+        val only = args.drop(2).toSet
         (0 until n).foreach { r =>
-          graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-            val t0 = System.nanoTime()
-            try fn(spark, sfDir).count()
-            catch { case e: Throwable => System.err.println(s"$name failed: $e") }
-            println(f"[bx] run$r $name ${(System.nanoTime() - t0) / 1e9}%.3f")
-          }
+          graft.SparkEntry.queries.toSeq.sortBy(_._1)
+            .filter(q => only.isEmpty || only(q._1))
+            .foreach { case (name, fn) =>
+              val t0 = System.nanoTime()
+              try fn(spark, sfDir).count()
+              catch { case e: Throwable => System.err.println(s"$name failed: $e") }
+              println(f"[bx] run$r $name ${(System.nanoTime() - t0) / 1e9}%.3f")
+            }
+        }
+      case "explain" =>
+        // write .explain("formatted") per named query (or all non-engine
+        // queries) to <outDir>/<query>_<tag>.txt — the plan evidence for
+        // plans/r06/ (engine queries drive imperative search paths, not a
+        // single DataFrame plan, so they are skipped unless named)
+        val tag = args.drop(1).headOption.getOrElse("before")
+        val outDir = sys.env.getOrElse("SPARK_GRAFT_PLAN_DIR", "/root/repo/plans/r06")
+        new java.io.File(outDir).mkdirs()
+        val names = args.drop(2) match {
+          case Array() => graft.SparkEntry.queries.keys.toSeq.sorted
+            .filterNot(_.startsWith("q_engine"))
+          case named => named.toSeq
+        }
+        names.foreach { name =>
+          val fn = graft.SparkEntry.queries(name)
+          try {
+            val df = fn(spark, sfDir)
+            val plan = df.queryExecution.explainString(
+              org.apache.spark.sql.execution.FormattedMode)
+            val w = new java.io.PrintWriter(s"$outDir/${name}_$tag.txt")
+            try w.println(plan) finally w.close()
+            println(s"[bx] wrote $outDir/${name}_$tag.txt")
+          } catch { case e: Throwable =>
+            System.err.println(s"[bx] $name explain failed: $e") }
         }
       case other =>
         System.err.println(s"unknown mode $other")

@@ -206,6 +206,10 @@ class UpdatesSpec extends AnyFunSuite with Matchers {
     try {
       spark.conf.set("spark.sql.shuffle.partitions", "8")
       spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      // level-table partitioning is data-derived (one file for a tree this
+      // small); shrink the per-file row target so the carry-over fixture
+      // still gets the multi-file layout it exercises
+      spark.conf.set("spark.graft.facetLevels.rowsPerFile", "64")
       new IndexBuilder(spark, settings)
         .build(docs(0, 200, withScore = true), dir, resume = false)
       val before = parts(IndexSettings.T.FacetNumberLevels)
@@ -218,6 +222,7 @@ class UpdatesSpec extends AnyFunSuite with Matchers {
     } finally {
       spark.conf.set("spark.sql.shuffle.partitions", oldParts)
       spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", oldCoalesce)
+      spark.conf.unset("spark.graft.facetLevels.rowsPerFile")
     }
     val idx = GraftIndex(spark, dir, settings)
     def brute(field: String, lo: Double, hi: Double): Set[Int] =
