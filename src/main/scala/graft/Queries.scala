@@ -32,6 +32,11 @@ object Queries {
   private def cached(spark: SparkSession, dir: String, tag: String)
                     (mk: => DataFrame): DataFrame =
     dfCache.getOrElseUpdate((System.identityHashCode(spark), dir, tag), {
+      // cached plans otherwise pin the full spark.sql.shuffle.partitions
+      // fan-out on every exchange they feed; letting AQE re-optimize them
+      // keeps partition counts proportional to data size at ANY scale
+      spark.conf.set(
+        "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       val df = mk
       df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       df
@@ -185,14 +190,17 @@ object Queries {
     * window shuffle; the only shuffle is the pair-keyed aggregation. */
   def qWordPairs(spark: SparkSession, dir: String): DataFrame = {
     val toks = col("toks")
+    // pairs de-duplicated PER DOC in the array (each (doc, pair) emitted
+    // once), so the aggregation is a plain count with map-side partial
+    // combine — countDistinct(doc_id) needed a second exchange
     val pairs = tokArrays(spark, dir).select(col("doc_id"),
       explode(when(size(toks) >= 2,
-        transform(sequence(lit(0), size(toks) - 2),
-          i => struct(toks(i).as("w1"), toks(i + 1).as("w2"))))
+        array_distinct(transform(sequence(lit(0), size(toks) - 2),
+          i => struct(toks(i).as("w1"), toks(i + 1).as("w2")))))
         .otherwise(array().cast("array<struct<w1:string,w2:string>>"))).as("p"))
-    pairs.select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+    pairs.select(col("p.w1").as("w1"), col("p.w2").as("w2"))
       .groupBy("w1", "w2")
-      .agg(countDistinct("doc_id").as("df"))
+      .agg(count(lit(1)).as("df"))
       // 20, not 50: the correctness gate runs at sf0.01 (500 docs), where
       // no pair reaches df 50 — a 0-row oracle match is vacuous
       .where(col("df") >= 20)
@@ -259,13 +267,17 @@ object Queries {
       .orderBy("n_name")
   }
 
-  /** window fn: each customer's first order. */
-  def qWindowFirstOrder(spark: SparkSession, dir: String): DataFrame = {
-    val o = tbl(spark, dir, "orders")
-    val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
-    o.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
-      .select("o_custkey", "o_orderkey").orderBy("o_custkey")
-  }
+  /** window fn: each customer's first order — expressed as min(struct)
+    * so the aggregation partially combines map-side; the row_number
+    * window shape shuffled every order row before discarding all but one
+    * per customer (struct ordering = the window's (o_orderdate,
+    * o_orderkey) lexicographic order, so the kept row is identical). */
+  def qWindowFirstOrder(spark: SparkSession, dir: String): DataFrame =
+    tbl(spark, dir, "orders")
+      .groupBy("o_custkey")
+      .agg(min(struct(col("o_orderdate"), col("o_orderkey"))).as("f"))
+      .select(col("o_custkey"), col("f.o_orderkey").as("o_orderkey"))
+      .orderBy("o_custkey")
 
   /** top-k (TakeOrderedAndProject). */
   def qTopkLineitem(spark: SparkSession, dir: String): DataFrame =
@@ -343,11 +355,24 @@ object Queries {
     val bands = sig.select(col("doc_id"),
       posexplode(array(col("mh0"), col("mh1"), col("mh2"), col("mh3")))
         .as(Seq("band", "h")))
-    val cand = bands.as("a").join(bands.as("b"),
-        col("a.band") === col("b.band") && col("a.h") === col("b.h") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db")).distinct()
+    // the candidate-pair table is the small decision table of the
+    // pipeline: persist it once (keyed like the other shared frames) so
+    // the verify join and the size joins don't re-run the band self-join
+    val cand = cached(spark, dir, "lsh-cand") {
+      bands.as("a").join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.h") === col("b.h") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("da"), col("b.doc_id").as("db")).distinct()
+    }
+    // the shingle table is joined twice below; a manual candidate-id
+    // pre-filter measured SLOWER here (the broadcast build + a second
+    // evaluation of the semi filter outweigh the row savings at bench
+    // scale) — at cluster scale Spark's runtime Bloom-filter injection
+    // (spark.sql.optimizer.runtime.bloomFilter.enabled, on by default in
+    // 4.x) provides exactly that pre-filter when the candidate side is
+    // selective, so the clean shape stays
     val sh = shingles(spark, dir)
+
     val inter = cand.join(sh.as("sa"), col("da") === col("sa.doc_id"))
       .join(sh.as("sb"),
         col("db") === col("sb.doc_id") && col("sa.shingle") === col("sb.shingle"))
@@ -494,8 +519,14 @@ object Queries {
     if (oversized > 0)
       System.err.println(s"[graft] qDedupEmbedding: dropping $oversized " +
         s"bucket(s) over $maxBucket members (megabucket cap)")
+    // size gate via a bucket-partitioned window instead of a join against
+    // the aggregated sizes: the window's exchange establishes exactly the
+    // bucket partitioning the self-join below needs, so the gate adds no
+    // extra shuffle (the old sizes join re-shuffled both inputs)
     val wb = e.join(buckets, "vec_id")
-      .join(sizes.where(col("bsz__") <= maxBucket).select("bucket"), Seq("bucket"))
+      .withColumn("bsz__", count(lit(1)).over(Window.partitionBy("bucket")))
+      .where(col("bsz__") <= maxBucket)
+      .drop("bsz__")
     wb.as("a").join(wb.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"),
@@ -588,12 +619,16 @@ object Queries {
   /** incremental merge: two half-corpus indexes unioned and re-merged must
     * equal the full index (TypedChunk merge semantics). */
   def qIncrementalMerge(spark: SparkSession, dir: String): DataFrame = {
-    val t = tokens(spark, dir)
-    val h1 = t.where(col("doc_id") % 2 === 0).groupBy("word")
-      .agg(countDistinct("doc_id").as("df"))
-    val h2 = t.where(col("doc_id") % 2 === 1).groupBy("word")
-      .agg(countDistinct("doc_id").as("df"))
-    h1.unionAll(h2).groupBy("word").agg(sum("df").cast("long").as("df"))
+    // one pass instead of two half-corpus scans unioned: per-doc distinct
+    // words come from the array (each (doc, word) emitted once, so the
+    // per-half df is a plain map-side-combining count), the half id rides
+    // along as a grouping key, and the halves merge exactly like the old
+    // unionAll (sum over halves)
+    tokArrays(spark, dir)
+      .select(col("doc_id"), explode(array_distinct(col("toks"))).as("word"))
+      .groupBy(col("word"), (col("doc_id") % 2).as("half__"))
+      .agg(count(lit(1)).as("df"))
+      .groupBy("word").agg(sum("df").cast("long").as("df"))
       .orderBy("word")
   }
 }

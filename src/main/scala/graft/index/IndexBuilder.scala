@@ -234,6 +234,15 @@ class IndexBuilder(spark: SparkSession, settings: IndexSettings) extends Seriali
     val aggFallbackPrev = spark.conf.getOption(aggFallbackKey)
     spark.conf.set(aggFallbackKey,
       sys.env.getOrElse("SPARK_GRAFT_AGG_FALLBACK", (4 << 20).toString))
+    // let AQE coalesce the partitions of CACHED plans too (the build's
+    // partial→range-shuffle→persist pattern everywhere): without this,
+    // every persisted exchange keeps the full spark.sql.shuffle.partitions
+    // fan-out regardless of data size — scale-adaptive in both directions,
+    // a 10^9-row table still gets the configured width. Saved/restored
+    // like the agg threshold.
+    val cachedPartKey = "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning"
+    val cachedPartPrev = spark.conf.getOption(cachedPartKey)
+    spark.conf.set(cachedPartKey, "true")
 
     // per-task lineage + metrics (north rule): aggregate task metrics per
     // stage while the build runs; flushed into the manifest at the end.
@@ -566,6 +575,10 @@ class IndexBuilder(spark: SparkSession, settings: IndexSettings) extends Seriali
       aggFallbackPrev match {
         case Some(v) => spark.conf.set(aggFallbackKey, v)
         case None    => spark.conf.unset(aggFallbackKey)
+      }
+      cachedPartPrev match {
+        case Some(v) => spark.conf.set(cachedPartKey, v)
+        case None    => spark.conf.unset(cachedPartKey)
       }
     }
     val ppMarker = new java.io.File(s"$dir/${IndexBuilder.PrefixPairsProx7Marker}")

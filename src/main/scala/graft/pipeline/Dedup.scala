@@ -50,15 +50,17 @@ object Dedup {
       .select("docid")
   }
 
-  /** k-token shingles (lowercased alnum tokens), distinct per doc. */
+  /** k-token shingles (lowercased alnum tokens), distinct per doc —
+    * de-duplicated IN the per-doc array before the explode, so the rows
+    * are distinct by construction and the old global `.distinct()`
+    * exchange over every shingle occurrence disappears (a doc's shingles
+    * live on one row; dedup needs no shuffle). */
   def shingles(docs: DataFrame, idCol: String, textCol: String, k: Int = 3): DataFrame = {
     val toks = docs.select(col(idCol).as("docid"),
       filter(split(lower(col(textCol)), "[^a-z0-9]+"), w => w =!= "").as("toks"))
     toks.select(col("docid"),
-        explode(expr(s"transform(sequence(0, size(toks) - $k), i -> " +
-          s"array_join(slice(toks, i + 1, $k), ' '))")).as("shingle"))
-      .where(col("shingle") =!= "")
-      .distinct()
+        explode(expr(s"array_distinct(filter(transform(sequence(0, size(toks) - $k), " +
+          s"i -> array_join(slice(toks, i + 1, $k), ' ')), s -> s != ''))")).as("shingle"))
   }
 
   /** MinHash signatures: `numHashes` seeded min-hashes over shingles.
@@ -140,22 +142,28 @@ object Dedup {
   /** 64-bit SimHash over distinct tokens (hamming-near docs are near-dups).
     * Bits 0-59 come from the word's md5-long; bits 60-63 from a second
     * salted hash — a true 64-bit signature. */
-  def simhash64(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tw = docs.select(col(idCol).as("docid"),
-        explode(filter(split(lower(col(textCol)), "[^a-z0-9]+"), w => w =!= "")).as("word"))
-      .distinct()
-      .withColumn("h", md5long(col("word")))
-      .withColumn("h2", md5long(concat(lit("fold:"), col("word"))))
-    val bits = tw.select(col("docid"),
-        explode(sequence(lit(0), lit(63))).as("bit"), col("h"), col("h2"))
-      .withColumn("v", when(
-        expr("case when bit < 60 then shiftright(h, bit) & 1 " +
-          "else shiftright(h2, bit - 60) & 1 end") === 1, 1).otherwise(-1))
-      .groupBy("docid", "bit").agg(sum("v").as("s"))
-    bits.withColumn("bitval",
-        when(col("s") > 0, expr("shiftleft(1L, bit)")).otherwise(lit(0L)))
-      .groupBy("docid").agg(sum("bitval").cast("long").as("simhash"))
-  }
+  def simhash64(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    // entirely map-side (same shape as the 16-bit battery twin): distinct
+    // tokens, the 64 ±1 bit sums and the final bit assembly are array
+    // expressions per document — the old pipeline shuffled doc×word
+    // distinct pairs and then doc×word×64 exploded rows through two
+    // aggregations; ±1 integer sums are order-independent, so the
+    // signature is bit-identical
+    docs.select(col(idCol).as("docid"),
+      expr(
+        """aggregate(
+          |  transform(
+          |    array_distinct(filter(split(lower(%s), '[^a-z0-9]+'), w -> w != '')),
+          |    w -> struct(
+          |      cast(conv(substring(md5(w), 1, 15), 16, 10) as bigint) as h,
+          |      cast(conv(substring(md5(concat('fold:', w)), 1, 15), 16, 10) as bigint) as h2)),
+          |  array_repeat(0L, 64),
+          |  (acc, x) -> transform(acc, (a, bit) -> a +
+          |    if(((case when bit < 60 then shiftright(x.h, bit)
+          |         else shiftright(x.h2, bit - 60) end) & 1) = 1, 1L, -1L)),
+          |  acc -> aggregate(
+          |    transform(acc, (s, bit) -> if(s > 0, shiftleft(1L, bit), 0L)),
+          |    0L, (a, x) -> a + x))""".stripMargin.format(textCol)).as("simhash"))
 
   /** Hamming distance between simhashes (for pairing by bit-band blocks). */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))

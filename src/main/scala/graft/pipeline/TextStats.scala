@@ -21,11 +21,16 @@ object TextStats {
   /** Per-doc language guess: argmax of marker-token hits (ties → unknown
     * unless a margin of ≥2 hits). */
   def languageId(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val t = docs.select(col(idCol).as("docid"), explode(toks(col(textCol))).as("word"))
+    // marker hits are map-side array filters over the tokenized text (one
+    // count per language) — the exploded-token groupBy shuffled every
+    // token occurrence for four integer counters per doc
     val hits = Profiles.toSeq.sortBy(_._1).map { case (lang, words) =>
-      sum(when(col("word").isin(words.toSeq: _*), 1).otherwise(0)).as(s"hits_$lang")
+      size(filter(toks(col(textCol)),
+        w => w.isin(words.toSeq.map(lit): _*))).as(s"hits_$lang")
     }
-    val scored = t.groupBy("docid").agg(hits.head, hits.tail: _*)
+    val scored = docs
+      .where(size(toks(col(textCol))) > 0) // token-less docs absent, as before
+      .select(col(idCol).as("docid") +: hits: _*)
     val langs = Profiles.keys.toSeq.sorted
     val best = langs.map(l => struct(col(s"hits_$l").as("hits"), lit(l).as("lang")))
     val outCols = Seq(col("docid"), col("pred")) ++ langs.map(l => col(s"hits_$l"))
@@ -63,11 +68,13 @@ object TextStats {
 
   /** Order-sensitive 60-bit document fingerprint: xor of position-salted
     * token hashes (content-defined identity that survives re-partitioning). */
-  def fingerprint(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val t = docs.select(col(idCol).as("docid"),
-        posexplode(toks(col(textCol))).as(Seq("pos", "word")))
-    t.select(col("docid"),
-        Dedup.md5long(concat(col("word"), lit("@"), col("pos") + 1)).as("h"))
-      .groupBy("docid").agg(expr("bit_xor(h)").as("fp"))
-  }
+  def fingerprint(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    // map-side xor fold over the token array (xor is order-independent,
+    // so the value matches the old shuffled bit_xor exactly)
+    docs.where(size(toks(col(textCol))) > 0)
+      .select(col(idCol).as("docid"),
+        aggregate(
+          transform(toks(col(textCol)), (w, i) =>
+            Dedup.md5long(concat(w, lit("@"), (i + 1).cast("string")))),
+          lit(0L), (a, x) => a.bitwiseXOR(x)).as("fp"))
 }

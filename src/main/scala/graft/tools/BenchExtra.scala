@@ -77,6 +77,22 @@ object BenchExtra {
               println(f"[bx] run$r $name ${(System.nanoTime() - t0) / 1e9}%.3f")
             }
         }
+      case "scalebuild" =>
+        // webgen corpus build at the scaling-phase shape (local[N] comes
+        // from SPARK_GRAFT_CPUS; docs from arg or 300k) + manifest print
+        val nDocs = args.drop(1).headOption.map(_.toLong).getOrElse(300000L)
+        val docs = graft.webgen.WebPages.generate(spark, nDocs)
+        val settings = IndexSettings(searchableFields = Seq("text"))
+        val dir = java.nio.file.Files.createTempDirectory("graft-bx-scale").toString
+        val t0 = System.nanoTime()
+        new IndexBuilder(spark, settings).build(docs, dir, resume = false)
+        println(f"[bx] scale build $nDocs docs ${(System.nanoTime() - t0) / 1e9}%.3f s " +
+          f"(${nDocs / ((System.nanoTime() - t0) / 1e9)}%.0f docs/s)")
+        val mf = new java.io.File(s"$dir/_graft_manifest.jsonl")
+        if (mf.exists())
+          scala.io.Source.fromFile(mf).getLines().foreach(l => println(s"[mf] $l"))
+        rmTree(dir)
+
       case "explain" =>
         // write .explain("formatted") per named query (or all non-engine
         // queries) to <outDir>/<query>_<tag>.txt — the plan evidence for
