@@ -63,10 +63,17 @@ object Queries {
 
   // ===================================================== inverted index
 
-  /** word → df + docid bounds: the word_docids posting table shape. */
+  /** word → df + docid bounds: the word_docids posting table shape.
+    * Words de-duplicate PER DOC in the array before the explode, so each
+    * (doc, word) is emitted exactly once and the aggregation is a plain
+    * map-side-combining count — countDistinct(doc_id) needed a second
+    * (word, doc_id)-keyed exchange round (min/max docid are unchanged by
+    * the per-doc dedup: the (doc, word) pair SET is identical). */
   def qWordDocids(spark: SparkSession, dir: String): DataFrame =
-    tokens(spark, dir).groupBy("word")
-      .agg(countDistinct("doc_id").as("df"),
+    tokArrays(spark, dir)
+      .select(col("doc_id"), explode(array_distinct(col("toks"))).as("word"))
+      .groupBy("word")
+      .agg(count(lit(1)).as("df"),
         min("doc_id").as("min_docid"), max("doc_id").as("max_docid"))
       .orderBy("word")
 
@@ -79,7 +86,13 @@ object Queries {
         size(array_distinct(col("toks"))).cast("long").as("n_distinct"))
       .orderBy("doc_id")
 
-  /** term dictionary with collection frequencies. */
+  /** term dictionary with collection frequencies. A one-exchange rewrite
+    * (per-doc (word, tf) pairs via a run-length scan of the sorted token
+    * array, then a single word-keyed agg for df + cf) was tried this
+    * round and REVERTED: measured ~2× slower at bench scale (0.40 s vs
+    * 0.19–0.22 s steady) — the per-doc sort/scan CPU outweighs the saved
+    * (word, doc_id) exchange round on 3k short docs. At corpus scale the
+    * trade flips with token volume; noted for a future round. */
   def qTermStats(spark: SparkSession, dir: String): DataFrame =
     tokens(spark, dir).groupBy("word")
       .agg(countDistinct("doc_id").as("df"), count(lit(1)).as("cf"))
@@ -207,11 +220,14 @@ object Queries {
       .orderBy("w1", "w2")
   }
 
-  /** 2-char prefix posting counts (word_prefix_docids shape). */
+  /** 2-char prefix posting counts (word_prefix_docids shape). Prefixes
+    * de-duplicate per doc in the array (same pattern as qWordDocids), so
+    * the aggregation is a map-side-combining count, not countDistinct. */
   def qPrefixDocids(spark: SparkSession, dir: String): DataFrame =
-    tokens(spark, dir)
-      .select(substring(col("word"), 1, 2).as("prefix"), col("doc_id"))
-      .groupBy("prefix").agg(countDistinct("doc_id").as("df"))
+    tokArrays(spark, dir)
+      .select(col("doc_id"), explode(array_distinct(
+        transform(col("toks"), w => substring(w, 1, 2)))).as("prefix"))
+      .groupBy("prefix").agg(count(lit(1)).as("df"))
       .orderBy("prefix")
 
   // ========================================================= facets/filter
